@@ -1,0 +1,122 @@
+"""Audio2Feature ("Audio2Mouth"): APC features -> mouth 3D-landmark deltas.
+
+Capability parity with models/audio2feature.py:6-72 (LSTM decoder branch -
+the reference's WaveNet branch is unrunnable: its `A2L_wavenet_*` options
+are never defined, see SURVEY.md §2.3) and the whole-sequence inference API
+of models/audio2feature_model.py:117-154.
+
+Architecture (defaults from options/base_options_audio2feature.py):
+    pair two 120 Hz APC frames -> [T, 1024]
+    -> downsample MLP (1024 -> 512, BatchNorm1d + LeakyReLU, 512 -> 512)
+    -> 3-layer LSTM(512 -> 256)
+    -> fc MLP (256 -> 512 -> 512 -> 75) with BatchNorm1d + LeakyReLU
+    => 75 outputs/frame = 25 mouth landmarks x 3 (delta from mean_pts3d).
+
+Everything is one jit: the LSTM recurrences are lax.scans with their input
+projections hoisted into full-sequence matmuls (models/nn_core.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from livespeechportraits_tpu.config import Audio2FeatureConfig
+from livespeechportraits_tpu.models import nn_core
+
+
+def init_audio2feature(key: jax.Array, cfg: Audio2FeatureConfig) -> Dict[str, Any]:
+    H = cfg.apc_hidden_size
+    ks = jax.random.split(key, 10)
+    params: Dict[str, Any] = {
+        "down1": nn_core.dense_init(ks[0], 2 * H, H),
+        "down_bn": nn_core.batchnorm_init(H),
+        "down2": nn_core.dense_init(ks[1], H, H),
+        "lstm": [
+            nn_core.lstm_layer_init(ks[2], H, cfg.lstm_hidden_size),
+            nn_core.lstm_layer_init(ks[3], cfg.lstm_hidden_size, cfg.lstm_hidden_size),
+            nn_core.lstm_layer_init(ks[4], cfg.lstm_hidden_size, cfg.lstm_hidden_size),
+        ],
+        "fc1": nn_core.dense_init(ks[5], cfg.lstm_hidden_size, 512),
+        "fc1_bn": nn_core.batchnorm_init(512),
+        "fc2": nn_core.dense_init(ks[6], 512, 512),
+        "fc2_bn": nn_core.batchnorm_init(512),
+        "fc3": nn_core.dense_init(ks[7], 512, cfg.output_dim),
+    }
+    return params
+
+
+def apply_audio2feature(
+    params: Dict[str, Any],
+    audio_feats: jnp.ndarray,
+    training: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """[B, 2T, H] paired APC features -> [B, T, output_dim] predictions.
+
+    Mirrors Audio2Feature.forward (audio2feature.py:55-72): reshape pairs
+    of consecutive 120 Hz frames into one 1024-d vector per video frame,
+    downsample, LSTM, project.  BatchNorm1d runs over the flattened
+    [B*T, C] rows exactly like the reference's `.reshape(-1, ndim*2)`.
+
+    Returns (preds, params_with_updated_bn_stats).
+    """
+    B, T2, H = audio_feats.shape
+    T = T2 // 2
+    x = audio_feats.reshape(B * T, 2 * H)
+
+    y = nn_core.dense(params["down1"], x)
+    y, bn0 = nn_core.batchnorm(params["down_bn"], y, training)
+    y = nn_core.leaky_relu(y)
+    y = nn_core.dense(params["down2"], y)
+    y = y.reshape(B, T, H)
+
+    for layer in params["lstm"]:
+        y, _ = nn_core.lstm_layer(layer, y)
+
+    z = y.reshape(B * T, -1)
+    z = nn_core.dense(params["fc1"], z)
+    z, bn1 = nn_core.batchnorm(params["fc1_bn"], z, training)
+    z = nn_core.leaky_relu(z)
+    z = nn_core.dense(params["fc2"], z)
+    z, bn2 = nn_core.batchnorm(params["fc2_bn"], z, training)
+    z = nn_core.leaky_relu(z)
+    z = nn_core.dense(params["fc3"], z)
+    preds = z.reshape(B, T, -1)
+
+    new_params = dict(params, down_bn=bn0, fc1_bn=bn1, fc2_bn=bn2)
+    return preds, new_params
+
+
+@jax.jit
+def _infer(params: Dict[str, Any], audio_feats: jnp.ndarray) -> jnp.ndarray:
+    preds, _ = apply_audio2feature(params, audio_feats, training=False)
+    return preds
+
+
+def generate_sequence(
+    params: Dict[str, Any],
+    audio_feats: jnp.ndarray,
+    frame_future: int = 18,
+) -> jnp.ndarray:
+    """Whole-utterance inference (audio2feature_model.py:117-154 parity).
+
+    Args:
+        audio_feats: [2T, H] 120 Hz APC features for T video frames.
+        frame_future: the model was trained to predict `frame_future`
+            frames ahead; the tail is padded with the final feature and the
+            first `frame_future` predictions dropped (audio2feature_model.py
+            :133-135, 146-149).
+    Returns:
+        [T, output_dim] mouth-delta predictions.
+    """
+    T = audio_feats.shape[0] // 2
+    feats = audio_feats[: 2 * T]
+    if frame_future > 0:
+        pad = jnp.broadcast_to(feats[-1], (2 * frame_future,) + feats.shape[1:])
+        feats = jnp.concatenate([feats, pad], axis=0)
+    preds = _infer(params, feats[None])[0]
+    if frame_future > 0:
+        preds = preds[frame_future:]
+    return preds[:T]

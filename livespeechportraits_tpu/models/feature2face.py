@@ -1,0 +1,335 @@
+"""Feature2Face: pix2pixHD-style conditional U-Net renderer + multiscale
+PatchGAN discriminator.
+
+Capability parity with models/feature2face_G.py, models/feature2face_D.py
+and networks.py:458-867.  Three generator variants selected by config
+`size` (feature2face_G.py:16-21):
+
+* 'small'  - classic pix2pix U-Net (k=4 s=2 convs, ConvTranspose ups,
+             input_nc=23),
+* 'normal' - ResUNet, 1 residual block per stage (input_nc=13),
+* 'large'  - ResUNet, 2 residual blocks per stage (input_nc=13),
+
+all with 8 downsamplings, ngf=64, tanh output.  Layout is NHWC and the
+forward is bf16-friendly (params stay f32; activations can be cast by the
+caller) - the reference used fp16 autocast + GradScaler on CUDA
+(feature2face_model.py:59-60); on TPU bf16 needs no loss scaling.
+
+Intended-behaviour divergences from reference bugs (documented per
+SURVEY.md §2.3):
+
+* The reference instantiates its discriminator with positionally
+  misaligned arguments (feature2face_D.py:22 passes num_D into the
+  norm_layer slot), silently degenerating to a single-scale PatchGAN
+  without intermediate-feature taps, and declares input_nc = 23+3 although
+  the training pair is 13+3 channels for 'normal'/'large'.  We build the
+  *intended* model: num_D scales, intermediate features for the FM loss,
+  input_nc = G-input + 3.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from livespeechportraits_tpu.config import Feature2FaceConfig
+from livespeechportraits_tpu.models import nn_core
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Residual block (networks.py:650-676): conv-BN-ReLU-conv-BN + skip, ReLU
+# ---------------------------------------------------------------------------
+
+
+def _resblock_init(key, ch: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": nn_core.conv2d_init(k1, ch, ch, 3, bias=False),
+        "bn1": nn_core.batchnorm_init(ch),
+        "conv2": nn_core.conv2d_init(k2, ch, ch, 3, bias=False),
+        "bn2": nn_core.batchnorm_init(ch),
+    }
+
+
+def _resblock(p: Params, x, training: bool):
+    y = nn_core.conv2d(p["conv1"], x, padding=1)
+    y, bn1 = nn_core.batchnorm(p["bn1"], y, training)
+    y = jax.nn.relu(y)
+    y = nn_core.conv2d(p["conv2"], y, padding=1)
+    y, bn2 = nn_core.batchnorm(p["bn2"], y, training)
+    out = jax.nn.relu(x + y)
+    return out, dict(p, bn1=bn1, bn2=bn2)
+
+
+# ---------------------------------------------------------------------------
+# ResUNet ('normal' = 1 res block / stage, 'large' = 2) - networks.py:489-647
+# ---------------------------------------------------------------------------
+
+
+def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[int],
+                        n_res: int, outermost: bool, innermost: bool) -> Params:
+    """One U-Net stage: downconv (+BN), res blocks, submodule slot,
+    upsample+conv (+BN), res blocks."""
+    if input_nc is None:
+        input_nc = outer_nc
+    ks = jax.random.split(key, 2 + 2 * n_res)
+    p: Params = {
+        "down": nn_core.conv2d_init(ks[0], input_nc, inner_nc, 3, bias=False),
+        "res_down": [_resblock_init(ks[2 + i], inner_nc) for i in range(n_res)],
+        "outermost": outermost,
+        "innermost": innermost,
+    }
+    if not outermost and not innermost:
+        p["down_bn"] = nn_core.batchnorm_init(inner_nc)
+    up_in = inner_nc if innermost else inner_nc * 2
+    p["up"] = nn_core.conv2d_init(ks[1], up_in, outer_nc, 3, bias=False)
+    if not outermost:
+        p["up_bn"] = nn_core.batchnorm_init(outer_nc)
+        p["res_up"] = [_resblock_init(ks[2 + n_res + i], outer_nc) for i in range(n_res)]
+    return p
+
+
+def _resunet_stage(p: Params, sub_apply, x, training: bool):
+    """Returns (cat(x, out) or out if outermost, updated params)."""
+    new_p = dict(p)
+    y = nn_core.conv2d(p["down"], x, stride=2, padding=1)
+    if "down_bn" in p:
+        y, new_p["down_bn"] = nn_core.batchnorm(p["down_bn"], y, training)
+    y = jax.nn.relu(y)
+    new_res_down = []
+    for rp in p["res_down"]:
+        y, nrp = _resblock(rp, y, training)
+        new_res_down.append(nrp)
+    new_p["res_down"] = new_res_down
+
+    if sub_apply is not None:
+        y, new_p["sub"] = sub_apply(y)
+
+    y = nn_core.upsample_nearest_2x(y)
+    y = nn_core.conv2d(p["up"], y, padding=1)
+    if not p["outermost"]:
+        y, new_p["up_bn"] = nn_core.batchnorm(p["up_bn"], y, training)
+        y = jax.nn.relu(y)
+        new_res_up = []
+        for rp in p["res_up"]:
+            y, nrp = _resblock(rp, y, training)
+            new_res_up.append(nrp)
+        new_p["res_up"] = new_res_up
+        return jnp.concatenate([x, y], axis=-1), new_p
+    return y, new_p
+
+
+def _build_resunet_init(key, input_nc: int, output_nc: int, num_downs: int,
+                        ngf: int, n_res: int) -> Params:
+    """Innermost-out construction mirroring networks.py:458-475."""
+    ks = iter(jax.random.split(key, num_downs + 1))
+    stage = _resunet_stage_init(next(ks), ngf * 8, ngf * 8, None, n_res, False, True)
+    stages = [stage]
+    for _ in range(num_downs - 5):
+        stages.append(_resunet_stage_init(next(ks), ngf * 8, ngf * 8, None, n_res, False, False))
+    stages.append(_resunet_stage_init(next(ks), ngf * 4, ngf * 8, None, n_res, False, False))
+    stages.append(_resunet_stage_init(next(ks), ngf * 2, ngf * 4, None, n_res, False, False))
+    stages.append(_resunet_stage_init(next(ks), ngf, ngf * 2, None, n_res, False, False))
+    stages.append(_resunet_stage_init(next(ks), output_nc, ngf, input_nc, n_res, True, False))
+
+    # nest: outermost at top
+    def nest(i) -> Params:
+        p = stages[len(stages) - 1 - i]
+        if len(stages) - 1 - i > 0:
+            p = dict(p, sub=nest(i + 1))
+        return p
+
+    return nest(0)
+
+
+def _resunet_apply(p: Params, x, training: bool):
+    if "sub" in p:
+        sub = lambda y: _resunet_apply(p["sub"], y, training)  # noqa: E731
+    else:
+        sub = None
+    return _resunet_stage(p, sub, x, training)
+
+
+# ---------------------------------------------------------------------------
+# Plain pix2pix U-Net ('small') - networks.py:680-769
+# ---------------------------------------------------------------------------
+
+
+def _unet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[int],
+                     outermost: bool, innermost: bool) -> Params:
+    if input_nc is None:
+        input_nc = outer_nc
+    k1, k2 = jax.random.split(key)
+    p: Params = {
+        # torch: downconv bias = (norm is InstanceNorm) = False; the
+        # outermost ConvTranspose keeps torch's default bias=True
+        # (networks.py:730-740).
+        "down": nn_core.conv2d_init(k1, input_nc, inner_nc, 4, bias=False),
+        "outermost": outermost,
+        "innermost": innermost,
+    }
+    up_in = inner_nc if innermost else inner_nc * 2
+    p["up"] = nn_core.conv2d_init(k2, up_in, outer_nc, 4, bias=outermost)
+    if not outermost and not innermost:
+        p["down_bn"] = nn_core.batchnorm_init(inner_nc)
+    if not outermost:
+        p["up_bn"] = nn_core.batchnorm_init(outer_nc)
+    return p
+
+
+def _unet_stage(p: Params, sub_apply, x, training: bool):
+    new_p = dict(p)
+    y = x
+    if not p["outermost"]:
+        y = nn_core.leaky_relu(y, 0.2)
+    y = nn_core.conv2d(p["down"], y, stride=2, padding=1)
+    if "down_bn" in p:
+        y, new_p["down_bn"] = nn_core.batchnorm(p["down_bn"], y, training)
+
+    if sub_apply is not None:
+        y, new_p["sub"] = sub_apply(y)
+
+    y = jax.nn.relu(y)
+    y = nn_core.conv_transpose2d(p["up"], y, stride=2, padding=1)
+    if not p["outermost"]:
+        y, new_p["up_bn"] = nn_core.batchnorm(p["up_bn"], y, training)
+        return jnp.concatenate([x, y], axis=-1), new_p
+    return y, new_p
+
+
+def _build_unet_init(key, input_nc: int, output_nc: int, num_downs: int, ngf: int) -> Params:
+    ks = iter(jax.random.split(key, num_downs + 1))
+    stages = [_unet_stage_init(next(ks), ngf * 8, ngf * 8, None, False, True)]
+    for _ in range(num_downs - 5):
+        stages.append(_unet_stage_init(next(ks), ngf * 8, ngf * 8, None, False, False))
+    stages.append(_unet_stage_init(next(ks), ngf * 4, ngf * 8, None, False, False))
+    stages.append(_unet_stage_init(next(ks), ngf * 2, ngf * 4, None, False, False))
+    stages.append(_unet_stage_init(next(ks), ngf, ngf * 2, None, False, False))
+    stages.append(_unet_stage_init(next(ks), output_nc, ngf, input_nc, True, False))
+
+    def nest(i) -> Params:
+        p = stages[len(stages) - 1 - i]
+        if len(stages) - 1 - i > 0:
+            p = dict(p, sub=nest(i + 1))
+        return p
+
+    return nest(0)
+
+
+def _unet_apply(p: Params, x, training: bool):
+    if "sub" in p:
+        sub = lambda y: _unet_apply(p["sub"], y, training)  # noqa: E731
+    else:
+        sub = None
+    return _unet_stage(p, sub, x, training)
+
+
+# ---------------------------------------------------------------------------
+# Public generator API
+# ---------------------------------------------------------------------------
+
+
+def init_generator(key: jax.Array, cfg: Feature2FaceConfig) -> Params:
+    if cfg.size == "small":
+        net = _build_unet_init(key, cfg.input_nc, cfg.output_nc, cfg.n_downsample, cfg.ngf)
+    elif cfg.size == "normal":
+        net = _build_resunet_init(key, cfg.input_nc, cfg.output_nc, cfg.n_downsample, cfg.ngf, 1)
+    elif cfg.size == "large":
+        net = _build_resunet_init(key, cfg.input_nc, cfg.output_nc, cfg.n_downsample, cfg.ngf, 2)
+    else:
+        raise ValueError(f"unknown generator size {cfg.size!r}")
+    return {"net": net, "size": cfg.size}
+
+
+def apply_generator(params: Params, x: jnp.ndarray, training: bool = False,
+                    compute_dtype=None) -> Tuple[jnp.ndarray, Params]:
+    """[B, H, W, input_nc] -> ([B, H, W, 3] in [-1, 1], updated params).
+
+    compute_dtype=jnp.bfloat16 runs the conv stack in bf16 (weights cast
+    on the fly; output restored to f32) - the TPU analogue of the
+    reference's fp16 autocast path.
+    """
+    size = params["size"]
+    net = params["net"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        net = jax.tree.map(
+            lambda a: a.astype(compute_dtype) if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            net,
+        )
+    if size == "small":
+        y, new_net = _unet_apply(net, x, training)
+    else:
+        y, new_net = _resunet_apply(net, x, training)
+    y = jnp.tanh(y.astype(jnp.float32))
+    if compute_dtype is not None:
+        new_net = params["net"] if not training else jax.tree.map(
+            lambda a, b: b.astype(a.dtype) if isinstance(a, jnp.ndarray) else b,
+            params["net"], new_net,
+        )
+    return y, dict(params, net=new_net)
+
+
+# ---------------------------------------------------------------------------
+# Multiscale PatchGAN discriminator (networks.py:773-867, intended config)
+# ---------------------------------------------------------------------------
+
+
+def init_discriminator(key: jax.Array, cfg: Feature2FaceConfig) -> Params:
+    """num_D PatchGANs at successive half resolutions, intermediate
+    features exposed for the FM loss."""
+    input_nc = cfg.input_nc + 3
+    scales = []
+    for key_d in jax.random.split(key, cfg.num_D):
+        ks = iter(jax.random.split(key_d, cfg.n_layers_D + 2))
+        layers: List[Params] = []
+        nf = cfg.ndf
+        layers.append({"conv": nn_core.conv2d_init(next(ks), input_nc, nf, 4)})
+        for n in range(1, cfg.n_layers_D):
+            nf_prev, nf = nf, min(nf * 2, 512)
+            layers.append({
+                "conv": nn_core.conv2d_init(next(ks), nf_prev, nf, 4),
+                "bn": nn_core.batchnorm_init(nf),
+            })
+        nf_prev, nf = nf, min(nf * 2, 512)
+        layers.append({
+            "conv": nn_core.conv2d_init(next(ks), nf_prev, nf, 4),
+            "bn": nn_core.batchnorm_init(nf),
+        })
+        layers.append({"conv": nn_core.conv2d_init(next(ks), nf, 1, 4)})
+        scales.append({"layers": layers})
+    return {"scales": scales, "n_layers": cfg.n_layers_D}
+
+
+def apply_discriminator(params: Params, x: jnp.ndarray, training: bool = False):
+    """Returns (list over scales of lists of intermediate features
+    [... , final logits], updated params).  Finest scale first, matching
+    MultiscaleDiscriminator.forward's result ordering (networks.py:801-813
+    walks from the coarsest stored index down)."""
+    results = []
+    new_scales = []
+    inp = x
+    n_layers = params["n_layers"]
+    for si, scale in enumerate(params["scales"]):
+        feats = []
+        y = inp
+        new_layers = []
+        for li, layer in enumerate(scale["layers"]):
+            stride = 2 if li < n_layers else 1
+            y = nn_core.conv2d(layer["conv"], y, stride=stride, padding=2)
+            new_layer = dict(layer)
+            if "bn" in layer:
+                y, new_layer["bn"] = nn_core.batchnorm(layer["bn"], y, training)
+            if li < len(scale["layers"]) - 1:
+                y = nn_core.leaky_relu(y, 0.2)
+            feats.append(y)
+            new_layers.append(new_layer)
+        results.append(feats)
+        new_scales.append({"layers": new_layers})
+        if si != len(params["scales"]) - 1:
+            inp = nn_core.avg_pool(inp, 3, 2, 1)
+    return results, dict(params, scales=new_scales)

@@ -1,0 +1,332 @@
+"""Minimal functional NN toolkit: params are plain pytrees (nested dicts),
+every layer is an (init, apply) pair of pure functions.
+
+Design notes (vs the reference's torch.nn modules, models/networks.py):
+
+* No module objects, no reflection, no importlib registries - a model is a
+  params pytree plus pure apply functions, which is what pjit/grad/scan
+  want to see.
+* Convolutions run in NHWC (TPU-native layout); recurrent cells split
+  their input projections (one big batched matmul outside lax.scan) from
+  the recurrent matmul (inside the scan) so the MXU sees large GEMMs.
+* Initialisers reproduce the reference's init_weights semantics
+  (networks.py:347-378: normal(0, 0.02) for conv/linear, N(1, 0.02) for
+  batch-norm scale) plus torch's default uniform fan-in init for RNN cells.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisers (networks.py:347-378 semantics)
+# ---------------------------------------------------------------------------
+
+
+def normal_init(key, shape, gain: float = 0.02, dtype=jnp.float32):
+    return gain * jax.random.normal(key, shape, dtype)
+
+
+def xavier_normal_init(key, shape, gain: float = 0.02, dtype=jnp.float32):
+    fan_in, fan_out = _fans(shape)
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def kaiming_normal_init(key, shape, gain: float = 0.02, dtype=jnp.float32):
+    fan_in, _ = _fans(shape)
+    std = math.sqrt(2.0 / fan_in)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def orthogonal_init(key, shape, gain: float = 0.02, dtype=jnp.float32):
+    flat = (int(np.prod(shape[:-1])), shape[-1])
+    a = jax.random.normal(key, flat, dtype)
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))
+    return gain * q.reshape(shape)
+
+
+def uniform_fan_init(key, shape, fan: int, dtype=jnp.float32):
+    """torch RNN default: U(-1/sqrt(hidden), 1/sqrt(hidden))."""
+    bound = 1.0 / math.sqrt(fan)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+INITIALIZERS = {
+    "normal": normal_init,
+    "xavier": xavier_normal_init,
+    "kaiming": kaiming_normal_init,
+    "orthogonal": orthogonal_init,
+}
+
+
+def _fans(shape) -> Tuple[int, int]:
+    """(fan_in, fan_out) for dense [I, O] or conv [Kh, Kw, I, O] kernels."""
+    if len(shape) == 2:
+        return shape[0], shape[1]
+    receptive = int(np.prod(shape[:-2]))
+    return shape[-2] * receptive, shape[-1] * receptive
+
+
+# ---------------------------------------------------------------------------
+# Dense
+# ---------------------------------------------------------------------------
+
+
+def dense_init(key, in_dim: int, out_dim: int, init: str = "normal", gain: float = 0.02,
+               bias: bool = True) -> Params:
+    kw, _ = jax.random.split(key)
+    p: Params = {"w": INITIALIZERS[init](kw, (in_dim, out_dim), gain)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,))
+    return p
+
+
+def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Conv1d (NWC layout) - used by WaveNet
+# ---------------------------------------------------------------------------
+
+
+def conv1d_init(key, in_ch: int, out_ch: int, kernel: int = 1, init: str = "normal",
+                gain: float = 0.02, bias: bool = True) -> Params:
+    kw, _ = jax.random.split(key)
+    p: Params = {"w": INITIALIZERS[init](kw, (kernel, in_ch, out_ch), gain)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,))
+    return p
+
+
+def conv1d(params: Params, x: jnp.ndarray, dilation: int = 1,
+           padding: str | Sequence[Tuple[int, int]] = "VALID") -> jnp.ndarray:
+    """x: [N, W, C] -> [N, W', C']."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(1,),
+        padding=padding if isinstance(padding, str) else list(padding),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Conv2d / ConvTranspose2d (NHWC)
+# ---------------------------------------------------------------------------
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel: int = 3, init: str = "normal",
+                gain: float = 0.02, bias: bool = True) -> Params:
+    kw, _ = jax.random.split(key)
+    p: Params = {"w": INITIALIZERS[init](kw, (kernel, kernel, in_ch, out_ch), gain)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,))
+    return p
+
+
+def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
+           padding: int = 0) -> jnp.ndarray:
+    """x: [N, H, W, C] -> [N, H', W', C']; integer symmetric padding."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def conv_transpose2d(params: Params, x: jnp.ndarray, stride: int = 2,
+                     padding: int = 1) -> jnp.ndarray:
+    """torch ConvTranspose2d(k, stride, padding) parity via input dilation.
+
+    out = conv(dilate(x, stride), flip(kernel)) with padding k-1-p, giving
+    H_out = H*stride for the (k=4, s=2, p=1) U-Net upsampler.
+    """
+    k = params["w"].shape[0]
+    pad = k - 1 - padding
+    # Stored kernel is [kh, kw, C_in, C_out]; conv-transpose == conv over the
+    # stride-dilated input with the spatially flipped kernel.
+    w = jnp.flip(params["w"], axis=(0, 1))
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalisation
+# ---------------------------------------------------------------------------
+
+
+def batchnorm_init(num_features: int, init_scale_noise: Optional[jax.Array] = None,
+                   gain: float = 0.02) -> Params:
+    """BatchNorm params + running stats.
+
+    The reference's init_weights draws BatchNorm2d scale from N(1, 0.02)
+    (networks.py:373-375); pass a PRNG key as init_scale_noise to match.
+    """
+    scale = jnp.ones((num_features,))
+    if init_scale_noise is not None:
+        scale = 1.0 + 0.02 / gain * normal_init(init_scale_noise, (num_features,), gain)
+    return {
+        "scale": scale,
+        "bias": jnp.zeros((num_features,)),
+        "mean": jnp.zeros((num_features,)),
+        "var": jnp.ones((num_features,)),
+    }
+
+
+def batchnorm(params: Params, x: jnp.ndarray, training: bool = False,
+              momentum: float = 0.1, eps: float = 1e-5):
+    """Normalise over all axes but the last (channel) axis.
+
+    Returns (y, updated_params): in training mode the running stats are
+    updated torch-style (running <- (1-m)*running + m*batch, unbiased var);
+    in eval mode running stats are used and params returned unchanged.
+    """
+    axes = tuple(range(x.ndim - 1))
+    if training:
+        mean = x.mean(axis=axes)
+        var = x.var(axis=axes)
+        n = x.size / x.shape[-1]
+        unbiased = var * n / max(n - 1, 1)
+        new_params = dict(params)
+        # torch tracks running_mean with the biased batch mean and
+        # running_var with the unbiased batch var.
+        new_params["mean"] = (1 - momentum) * params["mean"] + momentum * mean
+        new_params["var"] = (1 - momentum) * params["var"] + momentum * unbiased
+    else:
+        mean, var = params["mean"], params["var"]
+        new_params = params
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return y, new_params
+
+
+# ---------------------------------------------------------------------------
+# Activations / resampling
+# ---------------------------------------------------------------------------
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, 2H, 2W, C] nearest-neighbour."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def avg_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
+    """AvgPool2d(window, stride, padding, count_include_pad=False) parity
+    (the multiscale-D downsampler, networks.py:790)."""
+    sums = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)],
+    )
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)],
+    )
+    return sums / counts
+
+
+# ---------------------------------------------------------------------------
+# Recurrent cells (torch gate layout for checkpoint-convertibility)
+# ---------------------------------------------------------------------------
+
+
+def gru_layer_init(key, in_dim: int, hidden: int) -> Params:
+    """One GRU layer; torch gate order (r, z, n), fan-in uniform init."""
+    k = jax.random.split(key, 4)
+    return {
+        "w_ih": uniform_fan_init(k[0], (in_dim, 3 * hidden), hidden),
+        "w_hh": uniform_fan_init(k[1], (hidden, 3 * hidden), hidden),
+        "b_ih": uniform_fan_init(k[2], (3 * hidden,), hidden),
+        "b_hh": uniform_fan_init(k[3], (3 * hidden,), hidden),
+    }
+
+
+def gru_layer(params: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
+    """Run a GRU over [B, T, I] -> ([B, T, H], h_T).
+
+    The input projection x @ w_ih is one large batched matmul outside the
+    scan; only the [H, 3H] recurrent matmul runs per step.
+    """
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((B, H), x.dtype)
+    x_proj = x @ params["w_ih"] + params["b_ih"]  # [B, T, 3H]
+
+    def step(h, xp):
+        hp = h @ params["w_hh"] + params["b_hh"]
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1 - z) * n + z * h
+        return h_new, h_new
+
+    hT, ys = jax.lax.scan(step, h0, x_proj.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), hT
+
+
+def lstm_layer_init(key, in_dim: int, hidden: int) -> Params:
+    """One LSTM layer; torch gate order (i, f, g, o)."""
+    k = jax.random.split(key, 4)
+    return {
+        "w_ih": uniform_fan_init(k[0], (in_dim, 4 * hidden), hidden),
+        "w_hh": uniform_fan_init(k[1], (hidden, 4 * hidden), hidden),
+        "b_ih": uniform_fan_init(k[2], (4 * hidden,), hidden),
+        "b_hh": uniform_fan_init(k[3], (4 * hidden,), hidden),
+    }
+
+
+def lstm_layer(params: Params, x: jnp.ndarray,
+               state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+    """Run an LSTM over [B, T, I] -> ([B, T, H], (h_T, c_T))."""
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    if state is None:
+        state = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    x_proj = x @ params["w_ih"] + params["b_ih"]  # [B, T, 4H]
+
+    def step(carry, xp):
+        h, c = carry
+        gates = xp + h @ params["w_hh"] + params["b_hh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    final, ys = jax.lax.scan(step, state, x_proj.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), final

@@ -1,0 +1,92 @@
+"""Feature2Face generator/discriminator: shapes and torch-oracle parity for
+all three generator variants (converted reference modules as oracles)."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from livespeechportraits_tpu.config import Feature2FaceConfig
+from livespeechportraits_tpu.models import feature2face
+
+# 64x64 with 6 downsamplings keeps the innermost map 1x1 and the tests fast.
+SMALL = Feature2FaceConfig(size="small", ngf=8, n_downsample=6, load_size=64)
+NORMAL = Feature2FaceConfig(size="normal", ngf=8, n_downsample=6, load_size=64)
+LARGE = Feature2FaceConfig(size="large", ngf=8, n_downsample=6, load_size=64)
+
+
+@pytest.mark.parametrize("cfg", [SMALL, NORMAL, LARGE], ids=["small", "normal", "large"])
+def test_generator_shapes(cfg):
+    params = feature2face.init_generator(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, cfg.input_nc))
+    y, _ = feature2face.apply_generator(params, x)
+    assert y.shape == (2, 64, 64, 3)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh range
+
+
+def test_generator_bf16_path():
+    params = feature2face.init_generator(jax.random.PRNGKey(0), NORMAL)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 13))
+    y32, _ = feature2face.apply_generator(params, x)
+    y16, _ = feature2face.apply_generator(params, x, compute_dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.float32
+    assert np.abs(np.asarray(y16 - y32)).max() < 0.1  # bf16 drift stays small
+
+
+def test_discriminator_shapes():
+    cfg = NORMAL
+    params = feature2face.init_discriminator(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, cfg.input_nc + 3))
+    results, _ = feature2face.apply_discriminator(params, x)
+    assert len(results) == cfg.num_D
+    for feats in results:
+        assert len(feats) == cfg.n_layers_D + 2
+    # scale 1 operates at half resolution
+    assert results[1][0].shape[1] < results[0][0].shape[1]
+    # final logits are 1-channel patch maps
+    assert results[0][-1].shape[-1] == 1
+
+
+def _make_ref_generator(torch, size, input_nc, ngf, num_downs):
+    sys.path.insert(0, "/root/reference")
+    try:
+        import models.networks as ref_networks  # type: ignore
+    finally:
+        sys.path.pop(0)
+    torch.manual_seed(0)
+    if size == "small":
+        net = ref_networks.Feature2FaceGenerator_Unet(
+            input_nc=input_nc, output_nc=3, num_downs=num_downs, ngf=ngf)
+    elif size == "normal":
+        net = ref_networks.Feature2FaceGenerator_normal(
+            input_nc=input_nc, output_nc=3, num_downs=num_downs, ngf=ngf)
+    else:
+        net = ref_networks.Feature2FaceGenerator_large(
+            input_nc=input_nc, output_nc=3, num_downs=num_downs, ngf=ngf)
+    net.eval()
+    return net
+
+
+@pytest.mark.parametrize("size", ["small", "normal", "large"])
+def test_generator_matches_reference_torch(size):
+    """Convert a reference generator's weights and compare outputs."""
+    torch = pytest.importorskip("torch")
+    from livespeechportraits_tpu.utils import torch_convert
+
+    input_nc, ngf, num_downs, hw = 5, 8, 6, 64
+    ref = _make_ref_generator(torch, size, input_nc, ngf, num_downs)
+    sd = {"netG." + k if not k.startswith("model") else "netG." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params = torch_convert.convert_feature2face_g(sd, size, num_downs=num_downs)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, hw, hw, input_nc)).astype(np.float32)
+    ours, _ = feature2face.apply_generator(params, jnp.asarray(x))
+    with torch.no_grad():
+        out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        if size == "small":
+            pass  # Unet variant applies tanh inside the outermost block
+        out_ref = out.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), out_ref, atol=5e-4)
