@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""End-to-end inference CLI (parity with the reference's demo.py surface).
+
+Usage:
+    python demo.py --id May --driving_audio ./data/input/00083.wav
+    python demo.py --id Synthetic --driving_audio tone.wav   # no checkpoints needed
+
+Loads the per-person YAML from ./config/<id>.yaml when present (reference
+format, demo.py:59-62); the special id 'Synthetic' fabricates an asset
+pack + random-init models so the whole pipeline runs without released
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from os.path import join
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--id", default="May",
+                        help="person id (Obama1, Obama2, May, Nadella, McStay, Synthetic)")
+    parser.add_argument("--driving_audio", default="./data/input/00083.wav")
+    parser.add_argument("--save_intermediates", type=int, default=0)
+    parser.add_argument("--results_dir", default="./results")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--render_batch", type=int, default=8)
+    parser.add_argument("--image_size", type=int, default=0,
+                        help="override render resolution (synthetic only; 0 = config)")
+    parser.add_argument("--duration", type=float, default=0.0,
+                        help="optional cap on driving-audio seconds (0 = full)")
+    args = parser.parse_args()
+
+    from livespeechportraits_tpu.config import (
+        PersonConfig, load_person_config, replace,
+    )
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from livespeechportraits_tpu.pipeline import video as video_mod
+
+    cfg_path = join("./config", args.id + ".yaml")
+    if os.path.exists(cfg_path):
+        cfg = load_person_config(cfg_path, name=args.id)
+    else:
+        cfg = PersonConfig(name=args.id)
+
+    audio_name = os.path.splitext(os.path.basename(args.driving_audio))[0]
+    save_root = join(args.results_dir, args.id, audio_name)
+    os.makedirs(save_root, exist_ok=True)
+
+    if os.path.exists(args.driving_audio):
+        audio = video_mod.load_wav(args.driving_audio)
+    else:
+        print(f"driving audio {args.driving_audio!r} not found; using a 3 s test tone")
+        t = np.arange(int(3 * 16000)) / 16000
+        audio = (0.3 * np.sin(2 * np.pi * 220 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    if args.duration > 0:
+        audio = audio[: int(args.duration * 16000)]
+
+    if args.id == "Synthetic" or not cfg.data_root:
+        if args.image_size:
+            import math
+
+            n_down = min(8, int(math.log2(args.image_size)))  # keep innermost >= 1px
+            cfg = replace(cfg, feature2face=replace(
+                cfg.feature2face, load_size=args.image_size, n_downsample=n_down))
+        person_assets, person_models = assets_mod.make_synthetic_person(
+            cfg, image_size=cfg.feature2face.load_size)
+    else:
+        person_assets = assets_mod.load_person(cfg)
+        person_models = assets_mod.load_person_models(cfg)
+
+    print(f"Animating {len(audio)/16000:.2f}s of audio for '{args.id}' ...")
+    t0 = time.perf_counter()
+    result = animate_mod.animate(
+        cfg, person_assets, person_models, audio,
+        seed=args.seed, render_batch=args.render_batch,
+        keep_feature_maps=bool(cfg.feature2face.save_input),
+    )
+    wall = time.perf_counter() - t0
+    print(f"stages (ms): {json.dumps({k: round(v, 1) for k, v in result.stage_ms.items()})}")
+    print(f"{result.nframe} frames in {wall:.2f}s -> {result.nframe / wall:.1f} fps end-to-end")
+
+    out_path = join(save_root, audio_name + ".avi")
+    video_mod.write_video(result.frames, out_path, audio)
+    print(f"wrote {out_path}")
+    if result.feature_maps is not None:
+        fmap_path = join(save_root, audio_name + "_feature_maps.avi")
+        video_mod.write_video(
+            np.repeat(result.feature_maps[..., None], 3, axis=-1), fmap_path, audio)
+        print(f"wrote {fmap_path}")
+    if args.save_intermediates:
+        video_mod.save_frames(result.frames, save_root, "pred_")
+        np.save(join(save_root, "landmarks.npy"), result.landmarks)
+        np.save(join(save_root, "headpose.npy"), result.headpose)
+    print("Finish!")
+
+
+if __name__ == "__main__":
+    main()

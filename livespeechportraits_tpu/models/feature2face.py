@@ -80,8 +80,6 @@ def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[in
     p: Params = {
         "down": nn_core.conv2d_init(ks[0], input_nc, inner_nc, 3, bias=False),
         "res_down": [_resblock_init(ks[2 + i], inner_nc) for i in range(n_res)],
-        "outermost": outermost,
-        "innermost": innermost,
     }
     if not outermost and not innermost:
         p["down_bn"] = nn_core.batchnorm_init(inner_nc)
@@ -94,7 +92,12 @@ def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[in
 
 
 def _resunet_stage(p: Params, sub_apply, x, training: bool):
-    """Returns (cat(x, out) or out if outermost, updated params)."""
+    """Returns (cat(x, out) or out if outermost, updated params).
+
+    Stage kind is implicit in the param structure: the outermost stage has
+    no up_bn; the innermost has no submodule.
+    """
+    outermost = "up_bn" not in p
     new_p = dict(p)
     y = nn_core.conv2d(p["down"], x, stride=2, padding=1)
     if "down_bn" in p:
@@ -111,7 +114,7 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool):
 
     y = nn_core.upsample_nearest_2x(y)
     y = nn_core.conv2d(p["up"], y, padding=1)
-    if not p["outermost"]:
+    if not outermost:
         y, new_p["up_bn"] = nn_core.batchnorm(p["up_bn"], y, training)
         y = jax.nn.relu(y)
         new_res_up = []
@@ -169,8 +172,6 @@ def _unet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[int],
         # outermost ConvTranspose keeps torch's default bias=True
         # (networks.py:730-740).
         "down": nn_core.conv2d_init(k1, input_nc, inner_nc, 4, bias=False),
-        "outermost": outermost,
-        "innermost": innermost,
     }
     up_in = inner_nc if innermost else inner_nc * 2
     p["up"] = nn_core.conv2d_init(k2, up_in, outer_nc, 4, bias=outermost)
@@ -182,9 +183,10 @@ def _unet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[int],
 
 
 def _unet_stage(p: Params, sub_apply, x, training: bool):
+    outermost = "up_bn" not in p
     new_p = dict(p)
     y = x
-    if not p["outermost"]:
+    if not outermost:
         y = nn_core.leaky_relu(y, 0.2)
     y = nn_core.conv2d(p["down"], y, stride=2, padding=1)
     if "down_bn" in p:
@@ -195,7 +197,7 @@ def _unet_stage(p: Params, sub_apply, x, training: bool):
 
     y = jax.nn.relu(y)
     y = nn_core.conv_transpose2d(p["up"], y, stride=2, padding=1)
-    if not p["outermost"]:
+    if not outermost:
         y, new_p["up_bn"] = nn_core.batchnorm(p["up_bn"], y, training)
         return jnp.concatenate([x, y], axis=-1), new_p
     return y, new_p

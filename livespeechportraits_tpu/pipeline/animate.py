@@ -1,0 +1,258 @@
+"""The six-stage audio->video inference pipeline.
+
+Capability parity with demo.py:176-272, re-designed so each stage is one
+(or a few) jitted device programs instead of per-frame Python loops:
+
+    1. mel + APC features      - one fused framing jit + one GRU-stack jit
+    2. LLE manifold projection - one matmul-KNN + batched solve jit
+    3. Audio2Mouth             - one whole-sequence LSTM jit
+    4. Audio2Headpose          - ONE lax.scan (streaming WaveNet + on-device
+                                 GMM sampling; the reference loops frames
+                                 with CPU sampling)
+    5. post-processing         - smoothing/AMP/projection, all batched jnp
+    6. rendering               - device rasteriser + U-Net in bf16, frames
+                                 batched to fill the MXU
+
+Per-stage wall-clock is collected in `AnimateResult.stage_ms` (the
+reference has no profiling at all - SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livespeechportraits_tpu.config import (
+    EYE_BROW_INDICES,
+    FPS,
+    MOUTH_INDICES,
+    PersonConfig,
+    SAMPLE_RATE,
+)
+from livespeechportraits_tpu.models import apc as apc_model
+from livespeechportraits_tpu.models import audio2feature as a2f_model
+from livespeechportraits_tpu.models import audio2headpose as a2h_model
+from livespeechportraits_tpu.models import feature2face as f2f_model
+from livespeechportraits_tpu.ops import geometry, manifold, mel, rasterize, smoothing
+from livespeechportraits_tpu.pipeline.assets import PersonAssets, PersonModels
+
+
+@dataclass
+class AnimateResult:
+    frames: np.ndarray  # [T, H, W, 3] uint8
+    feature_maps: Optional[np.ndarray]  # [T, H, W] uint8 edge maps (if kept)
+    landmarks: np.ndarray  # [T, 73, 2]
+    headpose: np.ndarray  # [T, 6]
+    pts3d: np.ndarray  # [T, 73, 3]
+    nframe: int
+    stage_ms: Dict[str, float] = field(default_factory=dict)
+
+    @property
+    def fps_audio_to_video(self) -> float:
+        total_s = sum(self.stage_ms.values()) / 1e3
+        return self.nframe / total_s if total_s > 0 else float("inf")
+
+
+def compute_motion(
+    cfg: PersonConfig,
+    assets: PersonAssets,
+    models: PersonModels,
+    audio: np.ndarray,
+    key: jax.Array,
+    stage_ms: Optional[Dict[str, float]] = None,
+):
+    """Stages 1-5: audio -> (projected landmarks, shoulders, headpose, pts3d).
+
+    Returns numpy arrays; `stage_ms` (if given) collects per-stage timings.
+    """
+    sm = stage_ms if stage_ms is not None else {}
+
+    # ---- 1. deep audio features (demo.py:183-192)
+    t0 = time.perf_counter()
+    mel80 = mel.compute_mel_sequence(audio)  # [2T, 80]
+    feats = apc_model.encode(models.apc, mel80[None])[0]  # [2T, 512]
+    feats.block_until_ready()
+    sm["mel_apc"] = (time.perf_counter() - t0) * 1e3
+
+    # ---- 2. manifold projection (demo.py:196-200)
+    t0 = time.perf_counter()
+    if cfg.apc.use_LLE:
+        feats = manifold.lle_project(
+            feats, jnp.asarray(assets.apc_feature_base),
+            K=cfg.apc.Knear, percent=cfg.apc.LLE_percent,
+        )
+        feats.block_until_ready()
+    sm["lle"] = (time.perf_counter() - t0) * 1e3
+
+    # ---- 3. mouth landmarks (demo.py:203-205)
+    t0 = time.perf_counter()
+    pred_feat = a2f_model.generate_sequence(
+        models.audio2feature, feats, frame_future=cfg.audio2feature.frame_future
+    )  # [T, 75]
+    pred_feat.block_until_ready()
+    sm["audio2mouth"] = (time.perf_counter() - t0) * 1e3
+
+    # ---- 4. head pose (demo.py:208-212)
+    t0 = time.perf_counter()
+    a2h_cfg = cfg.audio2headpose
+    pre_headpose = jnp.zeros(a2h_cfg.wavenet.input_channels, jnp.float32)
+    pred_head = a2h_model.generate_sequence(
+        models.audio2headpose, a2h_cfg, feats, pre_headpose, key,
+        sigma_scale=a2h_cfg.sample_sigma_scale,
+    )  # [T - frame_future, 12]
+    pred_head.block_until_ready()
+    sm["headpose"] = (time.perf_counter() - t0) * 1e3
+
+    # ---- 5. post-processing (demo.py:215-255)
+    t0 = time.perf_counter()
+    nframe = int(min(pred_feat.shape[0], pred_head.shape[0]))
+    a2f_cfg = cfg.audio2feature
+
+    pred_pts3d = jnp.zeros((nframe, 73, 3), jnp.float32)
+    mouth = pred_feat[:nframe].reshape(nframe, 25, 3)
+    pred_pts3d = pred_pts3d.at[:, jnp.asarray(np.asarray(MOUTH_INDICES))].set(mouth)
+
+    pred_pts3d = smoothing.landmark_smooth_3d(pred_pts3d, a2f_cfg.smooth_sigma, "only_mouth")
+    pred_pts3d = smoothing.mouth_amp(pred_pts3d, True, a2f_cfg.amp_method, a2f_cfg.amp_params)
+    pred_pts3d = pred_pts3d + jnp.asarray(assets.mean_pts3d)
+    pred_pts3d = smoothing.solve_intersect_mouth(pred_pts3d)
+
+    head = pred_head[:nframe, :6]
+    head = head.at[:, :3].multiply(a2h_cfg.rot_amp)
+    head = head.at[:, 3:].multiply(a2h_cfg.trans_amp)
+    head = smoothing.headpose_smooth(head, a2h_cfg.smooth_sigmas)
+    head = head.at[:, 3:].add(jnp.asarray(assets.mean_translation))
+    head = head.at[:, 0].add(180.0)  # x-axis convention flip (demo.py:232)
+
+    # final pts3d: std mean + predicted mouth + cycled eyebrow candidates
+    final = jnp.broadcast_to(jnp.asarray(assets.std_mean_pts3d), (nframe, 73, 3))
+    final = final.at[:, 46:64].set(pred_pts3d[:, 46:64])
+    ncand = assets.candidate_eye_brow.shape[0]
+    brow_idx = np.arange(nframe) % ncand
+    brows = jnp.asarray(assets.candidate_eye_brow)[jnp.asarray(brow_idx)] + jnp.asarray(
+        assets.mean_pts3d[list(EYE_BROW_INDICES)]
+    )
+    final = final.at[:, jnp.asarray(np.asarray(EYE_BROW_INDICES))].set(brows)
+
+    K = jnp.asarray(assets.camera_intrinsic)
+    landmarks2d = geometry.project_landmarks(
+        K, jnp.eye(3), jnp.zeros(3), assets.scale, head, final
+    )  # [T, 73, 2]
+    shoulders2d, _ = geometry.project_shoulders(
+        K, jnp.asarray(assets.shoulder3D), head[:, 3:], jnp.asarray(assets.ref_trans),
+        a2h_cfg.shoulder_amp,
+    )
+    landmarks2d.block_until_ready()
+    sm["post"] = (time.perf_counter() - t0) * 1e3
+
+    return landmarks2d, shoulders2d, head, final, nframe
+
+
+def render_frames(
+    cfg: PersonConfig,
+    assets: PersonAssets,
+    models: PersonModels,
+    landmarks2d: jnp.ndarray,
+    shoulders2d: jnp.ndarray,
+    render_batch: int = 8,
+    keep_feature_maps: bool = False,
+    stage_ms: Optional[Dict[str, float]] = None,
+):
+    """Stage 6 (demo.py:258-272): rasterise + U-Net, batched over frames."""
+    sm = stage_ms if stage_ms is not None else {}
+    t0 = time.perf_counter()
+
+    nframe = landmarks2d.shape[0]
+    H = W = cfg.feature2face.load_size
+    if assets.image_pad is not None:
+        top, bottom, left, right = assets.image_pad
+        shoulders2d = shoulders2d + jnp.asarray(
+            [right - left, top - bottom], jnp.float32
+        )
+
+    cand = jnp.asarray(assets.candidate_images)  # [4, H, W, 3]
+    cand_stack = jnp.concatenate(list(cand), axis=-1)  # [H, W, 12]
+    compute_dtype = (
+        jnp.bfloat16 if cfg.feature2face.precision == "bfloat16" else None
+    )
+
+    frames_out: List[np.ndarray] = []
+    maps_out: List[np.ndarray] = []
+    pad_to = -(-nframe // render_batch) * render_batch
+    lm = jnp.concatenate(
+        [landmarks2d, jnp.broadcast_to(landmarks2d[-1:], (pad_to - nframe, 73, 2))]
+    )
+    sh = jnp.concatenate(
+        [shoulders2d, jnp.broadcast_to(shoulders2d[-1:], (pad_to - nframe,) + shoulders2d.shape[1:])]
+    )
+
+    for start in range(0, pad_to, render_batch):
+        edge = rasterize.rasterize_feature_maps(
+            lm[start : start + render_batch], sh[start : start + render_batch], (H, W)
+        )  # [B, H, W]
+        inp = jnp.concatenate(
+            [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
+            axis=-1,
+        )
+        fake = _jit_render(
+            models.feature2face["net"], models.feature2face["size"], inp, compute_dtype
+        )
+        frames_out.append(np.asarray(fake))
+        if keep_feature_maps:
+            maps_out.append(np.asarray(edge))
+
+    frames = np.concatenate(frames_out)[:nframe]
+    frames_u8 = ((frames + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+    sm["render"] = (time.perf_counter() - t0) * 1e3
+
+    fmap_u8 = None
+    if keep_feature_maps:
+        fmap_u8 = (np.concatenate(maps_out)[:nframe] * 255).astype(np.uint8)
+    return frames_u8, fmap_u8
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render(net, size, inp, compute_dtype):
+    y, _ = f2f_model.apply_generator(
+        {"net": net, "size": size}, inp, training=False, compute_dtype=compute_dtype
+    )
+    return y
+
+
+def animate(
+    cfg: PersonConfig,
+    assets: PersonAssets,
+    models: PersonModels,
+    audio: np.ndarray,
+    seed: int = 0,
+    render_batch: int = 8,
+    keep_feature_maps: bool = False,
+) -> AnimateResult:
+    """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS."""
+    stage_ms: Dict[str, float] = {}
+    key = jax.random.PRNGKey(seed)
+    landmarks2d, shoulders2d, head, final_pts3d, nframe = compute_motion(
+        cfg, assets, models, audio, key, stage_ms
+    )
+    frames, fmaps = render_frames(
+        cfg, assets, models, landmarks2d, shoulders2d,
+        render_batch=render_batch, keep_feature_maps=keep_feature_maps,
+        stage_ms=stage_ms,
+    )
+    return AnimateResult(
+        frames=frames,
+        feature_maps=fmaps,
+        landmarks=np.asarray(landmarks2d),
+        headpose=np.asarray(head),
+        pts3d=np.asarray(final_pts3d),
+        nframe=nframe,
+        stage_ms=stage_ms,
+    )

@@ -1,0 +1,206 @@
+"""Per-person asset packs: the data surface of a released subject.
+
+Mirrors what demo.py:80-108 loads for a subject id (May, Obama1, ...):
+mean/std 3D landmarks, the 3D fit track (for mean translation + eyebrow
+candidates), 4 candidate images, shoulder points, camera intrinsics, the
+APC feature bank for LLE, and the reconstruction scale - plus the four
+model checkpoints.  `load_person` reads a reference-format data directory;
+`make_synthetic_person` fabricates a geometrically plausible pack with
+random-init models so the full pipeline runs end-to-end without any
+released checkpoint (SURVEY.md §7 'minimum end-to-end slice').
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+
+from livespeechportraits_tpu.config import (
+    EYE_BROW_INDICES,
+    MOUTH_INDICES,
+    PersonConfig,
+)
+from livespeechportraits_tpu.models import apc, audio2feature, audio2headpose, feature2face
+from livespeechportraits_tpu.utils import torch_convert
+
+
+@dataclass
+class PersonAssets:
+    """Numpy-side per-subject data (device transfer happens in animate)."""
+
+    mean_pts3d: np.ndarray  # [73, 3]
+    std_mean_pts3d: np.ndarray  # [73, 3] mean of tracked pts3d
+    mean_translation: np.ndarray  # [3]
+    candidate_eye_brow: np.ndarray  # [Ncand, 16, 3] (pts3d[10:] eyebrow rows)
+    candidate_images: np.ndarray  # [4, H, W, 3] float32 in [-1, 1]
+    shoulders: np.ndarray  # [18, 2] 2D shoulder points (normalized frame)
+    shoulder3D: np.ndarray  # [18, 3]
+    ref_trans: np.ndarray  # [3] (trans[1], demo.py:100)
+    camera_intrinsic: np.ndarray  # [3, 3]
+    apc_feature_base: np.ndarray  # [N, 512] LLE bank
+    scale: float  # id_scale
+    image_pad: Optional[tuple] = None  # (top, bottom, left, right) or None
+
+
+@dataclass
+class PersonModels:
+    """Param pytrees for the four learned stages."""
+
+    apc: Dict[str, Any]
+    audio2feature: Dict[str, Any]
+    audio2headpose: Dict[str, Any]
+    feature2face: Dict[str, Any]
+
+
+def load_person(cfg: PersonConfig, data_root: Optional[str] = None) -> PersonAssets:
+    """Load a reference-format subject data directory (demo.py:80-108)."""
+    root = data_root or cfg.data_root
+    mean_pts3d = np.load(os.path.join(root, "mean_pts3d.npy"))
+    fit_data = np.load(cfg.fit_data_path or os.path.join(root, "3d_fit_data.npz"))
+    tracked = np.load(
+        cfg.pts3d_path or os.path.join(root, "tracked3D_normalized_pts_fix_contour.npy")
+    )
+    pts3d = tracked - mean_pts3d
+    trans = fit_data["trans"][:, :, 0].astype(np.float32)
+
+    cands = []
+    for j in range(4):
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(os.path.join(root, "candidates", f"normalized_full_{j}.jpg"))
+        ).astype(np.float32)
+        cands.append((img / 255.0 - 0.5) / 0.5)
+    candidate_images = np.stack(cands)
+
+    try:
+        import scipy.io as sio
+
+        scale = float(sio.loadmat(os.path.join(root, "id_scale.mat"))["scale"][0, 0])
+    except FileNotFoundError:
+        scale = 1.0
+
+    return PersonAssets(
+        mean_pts3d=mean_pts3d.astype(np.float32),
+        std_mean_pts3d=tracked.mean(axis=0).astype(np.float32),
+        mean_translation=trans.mean(axis=0),
+        candidate_eye_brow=pts3d[10:, list(EYE_BROW_INDICES)].astype(np.float32),
+        candidate_images=candidate_images,
+        shoulders=np.load(os.path.join(root, "normalized_shoulder_points.npy")).astype(np.float32),
+        shoulder3D=np.load(os.path.join(root, "shoulder_points3D.npy"))[1].astype(np.float32),
+        ref_trans=trans[1],
+        camera_intrinsic=np.load(os.path.join(root, "camera_intrinsic.npy")).astype(np.float32),
+        apc_feature_base=np.load(os.path.join(root, "APC_feature_base.npy")).astype(np.float32),
+        scale=scale,
+    )
+
+
+def load_person_models(cfg: PersonConfig) -> PersonModels:
+    """Convert the subject's reference .pkl checkpoints (demo.py:144-171)."""
+    sd_apc = torch_convert.load_state_dict_numpy(cfg.apc.ckpt_path)
+    sd_a2f = torch_convert.load_state_dict_numpy(cfg.audio2feature.ckpt_path)
+    sd_a2h = torch_convert.load_state_dict_numpy(cfg.audio2headpose.ckpt_path)
+    sd_f2f = torch_convert.load_state_dict_numpy(cfg.feature2face.ckpt_path)
+    return PersonModels(
+        apc=torch_convert.convert_apc(sd_apc, cfg.apc),
+        audio2feature=torch_convert.convert_audio2feature(sd_a2f, cfg.audio2feature),
+        audio2headpose=torch_convert.convert_audio2headpose(sd_a2h, cfg.audio2headpose),
+        feature2face=torch_convert.convert_feature2face_g(sd_f2f, cfg.feature2face.size),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic person (runs the full pipeline with no released data)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_face_landmarks() -> np.ndarray:
+    """A plausible 73-point 3D face in the tracker's coordinate frame:
+    roughly centred at the origin, ~0.2 units across, mouth around rows
+    46-63, eyebrows at their reference indices."""
+    rng = np.random.default_rng(1234)
+    pts = np.zeros((73, 3), np.float32)
+    # contour 0-14: ellipse
+    ang = np.linspace(-np.pi * 0.8, np.pi * 0.8, 15)
+    pts[0:15] = np.stack([0.1 * np.sin(ang), -0.1 * np.cos(ang), np.zeros(15)], 1)
+    # brows 15-26
+    pts[15:21] = [[0.02 + 0.008 * i, 0.06, 0.01] for i in range(6)]
+    pts[21:27] = [[-0.02 - 0.008 * i, 0.06, 0.01] for i in range(6)]
+    # eyes 27-34 + 65-72
+    pts[27:31] = [[0.04 - 0.005 * i, 0.03, 0.012] for i in range(4)]
+    pts[31:35] = [[-0.04 + 0.005 * i, 0.03, 0.012] for i in range(4)]
+    pts[65:73] = pts[27:35] + np.array([0.0, 0.005, 0.0], np.float32)
+    # nose 35-45
+    pts[35:46] = [[0.0, 0.02 - 0.006 * i, 0.02] for i in range(11)]
+    # mouth 46-64
+    mang = np.linspace(0, 2 * np.pi, 18, endpoint=False)
+    pts[46:64] = np.stack(
+        [0.03 * np.cos(mang), -0.05 + 0.015 * np.sin(mang), np.full(18, 0.015)], 1
+    )
+    pts[64] = [0.0, -0.05, 0.015]
+    pts += rng.normal(0, 1e-3, pts.shape)
+    return pts
+
+
+def make_synthetic_person(
+    cfg: PersonConfig, key: Optional[jax.Array] = None, image_size: int = 512,
+    bank_size: int = 256,
+) -> tuple[PersonAssets, PersonModels]:
+    """Fabricate an asset pack + random-init models.
+
+    The geometry is arranged so the projected face lands inside the image:
+    camera at fx=fy=image_size*2.4, cx=cy=image_size/2, face at z ~ 1.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.name == "Synthetic" and 0 or hash(cfg.name) % 2**31)
+    rng = np.random.default_rng(0)
+
+    mean_pts3d = _synthetic_face_landmarks()
+    tracked = mean_pts3d[None] + rng.normal(0, 2e-3, (40, 73, 3)).astype(np.float32)
+
+    f = image_size * 2.4
+    K = np.array(
+        [[f, 0, image_size / 2], [0, f, image_size / 2], [0, 0, 1]], np.float32
+    )
+    mean_translation = np.array([0.0, 0.05, 1.0], np.float32)
+
+    cands = rng.uniform(-0.3, 0.3, (4, image_size, image_size, 3)).astype(np.float32)
+    shoulder_y = image_size * 0.8
+    xs = np.linspace(image_size * 0.2, image_size * 0.8, 9, dtype=np.float32)
+    shoulders2d = np.concatenate(
+        [np.stack([xs, np.full(9, shoulder_y)], 1), np.stack([xs, np.full(9, shoulder_y + 14)], 1)]
+    )
+    # 3D shoulders placed so K-projection lands near shoulders2d at z=1
+    sh3 = np.concatenate(
+        [
+            np.stack([(xs - image_size / 2) / f, np.full(9, (shoulder_y - image_size / 2) / f), np.ones(9)], 1),
+            np.stack([(xs - image_size / 2) / f, np.full(9, (shoulder_y + 14 - image_size / 2) / f), np.ones(9)], 1),
+        ]
+    ).astype(np.float32)
+
+    assets = PersonAssets(
+        mean_pts3d=mean_pts3d,
+        std_mean_pts3d=tracked.mean(axis=0),
+        mean_translation=mean_translation,
+        candidate_eye_brow=(tracked - mean_pts3d)[10:, list(EYE_BROW_INDICES)],
+        candidate_images=cands,
+        shoulders=shoulders2d,
+        shoulder3D=sh3,
+        ref_trans=mean_translation.copy(),
+        camera_intrinsic=K,
+        apc_feature_base=rng.normal(0, 1, (bank_size, cfg.apc.hidden_size)).astype(np.float32),
+        scale=1.0,
+    )
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    models = PersonModels(
+        apc=apc.init_apc(k1, cfg.apc),
+        audio2feature=audio2feature.init_audio2feature(k2, cfg.audio2feature),
+        audio2headpose=audio2headpose.init_audio2headpose(k3, cfg.audio2headpose),
+        feature2face=feature2face.init_generator(k4, cfg.feature2face),
+    )
+    return assets, models

@@ -223,7 +223,7 @@ def convert_feature2face_g(sd: StateDict, size: str, num_downs: int = 8,
         outermost = depth == 0
         innermost = depth == num_downs - 1
         seq = f"{block}.model"
-        p: Dict[str, Any] = {"outermost": outermost, "innermost": innermost}
+        p: Dict[str, Any] = {}
         idx = 0
         p["down"] = _conv2d(sd, f"{seq}.{idx}"); idx += 1
         if not outermost and not innermost:
@@ -255,7 +255,7 @@ def convert_feature2face_g(sd: StateDict, size: str, num_downs: int = 8,
         outermost = depth == 0
         innermost = depth == num_downs - 1
         seq = f"{block}.model"
-        p: Dict[str, Any] = {"outermost": outermost, "innermost": innermost}
+        p: Dict[str, Any] = {}
         if outermost:
             p["down"] = _conv2d(sd, f"{seq}.0")
             p["sub"] = unet_stage(f"{seq}.1", depth + 1)

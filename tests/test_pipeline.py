@@ -1,0 +1,99 @@
+"""End-to-end pipeline test: synthetic person, sine audio -> valid frames.
+
+SURVEY.md §4: deterministic fake-data end-to-end - frame count must be
+int(len(audio)/sr*60) (minus the head-pose frame_future tail), all outputs
+finite, video muxes.
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from livespeechportraits_tpu.config import (
+    Audio2FeatureConfig,
+    Audio2HeadposeConfig,
+    Feature2FaceConfig,
+    PersonConfig,
+    WaveNetConfig,
+    replace,
+)
+from livespeechportraits_tpu.pipeline import animate as animate_mod
+from livespeechportraits_tpu.pipeline import assets as assets_mod
+from livespeechportraits_tpu.pipeline import video as video_mod
+
+
+def tiny_person() -> PersonConfig:
+    """Full-architecture person at test scale: RF=15 WaveNet, 64px renderer."""
+    wn = WaveNetConfig(residual_layers=3, residual_blocks=2, dilation_channels=16,
+                       residual_channels=16, skip_channels=32, cond_channels=512)
+    return PersonConfig(
+        name="Synthetic",
+        audio2headpose=Audio2HeadposeConfig(wavenet=wn, frame_future=5),
+        feature2face=Feature2FaceConfig(size="normal", ngf=8, n_downsample=6, load_size=64),
+    )
+
+
+@pytest.fixture(scope="module")
+def person():
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=64, bank_size=64)
+    return cfg, a, m
+
+
+def _sine_audio(seconds=1.0, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+
+def test_animate_end_to_end(person, tmp_path):
+    cfg, a, m = person
+    audio = _sine_audio(1.0)
+    res = animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=4,
+                              keep_feature_maps=True)
+    expected_total = int(len(audio) / 16000 * 60)  # demo.py:180
+    assert res.nframe == expected_total - cfg.audio2headpose.frame_future
+    assert res.frames.shape == (res.nframe, 64, 64, 3)
+    assert res.frames.dtype == np.uint8
+    assert np.isfinite(res.landmarks).all()
+    assert np.isfinite(res.headpose).all()
+    assert res.feature_maps is not None and res.feature_maps.max() > 0
+    # landmarks should fall inside the (synthetic) camera frame
+    assert (res.landmarks > -64).all() and (res.landmarks < 128).all()
+    # per-stage timings recorded for all six stages
+    assert set(res.stage_ms) == {"mel_apc", "lle", "audio2mouth", "headpose", "post", "render"}
+
+    out = video_mod.write_video(res.frames, str(tmp_path / "out.avi"), audio)
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_animate_deterministic_given_seed(person):
+    cfg, a, m = person
+    audio = _sine_audio(0.5)
+    r1 = animate_mod.animate(cfg, a, m, audio, seed=3, render_batch=4)
+    r2 = animate_mod.animate(cfg, a, m, audio, seed=3, render_batch=4)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    r3 = animate_mod.animate(cfg, a, m, audio, seed=4, render_batch=4)
+    assert np.abs(r3.headpose - r1.headpose).max() > 0  # GMM sampling differs
+
+
+def test_wav_roundtrip(tmp_path):
+    audio = _sine_audio(0.3)
+    p = str(tmp_path / "t.wav")
+    video_mod.save_wav(p, audio)
+    back = video_mod.load_wav(p)
+    assert back.shape == audio.shape
+    np.testing.assert_allclose(back, audio, atol=1e-3)
+
+
+def test_wav_resample(tmp_path):
+    sr_in = 44100
+    t = np.arange(int(0.25 * sr_in)) / sr_in
+    audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "t44.wav")
+    from scipy.io import wavfile
+    wavfile.write(p, sr_in, (audio * 32767).astype(np.int16))
+    out = video_mod.load_wav(p, 16000)
+    assert abs(out.shape[0] - int(0.25 * 16000)) <= 2
