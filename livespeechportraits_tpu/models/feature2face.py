@@ -304,7 +304,7 @@ def init_discriminator(key: jax.Array, cfg: Feature2FaceConfig) -> Params:
         })
         layers.append({"conv": nn_core.conv2d_init(next(ks), nf, 1, 4)})
         scales.append({"layers": layers})
-    return {"scales": scales, "n_layers": cfg.n_layers_D}
+    return {"scales": scales}
 
 
 def apply_discriminator(params: Params, x: jnp.ndarray, training: bool = False):
@@ -315,7 +315,9 @@ def apply_discriminator(params: Params, x: jnp.ndarray, training: bool = False):
     results = []
     new_scales = []
     inp = x
-    n_layers = params["n_layers"]
+    # n_layers is implicit: layers = [first conv] + (n_layers-1) strided +
+    # 1 stride-1 BN conv + final logits conv.
+    n_layers = len(params["scales"][0]["layers"]) - 2
     for si, scale in enumerate(params["scales"]):
         feats = []
         y = inp

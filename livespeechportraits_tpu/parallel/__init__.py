@@ -1,0 +1,1 @@
+from livespeechportraits_tpu.parallel import mesh, sharding  # noqa: F401

@@ -1,0 +1,249 @@
+"""Training data samplers: windowed audio-visual sequences and face frames.
+
+Capability parity with datasets/audiovisual_dataset.py and
+datasets/face_dataset.py, rebuilt as plain-numpy host-side samplers that
+yield NHWC/feature-last batches ready for `jax.device_put` (the
+CustomDatasetDataLoader + torch DataLoader stack collapses to
+`batches()` generators; multi-clip indexing keeps the reference's
+bisect-over-cumulative-starts layout, audiovisual_dataset.py:204-216).
+
+Notes on reference divergences (documented, intended behaviour built):
+
+* The A2H `predict_len != 0` target branch is incoherent as shipped
+  (it reads head poses where velocities are intended and produces a
+  [T, predict_length*12] target that can never match the GMM's ndim=12 -
+  audiovisual_dataset.py:252-270); only `predict_length=1` trains.  We
+  implement that runnable configuration.
+* start_point is 300 for Audio2Headpose and 0 for Audio2Feature
+  (audiovisual_dataset.py:138-141), kept as defaults.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from livespeechportraits_tpu.config import MOUTH_INDICES
+from livespeechportraits_tpu.ops import rasterize
+
+
+@dataclass
+class ClipData:
+    """One training clip's precomputed features and tracking data."""
+
+    audio_features: np.ndarray  # [2T, 512] APC features (120 Hz)
+    pts3d: np.ndarray  # [T, 73, 3] (delta from mean when use_delta_pts)
+    headpose: np.ndarray  # [T, 6] rot(deg, x remapped) + delta-trans
+    velocity: np.ndarray  # [T, 6] first difference (zeros row 0)
+
+    @property
+    def n_frames(self) -> int:
+        return self.pts3d.shape[0]
+
+
+def make_clip(audio_features: np.ndarray, pts3d: np.ndarray, rot_angles: np.ndarray,
+              trans: np.ndarray, remap_rot_x: bool = True) -> ClipData:
+    """Assemble a ClipData from raw fit data, applying the reference's
+    conventions (audiovisual_dataset.py:156-170): x rotation remapped
+    -180..180 -> 0..360 -> -180, translation centred on its mean,
+    velocity = first difference with a zero first row."""
+    rot = rot_angles.astype(np.float32).copy()
+    if remap_rot_x:
+        rot[rot[:, 0] < 0, 0] += 360.0
+        rot[:, 0] -= 180.0
+    tr = trans.astype(np.float32)
+    tr = tr - tr.mean(axis=0)
+    headpose = np.concatenate([rot, tr], axis=1)
+    velocity = np.concatenate([np.zeros((1, 6), np.float32), np.diff(headpose, axis=0)])
+    return ClipData(
+        audio_features=audio_features.astype(np.float32),
+        pts3d=pts3d.astype(np.float32),
+        headpose=headpose,
+        velocity=velocity.astype(np.float32),
+    )
+
+
+class AudioVisualSampler:
+    """Windowed sampler for the two audio tasks.
+
+    task='audio2feature': returns {'audio': [2*seq_len, 512],
+                                   'target': [seq_len, 75]}
+    task='audio2headpose': returns {'audio': [item_len, 1024],
+                                    'history': [item_len, 12],
+                                    'target': [target_length, 12]}
+    """
+
+    def __init__(
+        self,
+        clips: Sequence[ClipData],
+        task: str = "audio2feature",
+        seq_len: int = 240,
+        target_length: int = 240,
+        receptive_field: int = 255,
+        frame_future: int = 15,
+        frame_jump_stride: int = 1,
+        start_point: Optional[int] = None,
+        tail_margin: int = 460,
+        mouth_only: bool = True,
+    ):
+        self.clips = list(clips)
+        self.task = task
+        self.seq_len = seq_len
+        self.target_length = target_length
+        self.receptive_field = receptive_field
+        self.item_length = receptive_field + target_length - 1
+        self.frame_future = frame_future
+        self.stride = frame_jump_stride
+        self.indices = np.asarray(MOUTH_INDICES) if mouth_only else np.arange(73)
+        if start_point is None:
+            start_point = 300 if task == "audio2headpose" else 0
+        self.start_point = start_point
+
+        # Per-clip valid range bookkeeping (audiovisual_dataset.py:172-208:
+        # total-60 frames, minus start_point, minus a 400-frame tail guard).
+        self.sample_start: List[int] = []
+        self.len_: List[int] = []
+        total = 0
+        for clip in self.clips:
+            usable = clip.n_frames - 60 - self.start_point - (tail_margin - 60)
+            need = self._min_frames_needed()
+            if usable < 1:
+                raise ValueError(
+                    f"clip too short: {clip.n_frames} frames (needs > "
+                    f"{self.start_point + (tail_margin - 60) + 60 + need})"
+                )
+            self.sample_start.append(
+                0 if not self.sample_start else self.sample_start[-1] + self.len_[-1] - 1
+            )
+            self.len_.append(usable)
+            total += int(np.floor(usable / self.stride))
+        self.total_len = total
+
+    def _min_frames_needed(self) -> int:
+        if self.task == "audio2feature":
+            return self.seq_len
+        return self.item_length + 1
+
+    def __len__(self) -> int:
+        return self.total_len
+
+    def sample(self, index: int) -> Dict[str, np.ndarray]:
+        index_real = int(index * self.stride)
+        file_index = bisect.bisect_right(self.sample_start, index_real) - 1
+        clip = self.clips[file_index]
+        cf = index_real - self.sample_start[file_index] + self.start_point
+
+        if self.task == "audio2feature":
+            audio = clip.audio_features[cf * 2 : (cf + self.seq_len) * 2]
+            target = clip.pts3d[cf : cf + self.seq_len, self.indices].reshape(self.seq_len, -1)
+            return {"audio": audio, "target": target}
+
+        # audio2headpose (WaveNet branch, predict_len=0 semantics)
+        hs = cf - self.receptive_field
+        L = self.item_length
+        a_lo = 2 * (hs + self.frame_future)
+        audio = clip.audio_features[a_lo : a_lo + 2 * L].reshape(L, -1)
+        pose_vel = np.concatenate([clip.headpose, clip.velocity], axis=1)  # [T, 12]
+        history = pose_vel[hs : hs + L]
+        target = pose_vel[hs + self.receptive_field : hs + L + 1]
+        return {"audio": audio, "history": history, "target": target}
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True, drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(self.total_len)
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, self.total_len - (batch_size - 1 if drop_last else 0), batch_size):
+            idx = order[lo : lo + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            samples = [self.sample(int(i)) for i in idx]
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+# ---------------------------------------------------------------------------
+# Face frames (renderer training) - datasets/face_dataset.py
+# ---------------------------------------------------------------------------
+
+
+class FaceFrameSampler:
+    """Per-frame renderer training data.
+
+    Yields {'feature_map': [H, W, 1], 'cand_image': [H, W, 12],
+    'tgt_image': [H, W, 3], 'weight_mask': [H, W, 1]} per sample (NHWC
+    batches via `batches`).  Images/landmarks are taken pre-normalised to
+    the 512-crop frame (the reference's change_paras/albumentations resize
+    pipeline is a host preprocessing step; `crop_jitter` reproduces the
+    online random-translation augment of face_dataset.py:326-352 as a
+    random crop-and-resize around the face).
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,  # [N, H, W, 3] uint8 or float [-1, 1]
+        landmarks: np.ndarray,  # [N, 73, 2]
+        shoulders: np.ndarray,  # [N, S, 2] (or [S, 2] shared)
+        candidates: np.ndarray,  # [4, H, W, 3] float [-1, 1]
+        load_size: int = 512,
+        frame_jump: int = 1,
+        crop_jitter: float = 0.0,
+    ):
+        self.images = images
+        self.landmarks = landmarks.astype(np.float32)
+        self.shoulders = shoulders.astype(np.float32)
+        self.candidates = candidates
+        self.load_size = load_size
+        self.frame_jump = frame_jump
+        self.crop_jitter = crop_jitter
+        n = images.shape[0]
+        self.sample_len = int(np.floor((n - 60) / frame_jump) + 1) if n > 60 else n
+
+    def __len__(self) -> int:
+        return self.sample_len
+
+    def _to_float(self, img: np.ndarray) -> np.ndarray:
+        if img.dtype == np.uint8:
+            return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+        return img.astype(np.float32)
+
+    def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        jump = self.frame_jump
+        base = index * jump
+        if rng is not None and jump > 1:
+            base += int(rng.integers(jump))
+        idx = min(base + 1, self.images.shape[0] - 1)  # target_ind = i+1
+
+        lm = self.landmarks[idx]
+        sh = self.shoulders[idx] if self.shoulders.ndim == 3 else self.shoulders
+        img = self._to_float(self.images[idx])
+
+        H = W = self.load_size
+        if rng is not None and self.crop_jitter > 0:
+            # online random translation of the crop window (10%-style jitter)
+            dx, dy = rng.uniform(-self.crop_jitter, self.crop_jitter, 2)
+            lm = lm + np.array([dx, dy], np.float32)
+            sh = sh + np.array([dx, dy], np.float32)
+
+        fmap = rasterize.rasterize_feature_map_host(lm, sh, (W, H)).astype(np.float32) / 255.0
+        mask = rasterize.facial_weight_mask(lm, H, W)
+        cand = np.concatenate([self._to_float(c) for c in self.candidates], axis=-1)
+        if mask.ndim == 2:
+            mask = mask[..., None]
+        return {
+            "feature_map": fmap[..., None],
+            "cand_image": cand,
+            "tgt_image": img,
+            "weight_mask": mask[..., :1],
+        }
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, len(self) - batch_size + 1, batch_size):
+            samples = [self.sample(int(i), rng) for i in order[lo : lo + batch_size]]
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}

@@ -1,0 +1,210 @@
+"""The three training drivers the reference implies but does not ship
+(SURVEY.md §3.2-3.3: there is no train.py in the repo; the steps are
+reconstructed from each model's optimize_parameters).
+
+Each factory returns ONE jitted, pjit-compatible step function
+`(state, batch, rng) -> (state, metrics)`: pure pytree-in/pytree-out, so
+running data-parallel is just placing the batch with a `data`-sharded
+NamedSharding (parallel/mesh.py) - the gradient all-reduce is inserted by
+XLA, no DataParallel wrapper, no dummy-batch padding
+(models/__init__.py:116-140 made obsolete by global-batch sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from livespeechportraits_tpu.config import (
+    Audio2FeatureConfig,
+    Audio2HeadposeConfig,
+    Feature2FaceConfig,
+)
+from livespeechportraits_tpu.models import (
+    audio2feature as a2f,
+    audio2headpose as a2h,
+    feature2face as f2f,
+    losses,
+)
+from livespeechportraits_tpu.ops import gmm
+from livespeechportraits_tpu.train.state import TrainState, apply_updates_with_bn
+
+
+# ---------------------------------------------------------------------------
+# Audio2Feature: MSE x 1000 with frame_future shift
+# (audio2feature_model.py:88-93, 102-107)
+# ---------------------------------------------------------------------------
+
+
+def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation):
+    ff = cfg.frame_future
+
+    def loss_fn(params, batch):
+        preds, aux = a2f.apply_audio2feature(params, batch["audio"], training=True)
+        target = batch["target"]
+        if ff > 0:
+            loss = jnp.mean((preds[:, ff:] - target[:, :-ff]) ** 2) * 1000.0
+        else:
+            loss = jnp.mean((preds - target) ** 2) * 1000.0
+        return loss, aux
+
+    @jax.jit
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        new_state = apply_updates_with_bn(state, grads, aux, tx)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def a2f_validate(cfg: Audio2FeatureConfig):
+    ff = cfg.frame_future
+
+    @jax.jit
+    def validate(params, batch):
+        preds, _ = a2f.apply_audio2feature(params, batch["audio"], training=False)
+        target = batch["target"]
+        if ff > 0:
+            return jnp.mean((preds[:, ff:] - target[:, :-ff]) ** 2) * 1000.0
+        return jnp.mean((preds - target) ** 2) * 1000.0
+
+    return validate
+
+
+# ---------------------------------------------------------------------------
+# Audio2Headpose: GMM NLL (+ optional smoothness term)
+# (audio2headpose_model.py:93-123)
+# ---------------------------------------------------------------------------
+
+
+def make_a2h_step(cfg: Audio2HeadposeConfig, tx: optax.GradientTransformation,
+                  smooth_loss_weight: float = 0.0):
+    def loss_fn(params, batch, rng):
+        history, audio, target = batch["history"], batch["audio"], batch["target"]
+        preds, aux = a2h.apply_audio2headpose(
+            params, cfg, history, audio,
+            output_length=target.shape[1], training=True, dropout_rng=rng,
+        )
+        loss = gmm.gmm_log_loss(preds, target, cfg.ncenter, cfg.ndim, cfg.sigma_min)
+        metrics = {"gmm_nll": loss}
+        if smooth_loss_weight > 0:
+            # Sample_GMM with sigma_scale=0 returns component means; for the
+            # single-center default this is just the mu block.
+            mu = preds[..., cfg.ncenter : cfg.ncenter + cfg.ncenter * cfg.ndim]
+            mu = mu.reshape(preds.shape[0], preds.shape[1], cfg.ncenter, cfg.ndim)[:, :, 0]
+            smooth = jnp.abs(
+                (mu[:, 2:] + target[:, :-2] - 2.0 * target[:, 1:-1]).mean(axis=2)
+            ).mean()
+            metrics["smooth"] = smooth
+            loss = loss + smooth_loss_weight * smooth
+        metrics["loss"] = loss
+        return loss, (aux, metrics)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (_, (aux, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        new_state = apply_updates_with_bn(state, grads, aux, tx)
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Feature2Face: LSGAN + L1 + VGG/Style + FM, alternating D and G
+# (feature2face_model.py:120-222)
+# ---------------------------------------------------------------------------
+
+
+def make_f2f_steps(
+    cfg: Feature2FaceConfig,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    vgg_params: Optional[Any] = None,
+    compute_dtype=None,
+):
+    """Returns (d_step, g_step).
+
+    batch: feature_map [B,H,W,1], cand_image [B,H,W,12], tgt_image
+    [B,H,W,3] (NHWC; the FaceDataset sampler provides this layout).
+    Generator TrainState.params holds the *net* subtree only (the `size`
+    tag is static here).  The reference's fp16 GradScaler dance is
+    unnecessary: bf16 on TPU keeps fp32 range.
+    """
+    gan_mode = cfg.gan_mode
+    size = cfg.size
+
+    def g_forward(g_net, batch, training):
+        """g_net is the generator's `net` subtree (no metadata leaves -
+        the `size` string stays static via this closure)."""
+        inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]], axis=-1)
+        fake, aux = f2f.apply_generator({"net": g_net, "size": size}, inp,
+                                        training=training, compute_dtype=compute_dtype)
+        return inp, fake, aux["net"]
+
+    def d_loss_fn(d_params, g_net, batch):
+        inp, fake, _ = g_forward(g_net, batch, training=False)
+        real_pair = jnp.concatenate([inp, batch["tgt_image"]], axis=-1)
+        fake_pair = jnp.concatenate([inp, jax.lax.stop_gradient(fake)], axis=-1)
+        pred_real, aux_d = f2f.apply_discriminator(d_params, real_pair, training=True)
+        pred_fake, _ = f2f.apply_discriminator(d_params, fake_pair, training=True)
+        # real x2 weighting (feature2face_model.py:166-171)
+        loss_real = losses.gan_loss(pred_real, True, gan_mode) * 2.0
+        loss_fake = losses.gan_loss(pred_fake, False, gan_mode)
+        loss = (loss_real + loss_fake) * 0.5
+        return loss, (aux_d, {"D_real": loss_real, "D_fake": loss_fake, "loss_D": loss})
+
+    def g_loss_fn(g_net, d_params, batch):
+        inp, fake, aux_g = g_forward(g_net, batch, training=True)
+        real_pair = jnp.concatenate([inp, batch["tgt_image"]], axis=-1)
+        fake_pair = jnp.concatenate([inp, fake], axis=-1)
+        pred_real, _ = f2f.apply_discriminator(d_params, real_pair, training=False)
+        pred_fake, _ = f2f.apply_discriminator(d_params, fake_pair, training=False)
+
+        loss_gan = losses.gan_loss(pred_fake, True, gan_mode, for_discriminator=False)
+        loss_l1 = jnp.mean(jnp.abs(fake - batch["tgt_image"])) * cfg.lambda_L1
+        if vgg_params is not None:
+            p_loss, s_loss = losses.vgg_style_loss(vgg_params, fake, batch["tgt_image"])
+            loss_vgg = p_loss * cfg.lambda_feat
+            loss_style = s_loss * cfg.lambda_feat
+        else:
+            loss_vgg = jnp.zeros(())
+            loss_style = jnp.zeros(())
+        loss_fm = losses.feature_matching_loss(
+            pred_fake, pred_real, cfg.num_D, cfg.n_layers_D, cfg.lambda_feat
+        )
+        loss = loss_gan + loss_l1 + loss_vgg + loss_style + loss_fm
+        metrics = {"loss_G_GAN": loss_gan, "L1": loss_l1, "VGG": loss_vgg,
+                   "Style": loss_style, "loss_G_FM": loss_fm, "loss_G": loss}
+        return loss, (aux_g, metrics)
+
+    @jax.jit
+    def d_step(d_state: TrainState, g_net, batch):
+        """g_net: the generator TrainState's params (its `net` subtree)."""
+        (_, (aux_d, metrics)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params, g_net, batch
+        )
+        new_state = apply_updates_with_bn(d_state, grads, aux_d, tx_d)
+        return new_state, metrics
+
+    @jax.jit
+    def g_step(g_state: TrainState, d_params, batch):
+        (_, (aux_g, metrics)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params, d_params, batch
+        )
+        new_state = apply_updates_with_bn(g_state, grads, aux_g, tx_g)
+        return new_state, metrics
+
+    return d_step, g_step
+
+
+def ttur_learning_rates(lr: float, ttur: bool, beta1: float = 0.5):
+    """(lr_G, betas_G), (lr_D, betas_D) per feature2face_model.py:45-56/63-78."""
+    if ttur:
+        return (lr / 2, (0.0, 0.9)), (lr * 2, (0.0, 0.9))
+    return (lr, (beta1, 0.999)), (lr, (beta1, 0.999))

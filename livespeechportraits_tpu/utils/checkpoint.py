@@ -1,0 +1,60 @@
+"""Checkpoint save/restore (orbax) + resume metadata.
+
+Capability parity with BaseModel.save_networks/load_networks
+(base_model.py:161-227: per-epoch `{epoch}_{name}.pkl` + `iter.txt`) on
+TPU-native storage: each save is an orbax step directory holding the full
+pytree (params + opt state + step); `iter.txt`-style resume metadata is
+the orbax step index.  The torch .pkl ingestion path lives in
+utils/torch_convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+except ImportError:  # pragma: no cover
+    ocp = None
+
+
+def _checkpointer():
+    if ocp is None:  # pragma: no cover
+        raise RuntimeError("orbax-checkpoint unavailable")
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, tree: Any, step: int) -> str:
+    """Save a pytree under <ckpt_dir>/<step>/ (any nested dict/list of
+    arrays; TrainStates included)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), str(int(step)))
+    _checkpointer().save(path, jax.tree.map(np.asarray, tree), force=True)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None,
+                       template: Any = None) -> Any:
+    """Restore the pytree saved at `step` (default: latest).  When a
+    `template` pytree is given, restored leaves adopt its structure."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), str(int(step)))
+    restored = _checkpointer().restore(path)
+    if template is not None:
+        flat_t, treedef = jax.tree.flatten(template)
+        flat_r, _ = jax.tree.flatten(restored)
+        restored = jax.tree.unflatten(treedef, flat_r)
+    return restored

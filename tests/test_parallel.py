@@ -1,0 +1,108 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh: the reference's
+DataParallel batch-split equivalence becomes a pjit sharding test
+(SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from livespeechportraits_tpu.config import (
+    Audio2FeatureConfig,
+    Feature2FaceConfig,
+)
+from livespeechportraits_tpu.models import audio2feature, feature2face
+from livespeechportraits_tpu.parallel import mesh as mesh_mod
+from livespeechportraits_tpu.parallel import sharding as shard_mod
+from livespeechportraits_tpu.train import state as state_mod, steps
+
+A2F_CFG = Audio2FeatureConfig(apc_hidden_size=8, lstm_hidden_size=16, output_dim=6,
+                              frame_future=0)
+
+
+def test_device_count():
+    assert jax.device_count() == 8, "conftest should force 8 virtual CPU devices"
+
+
+def test_make_mesh_shapes():
+    m = mesh_mod.make_mesh(1)
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = mesh_mod.make_mesh(4)
+    assert m2.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(3)
+
+
+def test_data_parallel_step_matches_single_device():
+    """The DataParallel equivalence: one step on a sharded global batch
+    must produce the same new params as the unsharded run."""
+    import optax
+
+    key = jax.random.PRNGKey(0)
+    params = audio2feature.init_audio2feature(key, A2F_CFG)
+    # SGD keeps updates proportional to gradients; adam would amplify pure
+    # float-noise gradients (e.g. the shift-invariant BN-input biases,
+    # whose true gradient is 0) into full-lr steps with arbitrary signs.
+    tx = optax.sgd(0.1)
+    step = steps.make_a2f_step(A2F_CFG, tx)
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(8, 12, 8)).astype(np.float32)
+    target = rng.normal(size=(8, 6, 6)).astype(np.float32)
+
+    # single-device baseline
+    st0 = state_mod.create_state(params, tx)
+    st1, m1 = step(st0, {"audio": jnp.asarray(audio), "target": jnp.asarray(target)})
+
+    # 8-way data-parallel: shard the batch, replicate params
+    m = mesh_mod.make_mesh(1)
+    stp = state_mod.create_state(mesh_mod.replicate(m, params), tx)
+    batch = mesh_mod.shard_batch(m, {"audio": audio, "target": target})
+    st2, m2 = step(stp, batch)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    # cross-device reductions reorder float sums; ~1e-6 noise is expected
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_batch_sharding_is_distributed():
+    m = mesh_mod.make_mesh(1)
+    x = np.zeros((16, 4), np.float32)
+    placed = mesh_mod.shard_batch(m, x)
+    assert placed.sharding == NamedSharding(m, P("data", None))
+    assert len(placed.addressable_shards) == 8
+    assert placed.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_model_parallel_generator_forward_matches():
+    """Channel-sharding the renderer over a model axis must not change its
+    output (XLA inserts the collectives)."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, cfg.input_nc))
+
+    y_ref, _ = feature2face.apply_generator(params, x)
+
+    m = mesh_mod.make_mesh(4)  # 2 data x 4 model
+    net_sharded = shard_mod.shard_params(m, params["net"], model_size=4)
+    x_sharded = jax.device_put(x, NamedSharding(m, P("data", None, None, None)))
+
+    @jax.jit
+    def fwd(net, inp):
+        y, _ = feature2face.apply_generator({"net": net, "size": "normal"}, inp)
+        return y
+
+    y_tp = fwd(net_sharded, x_sharded)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref), atol=2e-5)
+
+
+def test_param_partition_spec_rules():
+    spec = shard_mod.param_partition_spec((), np.zeros((3, 3, 8, 16)), 4)
+    assert spec == P(None, None, None, "model")
+    spec1 = shard_mod.param_partition_spec((), np.zeros((16,)), 4)
+    assert spec1 == P("model")
+    spec2 = shard_mod.param_partition_spec((), np.zeros((3, 3, 8, 6)), 4)
+    assert spec2 == P()  # not divisible -> replicated
+    assert shard_mod.param_partition_spec((), np.zeros(()), 4) == P()

@@ -1,0 +1,240 @@
+"""Trainer tests: loss decrease on learnable synthetic data, BN-state
+plumbing, schedulers, window-math property tests, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from livespeechportraits_tpu.config import (
+    Audio2FeatureConfig,
+    Audio2HeadposeConfig,
+    Feature2FaceConfig,
+    WaveNetConfig,
+)
+from livespeechportraits_tpu.models import audio2feature, audio2headpose, feature2face
+from livespeechportraits_tpu.train import datasets, schedulers, state as state_mod, steps
+
+A2F_CFG = Audio2FeatureConfig(apc_hidden_size=8, lstm_hidden_size=16, output_dim=6,
+                              frame_future=2)
+WN_CFG = WaveNetConfig(residual_layers=2, residual_blocks=1, dilation_channels=8,
+                       residual_channels=8, skip_channels=16, cond_channels=8)
+A2H_CFG = Audio2HeadposeConfig(apc_hidden_size=8, wavenet=WN_CFG, frame_future=1)
+F2F_CFG = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=32)
+
+
+def test_a2f_training_reduces_loss():
+    key = jax.random.PRNGKey(0)
+    params = audio2feature.init_audio2feature(key, A2F_CFG)
+    tx = state_mod.adam(1e-3)
+    st = state_mod.create_state(params, tx)
+    step = steps.make_a2f_step(A2F_CFG, tx)
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(4, 24, 8)).astype(np.float32)
+    # learnable target: linear function of paired audio
+    W = rng.normal(size=(16, 6)).astype(np.float32) * 0.1
+    target = audio.reshape(4, 12, 16) @ W
+    batch = {"audio": jnp.asarray(audio), "target": jnp.asarray(target)}
+
+    losses = []
+    for _ in range(30):
+        st, m = step(st, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    assert int(st.step) == 30
+
+
+def test_a2h_training_reduces_loss_and_smooth_term():
+    key = jax.random.PRNGKey(1)
+    params = audio2headpose.init_audio2headpose(key, A2H_CFG)
+    tx = state_mod.adam(1e-3)
+    st = state_mod.create_state(params, tx)
+    step = steps.make_a2h_step(A2H_CFG, tx, smooth_loss_weight=0.1)
+
+    rng = np.random.default_rng(1)
+    L = WN_CFG.receptive_field + 4 - 1  # item_length for target_length=4
+    batch = {
+        "audio": jnp.asarray(rng.normal(size=(2, L, 16)).astype(np.float32)),
+        "history": jnp.asarray(rng.normal(size=(2, L, 12)).astype(np.float32) * 0.1),
+        "target": jnp.asarray(rng.normal(size=(2, 4, 12)).astype(np.float32) * 0.1),
+    }
+    losses = []
+    for i in range(25):
+        st, m = step(st, batch, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+        assert "smooth" in m
+    assert losses[-1] < losses[0]
+
+
+def test_f2f_gan_steps_run_and_update():
+    kg, kd = jax.random.split(jax.random.PRNGKey(2))
+    g = feature2face.init_generator(kg, F2F_CFG)
+    d = feature2face.init_discriminator(kd, F2F_CFG)
+    (lr_g, bg), (lr_d, bd) = steps.ttur_learning_rates(2e-4, ttur=False)
+    tx_g = state_mod.adam(lr_g, b1=bg[0], b2=bg[1])
+    tx_d = state_mod.adam(lr_d, b1=bd[0], b2=bd[1])
+    g_state = state_mod.create_state(g["net"], tx_g)
+    d_state = state_mod.create_state(d, tx_d)
+    d_step, g_step = steps.make_f2f_steps(F2F_CFG, tx_g, tx_d, vgg_params=None)
+
+    rng = np.random.default_rng(2)
+    B, H = 2, 32
+    batch = {
+        "feature_map": jnp.asarray(rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32)),
+        "cand_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32)),
+        "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
+    }
+    d_state, md = d_step(d_state, g_state.params, batch)
+    g_state2, mg = g_step(g_state, d_state.params, batch)
+    for k in ["D_real", "D_fake", "loss_D"]:
+        assert np.isfinite(float(md[k]))
+    for k in ["loss_G_GAN", "L1", "loss_G_FM", "loss_G"]:
+        assert np.isfinite(float(mg[k]))
+    # generator weights changed
+    before = jax.tree.leaves(g_state.params)[0]
+    after = jax.tree.leaves(g_state2.params)[0]
+    assert np.abs(np.asarray(before - after)).max() > 0
+
+
+def test_merge_bn_stats_only_touches_running_stats():
+    from livespeechportraits_tpu.models import nn_core
+
+    p = {"bn": nn_core.batchnorm_init(4), "w": jnp.ones(3)}
+    aux = {"bn": dict(p["bn"], mean=jnp.full(4, 7.0), var=jnp.full(4, 9.0),
+                      scale=jnp.full(4, 100.0)),
+           "w": jnp.zeros(3)}
+    merged = state_mod.merge_bn_stats(p, aux)
+    np.testing.assert_allclose(np.asarray(merged["bn"]["mean"]), 7.0)
+    np.testing.assert_allclose(np.asarray(merged["bn"]["var"]), 9.0)
+    np.testing.assert_allclose(np.asarray(merged["bn"]["scale"]), 1.0)  # untouched
+    np.testing.assert_allclose(np.asarray(merged["w"]), 1.0)  # untouched
+
+
+def test_schedulers_match_reference_semantics():
+    lin = schedulers.make_schedule("linear", 1e-3, n_epochs=10, n_epochs_decay=10)
+    assert lin(0) == pytest.approx(1e-3)
+    assert lin(10) == pytest.approx(1e-3)
+    assert lin(15) == pytest.approx(1e-3 * (1 - 5 / 11))
+    assert lin(21) == pytest.approx(0.0)
+
+    st = schedulers.make_schedule("step", 1e-3, step_size=5, gamma=0.5)
+    assert st(4) == pytest.approx(1e-3)
+    assert st(5) == pytest.approx(5e-4)
+
+    cos = schedulers.make_schedule("cosine", 1e-3, n_epochs=10)
+    assert cos(0) == pytest.approx(1e-3)
+    assert cos(10) == pytest.approx(0.0, abs=1e-9)
+
+    pl = schedulers.make_schedule("plateau", 1e-3)
+    lr = 1e-3
+    for _ in range(7):
+        lr = pl.update(1.0)  # no improvement
+    assert lr < 1e-3
+
+
+def _toy_clip(T=800, F=8):
+    rng = np.random.default_rng(0)
+    return datasets.make_clip(
+        audio_features=rng.normal(size=(2 * T, F)).astype(np.float32),
+        pts3d=rng.normal(size=(T, 73, 3)).astype(np.float32),
+        rot_angles=rng.uniform(-170, 170, (T, 3)).astype(np.float32),
+        trans=rng.normal(size=(T, 3)).astype(np.float32),
+    )
+
+
+def test_a2f_sampler_window_math():
+    clip = _toy_clip()
+    s = datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=32,
+                                    frame_jump_stride=2)
+    assert len(s) > 0
+    item = s.sample(3)
+    cf = 3 * 2  # stride 2, start_point 0, single clip
+    np.testing.assert_array_equal(item["audio"], clip.audio_features[cf * 2 : (cf + 32) * 2])
+    expected = clip.pts3d[cf : cf + 32][:, np.asarray(MOUTH_IDX)].reshape(32, -1)
+    np.testing.assert_array_equal(item["target"], expected)
+    assert item["target"].shape == (32, 75)
+
+
+MOUTH_IDX = np.concatenate([np.arange(4, 11), np.arange(46, 64)])
+
+
+def test_a2h_sampler_window_math():
+    clip = _toy_clip()
+    R, tfl, ff = 15, 8, 3
+    s = datasets.AudioVisualSampler([clip], task="audio2headpose",
+                                    target_length=tfl, receptive_field=R,
+                                    frame_future=ff)
+    item = s.sample(5)
+    cf = 5 + 300  # start_point 300
+    hs = cf - R
+    L = R + tfl - 1
+    pose_vel = np.concatenate([clip.headpose, clip.velocity], axis=1)
+    np.testing.assert_array_equal(item["history"], pose_vel[hs : hs + L])
+    np.testing.assert_array_equal(item["target"], pose_vel[hs + R : hs + L + 1])
+    np.testing.assert_array_equal(
+        item["audio"], clip.audio_features[2 * (hs + ff) : 2 * (hs + ff + L)].reshape(L, -1))
+    assert item["target"].shape == (tfl, 12)
+
+
+def test_rot_x_remap_convention():
+    """-180..180 -> 0..360 -> -180 shift (audiovisual_dataset.py:158-161)."""
+    rot = np.array([[-170.0, 0, 0], [170.0, 0, 0]], np.float32)
+    clip = datasets.make_clip(
+        audio_features=np.zeros((200, 4), np.float32),
+        pts3d=np.zeros((100, 73, 3), np.float32),
+        rot_angles=np.repeat(rot, 50, axis=0),
+        trans=np.zeros((100, 3), np.float32),
+    )
+    assert clip.headpose[0, 0] == pytest.approx(10.0)  # -170 + 360 - 180
+    assert clip.headpose[99, 0] == pytest.approx(-10.0)  # 170 - 180
+
+
+def test_sampler_batches_and_multiclip_bisect():
+    clips = [_toy_clip(T=700), _toy_clip(T=900)]
+    s = datasets.AudioVisualSampler(clips, task="audio2feature", seq_len=16)
+    rng = np.random.default_rng(0)
+    b = next(s.batches(4, rng))
+    assert b["audio"].shape == (4, 32, 8)
+    assert b["target"].shape == (4, 16, 75)
+    # index into second clip resolves against its own data
+    second_start = s.sample_start[1]
+    item = s.sample(second_start + 5)
+    cf = second_start + 5 - second_start
+    np.testing.assert_array_equal(
+        item["audio"], clips[1].audio_features[cf * 2 : (cf + 16) * 2])
+
+
+def test_face_sampler():
+    rng = np.random.default_rng(0)
+    N, H = 70, 64
+    images = (rng.uniform(0, 255, (N, H, H, 3))).astype(np.uint8)
+    lms = rng.uniform(10, 54, (N, 73, 2)).astype(np.float32)
+    sh = rng.uniform(10, 54, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    s = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=H)
+    item = s.sample(0)
+    assert item["feature_map"].shape == (H, H, 1)
+    assert item["cand_image"].shape == (H, H, 12)
+    assert item["tgt_image"].shape == (H, H, 3)
+    assert item["weight_mask"].shape == (H, H, 1)
+    assert 0 <= item["feature_map"].max() <= 1
+    batch = next(s.batches(2, rng))
+    assert batch["tgt_image"].shape == (2, H, H, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from livespeechportraits_tpu.utils import checkpoint as ckpt
+
+    key = jax.random.PRNGKey(0)
+    params = audio2feature.init_audio2feature(key, A2F_CFG)
+    tx = state_mod.adam(1e-3)
+    st = state_mod.create_state(params, tx)
+    d = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(d, {"a2f": st._asdict()}, step=7)
+    assert ckpt.latest_step(d) == 7
+    restored = ckpt.restore_checkpoint(d)
+    r_params = restored["a2f"]["params"]
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(r_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
