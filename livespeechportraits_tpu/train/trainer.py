@@ -1,0 +1,238 @@
+"""Training orchestration: the train.py the reference never shipped.
+
+Drives the three stages (audio2feature / audio2headpose / feature2face)
+with the loops reconstructed from the reference's model classes and the
+orphaned helpers models/__init__.py:74-104 (save_latest_freq + per-epoch
+checkpointing, LR decay after n_epochs, validation cadence) - epochs over
+a host-side sampler, one pjit'd device step per batch, orbax checkpoints,
+Visualizer scalar/loss logging, linear LR schedule with resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+import optax
+
+from livespeechportraits_tpu.config import (
+    Audio2FeatureConfig,
+    Audio2HeadposeConfig,
+    Feature2FaceConfig,
+)
+from livespeechportraits_tpu.models import (
+    audio2feature as a2f_model,
+    audio2headpose as a2h_model,
+    feature2face as f2f_model,
+)
+from livespeechportraits_tpu.parallel import mesh as mesh_mod
+from livespeechportraits_tpu.train import schedulers, state as state_mod, steps
+from livespeechportraits_tpu.utils import checkpoint as ckpt
+from livespeechportraits_tpu.utils.visualizer import Visualizer
+
+
+@dataclass
+class TrainLoopConfig:
+    n_epochs: int = 10
+    n_epochs_decay: int = 10
+    lr: float = 1e-4
+    lr_policy: str = "linear"
+    batch_size: int = 32
+    print_freq: int = 10
+    save_epoch_freq: int = 1
+    validate_epoch: int = 1
+    seed: int = 0
+    checkpoints_dir: str = "./checkpoints"
+    name: str = "experiment"
+    continue_train: bool = False
+    smooth_loss: float = 0.0
+    ttur: bool = False
+    data_parallel: bool = False  # shard batches over a (data,) mesh
+
+
+def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
+    return schedule(epoch) / tx_base_lr if tx_base_lr else 1.0
+
+
+def train_audio2feature(
+    cfg: Audio2FeatureConfig,
+    loop: TrainLoopConfig,
+    sampler,
+    val_sampler=None,
+    init_params: Optional[Any] = None,
+) -> state_mod.TrainState:
+    """Audio2Feature trainer (per SURVEY.md §3.2)."""
+    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
+                                        loop.n_epochs_decay)
+    lr_scale = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
+    )(learning_rate=loop.lr)
+    params = init_params if init_params is not None else a2f_model.init_audio2feature(
+        jax.random.PRNGKey(loop.seed), cfg)
+    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
+    if mesh is not None:
+        params = mesh_mod.replicate(mesh, params)
+    st = state_mod.create_state(params, lr_scale)
+    step_fn = steps.make_a2f_step(cfg, lr_scale)
+    validate_fn = steps.a2f_validate(cfg)
+    vis = Visualizer(loop.checkpoints_dir, loop.name)
+    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
+    start_epoch = 0
+    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
+        start_epoch = ckpt.latest_step(ckpt_dir)
+        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
+        print(f"resumed from epoch {start_epoch}")
+
+    rng = np.random.default_rng(loop.seed)
+    it = 0
+    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
+        lr_now = schedule(epoch)
+        st = _set_lr(st, lr_now)
+        t0 = time.time()
+        for batch in sampler.batches(loop.batch_size, rng):
+            if mesh is not None:
+                batch = mesh_mod.shard_batch(mesh, batch)
+            st, metrics = step_fn(st, batch)
+            it += 1
+            if it % loop.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()} | {"lr": lr_now}
+                vis.plot_current_errors(m, it)
+                vis.print_current_errors(epoch, it, m, time.time() - t0)
+        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            v = np.mean([
+                float(validate_fn(st.params, b))
+                for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)
+            ])
+            vis.plot_current_errors({"val_loss": float(v)}, it)
+        if (epoch + 1) % loop.save_epoch_freq == 0:
+            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
+    vis.close()
+    return st
+
+
+def train_audio2headpose(
+    cfg: Audio2HeadposeConfig,
+    loop: TrainLoopConfig,
+    sampler,
+    init_params: Optional[Any] = None,
+) -> state_mod.TrainState:
+    """Audio2Headpose trainer (GMM NLL + optional smooth term)."""
+    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
+                                        loop.n_epochs_decay)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
+    )(learning_rate=loop.lr)
+    params = init_params if init_params is not None else a2h_model.init_audio2headpose(
+        jax.random.PRNGKey(loop.seed), cfg)
+    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
+    if mesh is not None:
+        params = mesh_mod.replicate(mesh, params)
+    st = state_mod.create_state(params, tx)
+    step_fn = steps.make_a2h_step(cfg, tx, smooth_loss_weight=loop.smooth_loss)
+    vis = Visualizer(loop.checkpoints_dir, loop.name)
+    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
+    start_epoch = 0
+    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
+        start_epoch = ckpt.latest_step(ckpt_dir)
+        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
+
+    rng = np.random.default_rng(loop.seed)
+    key = jax.random.PRNGKey(loop.seed)
+    it = 0
+    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
+        st = _set_lr(st, schedule(epoch))
+        for batch in sampler.batches(loop.batch_size, rng):
+            if mesh is not None:
+                batch = mesh_mod.shard_batch(mesh, batch)
+            key, sub = jax.random.split(key)
+            st, metrics = step_fn(st, batch, sub)
+            it += 1
+            if it % loop.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                vis.plot_current_errors(m, it)
+                vis.print_current_errors(epoch, it, m)
+        if (epoch + 1) % loop.save_epoch_freq == 0:
+            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
+    vis.close()
+    return st
+
+
+def train_feature2face(
+    cfg: Feature2FaceConfig,
+    loop: TrainLoopConfig,
+    sampler,
+    vgg_params: Optional[Any] = None,
+    init_g: Optional[Any] = None,
+    init_d: Optional[Any] = None,
+):
+    """Feature2Face GAN trainer (D step then G step per iteration,
+    feature2face_model.py:195-222; bf16 compute on TPU)."""
+    (lr_g, bg), (lr_d, bd) = steps.ttur_learning_rates(loop.lr, loop.ttur)
+    schedule_g = schedulers.make_schedule(loop.lr_policy, lr_g, loop.n_epochs,
+                                          loop.n_epochs_decay)
+    schedule_d = schedulers.make_schedule(loop.lr_policy, lr_d, loop.n_epochs,
+                                          loop.n_epochs_decay)
+    tx_g = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=bg[0], b2=bg[1])
+    )(learning_rate=lr_g)
+    tx_d = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=bd[0], b2=bd[1])
+    )(learning_rate=lr_d)
+
+    kg, kd = jax.random.split(jax.random.PRNGKey(loop.seed))
+    g = init_g if init_g is not None else f2f_model.init_generator(kg, cfg)
+    d = init_d if init_d is not None else f2f_model.init_discriminator(kd, cfg)
+    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
+    g_net = g["net"]
+    if mesh is not None:
+        g_net = mesh_mod.replicate(mesh, g_net)
+        d = mesh_mod.replicate(mesh, d)
+    g_state = state_mod.create_state(g_net, tx_g)
+    d_state = state_mod.create_state(d, tx_d)
+    compute_dtype = None
+    if cfg.precision == "bfloat16":
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
+                                          compute_dtype=compute_dtype)
+
+    vis = Visualizer(loop.checkpoints_dir, loop.name)
+    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
+    start_epoch = 0
+    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
+        start_epoch = ckpt.latest_step(ckpt_dir)
+        restored = ckpt.restore_checkpoint(ckpt_dir, start_epoch,
+                                           template={"G": g_state, "D": d_state})
+        g_state, d_state = restored["G"], restored["D"]
+
+    rng = np.random.default_rng(loop.seed)
+    it = 0
+    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
+        g_state = _set_lr(g_state, schedule_g(epoch))
+        d_state = _set_lr(d_state, schedule_d(epoch))
+        for batch in sampler.batches(loop.batch_size, rng):
+            if mesh is not None:
+                batch = mesh_mod.shard_batch(mesh, batch)
+            d_state, d_metrics = d_step(d_state, g_state.params, batch)
+            g_state, g_metrics = g_step(g_state, d_state.params, batch)
+            it += 1
+            if it % loop.print_freq == 0:
+                m = {k: float(v) for k, v in (d_metrics | g_metrics).items()}
+                vis.plot_current_errors(m, it)
+                vis.print_current_errors(epoch, it, m)
+        if (epoch + 1) % loop.save_epoch_freq == 0:
+            ckpt.save_checkpoint(ckpt_dir, {"G": g_state, "D": d_state}, epoch + 1)
+    vis.close()
+    return g_state, d_state
+
+
+def _set_lr(st: state_mod.TrainState, lr: float) -> state_mod.TrainState:
+    """Update the injected learning-rate hyperparam in-place (functional)."""
+    opt_state = st.opt_state
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+    return st

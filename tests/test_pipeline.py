@@ -63,7 +63,8 @@ def test_animate_end_to_end(person, tmp_path):
     # landmarks should fall inside the (synthetic) camera frame
     assert (res.landmarks > -64).all() and (res.landmarks < 128).all()
     # per-stage timings recorded for all six stages
-    assert set(res.stage_ms) == {"mel_apc", "lle", "audio2mouth", "headpose", "post", "render"}
+    assert set(res.stage_ms) == {"mel_apc", "lle", "audio2mouth", "headpose", "post",
+                                 "render_device", "render"}
 
     out = video_mod.write_video(res.frames, str(tmp_path / "out.avi"), audio)
     assert os.path.exists(out) and os.path.getsize(out) > 1000

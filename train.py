@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Training CLI - the train.py the reference never shipped (SURVEY.md §3.2).
+
+    python train.py --task audio2feature  --name a2f  [--synthetic]
+    python train.py --task audio2headpose --name a2h  [--synthetic]
+    python train.py --task feature2face   --name f2f  [--synthetic]
+
+--synthetic fabricates training clips (random audio features + smooth
+random motion) so every trainer runs end-to-end without subject data; with
+a real data root the samplers expect reference-format per-clip files
+(SURVEY.md §2.1 #21-22).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def synthetic_clips(n_clips: int, frames: int, feat_dim: int = 512):
+    from livespeechportraits_tpu.train import datasets
+
+    rng = np.random.default_rng(0)
+    clips = []
+    for _ in range(n_clips):
+        t = np.arange(frames)
+        pose = np.stack([5 * np.sin(t / (13 + 3 * i)) for i in range(3)] +
+                        [0.02 * np.cos(t / (17 + 2 * i)) for i in range(3)], axis=1)
+        clips.append(datasets.make_clip(
+            audio_features=rng.normal(0, 1, (2 * frames, feat_dim)).astype(np.float32),
+            pts3d=rng.normal(0, 0.01, (frames, 73, 3)).astype(np.float32),
+            rot_angles=pose[:, :3].astype(np.float32) + np.array([170.0, 0, 0], np.float32),
+            trans=pose[:, 3:].astype(np.float32),
+        ))
+    return clips
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", required=True,
+                   choices=["audio2feature", "audio2headpose", "feature2face"])
+    p.add_argument("--name", default=None)
+    p.add_argument("--checkpoints_dir", default="./checkpoints")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on fabricated data (smoke/e2e runs)")
+    p.add_argument("--n_epochs", type=int, default=2)
+    p.add_argument("--n_epochs_decay", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all devices")
+    p.add_argument("--smooth_loss", type=float, default=0.0)
+    p.add_argument("--TTUR", action="store_true")
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--sequence_length", type=int, default=240)
+    p.add_argument("--time_frame_length", type=int, default=240)
+    args = p.parse_args()
+
+    from livespeechportraits_tpu.config import (
+        Audio2FeatureConfig, Audio2HeadposeConfig, Feature2FaceConfig,
+    )
+    from livespeechportraits_tpu.train import datasets, trainer
+
+    loop = trainer.TrainLoopConfig(
+        n_epochs=args.n_epochs, n_epochs_decay=args.n_epochs_decay,
+        lr=args.lr, batch_size=args.batch_size,
+        checkpoints_dir=args.checkpoints_dir,
+        name=args.name or args.task,
+        continue_train=args.continue_train,
+        smooth_loss=args.smooth_loss, ttur=args.TTUR,
+        data_parallel=args.data_parallel,
+    )
+
+    if args.task == "audio2feature":
+        cfg = Audio2FeatureConfig()
+        clips = synthetic_clips(2, 1400) if args.synthetic else _load_real_clips(args)
+        sampler = datasets.AudioVisualSampler(
+            clips, task="audio2feature", seq_len=args.sequence_length,
+            frame_jump_stride=4)
+        trainer.train_audio2feature(cfg, loop, sampler)
+    elif args.task == "audio2headpose":
+        cfg = Audio2HeadposeConfig()
+        clips = synthetic_clips(2, 1800) if args.synthetic else _load_real_clips(args)
+        sampler = datasets.AudioVisualSampler(
+            clips, task="audio2headpose",
+            target_length=args.time_frame_length,
+            receptive_field=cfg.wavenet.receptive_field,
+            frame_future=cfg.frame_future)
+        trainer.train_audio2headpose(cfg, loop, sampler)
+    else:
+        cfg = Feature2FaceConfig(load_size=args.image_size,
+                                 n_downsample=min(8, int(np.log2(args.image_size))))
+        if args.synthetic:
+            rng = np.random.default_rng(0)
+            H = args.image_size
+            images = rng.integers(0, 255, (80, H, H, 3), dtype=np.uint8)
+            lms = rng.uniform(H * 0.2, H * 0.8, (80, 73, 2)).astype(np.float32)
+            sh = rng.uniform(H * 0.2, H * 0.8, (18, 2)).astype(np.float32)
+            cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+            sampler = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=H)
+        else:
+            sampler = _load_real_face_data(args)
+        trainer.train_feature2face(cfg, loop, sampler)
+    print("training done")
+
+
+def _load_real_clips(args):
+    raise NotImplementedError(
+        "reference-format data loading requires a subject data directory; "
+        "use --synthetic or provide clips via the library API "
+        "(livespeechportraits_tpu.train.datasets.make_clip)")
+
+
+def _load_real_face_data(args):
+    raise NotImplementedError(
+        "reference-format h5 face data loading: use the library API "
+        "(livespeechportraits_tpu.train.datasets.FaceFrameSampler)")
+
+
+if __name__ == "__main__":
+    main()
