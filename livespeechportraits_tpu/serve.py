@@ -1,0 +1,97 @@
+"""Serving wrapper: the predict.py / Replicate-cog surface of the reference.
+
+Capability parity with predict.py:33-308: a Predictor with setup() that
+loads a subject once and predict(audio, ...) that caps the driving audio
+(10 s in the reference, predict.py:145-153), runs the full pipeline, muxes
+a video, and cleans its results directory per request.  No cog dependency:
+the class is framework-agnostic and easy to mount behind any HTTP server.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from livespeechportraits_tpu.config import PersonConfig, load_person_config
+from livespeechportraits_tpu.pipeline import animate as animate_mod
+from livespeechportraits_tpu.pipeline import assets as assets_mod
+from livespeechportraits_tpu.pipeline import video as video_mod
+
+
+@dataclass
+class PredictResult:
+    video_path: str
+    nframe: int
+    wall_s: float
+    stage_ms: dict
+
+
+class Predictor:
+    """Load-once / predict-many serving object (predict.py Predictor parity)."""
+
+    def __init__(self, max_audio_seconds: float = 10.0,
+                 results_dir: Optional[str] = None):
+        self.max_audio_seconds = max_audio_seconds
+        self.results_dir = results_dir or tempfile.mkdtemp(prefix="lsp_serve_")
+        self._person: Optional[str] = None
+        self._cfg: Optional[PersonConfig] = None
+        self._assets = None
+        self._models = None
+
+    def setup(self, person_id: str = "Synthetic",
+              config_dir: str = "./config", image_size: int = 512) -> None:
+        """Load the subject's config, assets and checkpoints once."""
+        cfg_path = os.path.join(config_dir, person_id + ".yaml")
+        if os.path.exists(cfg_path):
+            cfg = load_person_config(cfg_path, name=person_id)
+        else:
+            cfg = PersonConfig(name=person_id)
+        if person_id == "Synthetic" or not cfg.data_root:
+            import math
+
+            from livespeechportraits_tpu.config import replace
+
+            n_down = min(8, int(math.log2(image_size)))
+            cfg = replace(cfg, feature2face=replace(
+                cfg.feature2face, load_size=image_size, n_downsample=n_down))
+            self._assets, self._models = assets_mod.make_synthetic_person(
+                cfg, image_size=image_size)
+        else:
+            self._assets = assets_mod.load_person(cfg)
+            self._models = assets_mod.load_person_models(cfg)
+        self._cfg = cfg
+        self._person = person_id
+
+    def predict(self, driving_audio: str | np.ndarray, seed: int = 0,
+                render_batch: int = 16) -> PredictResult:
+        """audio (path or float32 [-1,1] @16k) -> muxed video path."""
+        if self._cfg is None:
+            raise RuntimeError("call setup() first")
+        # clean the per-request results dir (predict.py:299-308)
+        shutil.rmtree(self.results_dir, ignore_errors=True)
+        os.makedirs(self.results_dir, exist_ok=True)
+
+        if isinstance(driving_audio, str):
+            audio = video_mod.load_wav(driving_audio)
+            name = os.path.splitext(os.path.basename(driving_audio))[0]
+        else:
+            audio = np.asarray(driving_audio, np.float32)
+            name = "request"
+        cap = int(self.max_audio_seconds * 16000)
+        if audio.shape[0] > cap:  # trim like predict.py:145-153
+            audio = audio[:cap]
+
+        t0 = time.perf_counter()
+        result = animate_mod.animate(self._cfg, self._assets, self._models,
+                                     audio, seed=seed, render_batch=render_batch)
+        wall = time.perf_counter() - t0
+        out_path = os.path.join(self.results_dir, f"{name}.avi")
+        video_mod.write_video(result.frames, out_path, audio)
+        return PredictResult(video_path=out_path, nframe=result.nframe,
+                             wall_s=wall, stage_ms=result.stage_ms)

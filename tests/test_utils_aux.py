@@ -1,0 +1,134 @@
+"""Auxiliary subsystem tests: serve wrapper, augmentations, visualizer,
+flow viz, image pool, metrics."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from livespeechportraits_tpu.ops import augment
+from livespeechportraits_tpu.utils import flow_viz, metrics
+from livespeechportraits_tpu.utils.image_pool import ImagePool
+from livespeechportraits_tpu.utils.visualizer import HTMLReport, Visualizer, tensor2im
+
+
+def test_serve_predictor(tmp_path):
+    from livespeechportraits_tpu.serve import Predictor
+
+    p = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "serve"))
+    p.setup("Synthetic", image_size=64)
+    t = np.arange(int(2.0 * 16000)) / 16000  # 2 s, must be trimmed to 1 s
+    audio = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    res = p.predict(audio, render_batch=4)
+    assert os.path.exists(res.video_path)
+    assert res.nframe <= 60  # trimmed to <= 1 s of frames
+    # second request cleans and re-renders
+    res2 = p.predict(audio, render_batch=4)
+    assert os.path.exists(res2.video_path)
+
+
+def test_augmentations_shapes_and_ranges():
+    rng = np.random.default_rng(0)
+    wav = (0.5 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)).astype(np.float32)
+
+    noisy = augment.inject_gaussian_noise(wav, 0.01, rng)
+    assert noisy.shape == wav.shape and np.abs(noisy - wav).max() < 0.1
+
+    clipped = augment.add_gauss_noise(wav, 0.03, rng=rng)
+    assert np.abs(clipped).max() <= 1.0
+
+    fast, rate = augment.speed_change(wav, rate=1.25)
+    assert abs(len(fast) - int(round(len(wav) / 1.25))) <= 2
+    slow, _ = augment.speed_change(wav, rate=0.8)
+    assert len(slow) > len(wav)
+
+    shifted = augment.pitch_shift(wav, 16000, n_steps=4.0)
+    assert shifted.shape == wav.shape
+    # pitch shift of a pure tone moves the dominant frequency
+    f_orig = np.abs(np.fft.rfft(wav)).argmax()
+    f_new = np.abs(np.fft.rfft(shifted)).argmax()
+    expected = f_orig * 2 ** (4 / 12)
+    assert abs(f_new - expected) / expected < 0.1
+
+    masked = augment.time_mask(wav, 512, rng)
+    assert masked.shape == wav.shape
+
+    gained = augment.random_gain(wav, rng=rng)
+    assert gained.shape == wav.shape
+
+    noise = rng.normal(0, 0.1, 8000).astype(np.float32)
+    mixed = augment.add_background_noise(wav, [noise], rng=rng)
+    assert mixed.shape == wav.shape and np.abs(mixed).max() <= 1.0
+
+    out = augment.noise_augment(wav, [noise], rng=rng)
+    assert out.shape == wav.shape
+
+
+def test_background_noise_snr():
+    rng = np.random.default_rng(1)
+    wav = (0.5 * np.sin(2 * np.pi * 100 * np.arange(32000) / 16000)).astype(np.float32)
+    noise = rng.normal(0, 1.0, 32000).astype(np.float32)
+    mixed = augment.add_background_noise(wav, [noise], min_snr=10, max_snr=10, rng=rng)
+    added = mixed - wav
+    snr = 10 * np.log10(np.mean(wav**2) / np.mean(added**2))
+    assert 8.0 < snr < 12.0  # clipping makes it approximate
+
+
+def test_visualizer_and_html(tmp_path):
+    vis = Visualizer(str(tmp_path), "exp")
+    vis.plot_current_errors({"loss": 1.0, "acc": 0.5}, step=1)
+    vis.plot_current_errors({"loss": 0.9, "acc": 0.6}, step=2)
+    msg = vis.print_current_errors(0, 2, {"loss": 0.9}, 0.1)
+    assert "loss" in msg
+    img = np.zeros((16, 16, 3), np.float32)
+    vis.display_current_results({"pred": img, "gt": img}, epoch=1)
+    vis.save_images(str(tmp_path / "dump"), {"pred": img}, "7")
+    assert os.path.exists(tmp_path / "exp" / "loss_log.txt")
+    assert os.path.exists(tmp_path / "exp" / "scalars.csv")
+    assert os.path.exists(tmp_path / "exp" / "web" / "index.html")
+    assert os.path.exists(tmp_path / "dump" / "pred_7.jpg")
+    vis.close()
+
+    assert tensor2im(np.full((4, 4, 3), -1.0)).min() == 0
+    assert tensor2im(np.full((3, 4, 4), 1.0)).max() == 255  # CHW accepted
+
+
+def test_flow_viz():
+    wheel = flow_viz.make_colorwheel()
+    assert wheel.shape == (55, 3)
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = 1.0
+    img = flow_viz.flow_to_image(flow)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+    chw = flow_viz.tensor2flow(flow.transpose(2, 0, 1))
+    np.testing.assert_array_equal(chw, img)
+
+
+def test_image_pool():
+    pool = ImagePool(4)
+    first = np.arange(8, dtype=np.float32).reshape(2, 2, 2)[None].repeat(4, 0)
+    out = pool.query(first)
+    np.testing.assert_array_equal(out, first)  # pool filling returns inputs
+    second = first + 100
+    out2 = pool.query(second)
+    assert out2.shape == second.shape
+    # zero-size pool is a passthrough
+    p0 = ImagePool(0)
+    np.testing.assert_array_equal(p0.query(second), second)
+
+
+def test_metrics():
+    a = np.zeros((3, 73, 2)) ; b = np.ones((3, 73, 2))
+    assert metrics.landmark_l2(a, b) == pytest.approx(np.sqrt(2))
+    # VGG has 4 pools before its last tap: images must be >= 32px
+    x = np.zeros((1, 64, 64, 3), np.uint8)
+    assert metrics.psnr(x, x) == float("inf")
+    from livespeechportraits_tpu.models import losses as L
+
+    vgg = L.init_vgg19()
+    d_same = metrics.perceptual_distance(vgg, x[:, :, :], x)
+    y = np.full((1, 64, 64, 3), 255, np.uint8)
+    d_diff = metrics.perceptual_distance(vgg, x, y)
+    assert d_same == pytest.approx(0.0, abs=1e-6)
+    assert d_diff > d_same
