@@ -38,7 +38,14 @@ from livespeechportraits_tpu.models import apc as apc_model
 from livespeechportraits_tpu.models import audio2feature as a2f_model
 from livespeechportraits_tpu.models import audio2headpose as a2h_model
 from livespeechportraits_tpu.models import feature2face as f2f_model
-from livespeechportraits_tpu.ops import geometry, manifold, mel, rasterize, smoothing
+from livespeechportraits_tpu.ops import (
+    geometry,
+    manifold,
+    mel,
+    rasterize,
+    rasterize_pallas,
+    smoothing,
+)
 from livespeechportraits_tpu.pipeline.assets import PersonAssets, PersonModels
 
 
@@ -193,10 +200,17 @@ def render_frames(
     # conversion all on device), then fetch - host<->device transfer
     # overlaps with compute and each frame crosses the link once as uint8
     # (4x smaller than f32).
+    # Pallas rasteriser on TPU (one VMEM-resident tile per grid step,
+    # ~2.6x the XLA scan); XLA path elsewhere.
+    if rasterize_pallas.supports_pallas():
+        rasterize_fn = rasterize_pallas.rasterize_feature_maps_pallas
+    else:
+        rasterize_fn = rasterize.rasterize_feature_maps
+
     pending: List[Any] = []
     maps_pending: List[Any] = []
     for start in range(0, pad_to, render_batch):
-        edge = rasterize.rasterize_feature_maps(
+        edge = rasterize_fn(
             lm[start : start + render_batch], sh[start : start + render_batch], (H, W)
         )  # [B, H, W]
         inp = jnp.concatenate(
