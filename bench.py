@@ -54,11 +54,13 @@ def main() -> None:
              * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
 
     # Warm-up on the SAME shapes compiles every stage exactly once; the
-    # measured run reuses the executables.
+    # measured run reuses the executables.  profile=True inserts a device
+    # barrier per stage so the attribution is truthful (block_until_ready
+    # is unreliable over the tunnelled backend).
     warm = animate_mod.animate(cfg, person_assets, person_models, audio,
                                seed=0, render_batch=render_batch)
     result = animate_mod.animate(cfg, person_assets, person_models, audio,
-                                 seed=0, render_batch=render_batch)
+                                 seed=0, render_batch=render_batch, profile=True)
 
     total_ms = sum(result.stage_ms.values())
     # Headline: the full six-stage pipeline with every per-frame compute on

@@ -19,6 +19,7 @@ reference has no profiling at all - SURVEY.md §5).
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -65,6 +66,16 @@ class AnimateResult:
         return self.nframe / total_s if total_s > 0 else float("inf")
 
 
+def _sync(x: jnp.ndarray) -> None:
+    """Force completion of everything queued before x.
+
+    block_until_ready is unreliable on tunnelled backends (it can return
+    before remote execution finishes); fetching one scalar derived from x
+    is a true barrier on the in-order device stream.
+    """
+    np.asarray(jnp.sum(x.ravel()[:1]))
+
+
 def compute_motion(
     cfg: PersonConfig,
     assets: PersonAssets,
@@ -72,10 +83,14 @@ def compute_motion(
     audio: np.ndarray,
     key: jax.Array,
     stage_ms: Optional[Dict[str, float]] = None,
+    profile: bool = False,
 ):
     """Stages 1-5: audio -> (projected landmarks, shoulders, headpose, pts3d).
 
-    Returns numpy arrays; `stage_ms` (if given) collects per-stage timings.
+    Returns device arrays; `stage_ms` (if given) collects per-stage
+    timings.  With profile=False the stages are dispatched asynchronously
+    (fastest); profile=True inserts a device barrier per stage so the
+    attribution is truthful.
     """
     sm = stage_ms if stage_ms is not None else {}
 
@@ -83,7 +98,8 @@ def compute_motion(
     t0 = time.perf_counter()
     mel80 = mel.compute_mel_sequence(audio)  # [2T, 80]
     feats = apc_model.encode(models.apc, mel80[None])[0]  # [2T, 512]
-    feats.block_until_ready()
+    if profile:
+        _sync(feats)
     sm["mel_apc"] = (time.perf_counter() - t0) * 1e3
 
     # ---- 2. manifold projection (demo.py:196-200)
@@ -93,7 +109,8 @@ def compute_motion(
             feats, jnp.asarray(assets.apc_feature_base),
             K=cfg.apc.Knear, percent=cfg.apc.LLE_percent,
         )
-        feats.block_until_ready()
+        if profile:
+            _sync(feats)
     sm["lle"] = (time.perf_counter() - t0) * 1e3
 
     # ---- 3. mouth landmarks (demo.py:203-205)
@@ -101,7 +118,8 @@ def compute_motion(
     pred_feat = a2f_model.generate_sequence(
         models.audio2feature, feats, frame_future=cfg.audio2feature.frame_future
     )  # [T, 75]
-    pred_feat.block_until_ready()
+    if profile:
+        _sync(pred_feat)
     sm["audio2mouth"] = (time.perf_counter() - t0) * 1e3
 
     # ---- 4. head pose (demo.py:208-212)
@@ -112,52 +130,72 @@ def compute_motion(
         models.audio2headpose, a2h_cfg, feats, pre_headpose, key,
         sigma_scale=a2h_cfg.sample_sigma_scale,
     )  # [T - frame_future, 12]
-    pred_head.block_until_ready()
+    if profile:
+        _sync(pred_head)
     sm["headpose"] = (time.perf_counter() - t0) * 1e3
 
-    # ---- 5. post-processing (demo.py:215-255)
+    # ---- 5. post-processing (demo.py:215-255), ONE fused jit
     t0 = time.perf_counter()
     nframe = int(min(pred_feat.shape[0], pred_head.shape[0]))
+    brow_idx = np.arange(nframe) % assets.candidate_eye_brow.shape[0]
+    landmarks2d, shoulders2d, head, final = _jit_post(
+        cfg,
+        pred_feat[:nframe],
+        pred_head[:nframe],
+        jnp.asarray(assets.mean_pts3d),
+        jnp.asarray(assets.std_mean_pts3d),
+        jnp.asarray(assets.mean_translation),
+        jnp.asarray(assets.candidate_eye_brow),
+        jnp.asarray(brow_idx),
+        jnp.asarray(assets.camera_intrinsic),
+        jnp.asarray(assets.shoulder3D),
+        jnp.asarray(assets.ref_trans),
+        assets.scale,
+    )
+    if profile:
+        _sync(landmarks2d)
+    sm["post"] = (time.perf_counter() - t0) * 1e3
+
+    return landmarks2d, shoulders2d, head, final, nframe
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_post(cfg, pred_feat, pred_head, mean_pts3d, std_mean_pts3d,
+              mean_translation, candidate_eye_brow, brow_idx, K, shoulder3D,
+              ref_trans, scale):
+    """Fused stage-5 device program: smoothing, AMP, de-intersection,
+    head-pose conditioning, eyebrow cycling, landmark + shoulder projection
+    (demo.py:215-255) in one dispatch."""
     a2f_cfg = cfg.audio2feature
+    a2h_cfg = cfg.audio2headpose
+    nframe = pred_feat.shape[0]
 
     pred_pts3d = jnp.zeros((nframe, 73, 3), jnp.float32)
-    mouth = pred_feat[:nframe].reshape(nframe, 25, 3)
+    mouth = pred_feat.reshape(nframe, 25, 3)
     pred_pts3d = pred_pts3d.at[:, jnp.asarray(np.asarray(MOUTH_INDICES))].set(mouth)
 
     pred_pts3d = smoothing.landmark_smooth_3d(pred_pts3d, a2f_cfg.smooth_sigma, "only_mouth")
     pred_pts3d = smoothing.mouth_amp(pred_pts3d, True, a2f_cfg.amp_method, a2f_cfg.amp_params)
-    pred_pts3d = pred_pts3d + jnp.asarray(assets.mean_pts3d)
+    pred_pts3d = pred_pts3d + mean_pts3d
     pred_pts3d = smoothing.solve_intersect_mouth(pred_pts3d)
 
-    head = pred_head[:nframe, :6]
+    head = pred_head[:, :6]
     head = head.at[:, :3].multiply(a2h_cfg.rot_amp)
     head = head.at[:, 3:].multiply(a2h_cfg.trans_amp)
     head = smoothing.headpose_smooth(head, a2h_cfg.smooth_sigmas)
-    head = head.at[:, 3:].add(jnp.asarray(assets.mean_translation))
+    head = head.at[:, 3:].add(mean_translation)
     head = head.at[:, 0].add(180.0)  # x-axis convention flip (demo.py:232)
 
-    # final pts3d: std mean + predicted mouth + cycled eyebrow candidates
-    final = jnp.broadcast_to(jnp.asarray(assets.std_mean_pts3d), (nframe, 73, 3))
+    final = jnp.broadcast_to(std_mean_pts3d, (nframe, 73, 3))
     final = final.at[:, 46:64].set(pred_pts3d[:, 46:64])
-    ncand = assets.candidate_eye_brow.shape[0]
-    brow_idx = np.arange(nframe) % ncand
-    brows = jnp.asarray(assets.candidate_eye_brow)[jnp.asarray(brow_idx)] + jnp.asarray(
-        assets.mean_pts3d[list(EYE_BROW_INDICES)]
-    )
+    brows = candidate_eye_brow[brow_idx] + mean_pts3d[jnp.asarray(np.asarray(EYE_BROW_INDICES))]
     final = final.at[:, jnp.asarray(np.asarray(EYE_BROW_INDICES))].set(brows)
 
-    K = jnp.asarray(assets.camera_intrinsic)
-    landmarks2d = geometry.project_landmarks(
-        K, jnp.eye(3), jnp.zeros(3), assets.scale, head, final
-    )  # [T, 73, 2]
+    landmarks2d = geometry.project_landmarks(K, jnp.eye(3), jnp.zeros(3), scale, head, final)
     shoulders2d, _ = geometry.project_shoulders(
-        K, jnp.asarray(assets.shoulder3D), head[:, 3:], jnp.asarray(assets.ref_trans),
-        a2h_cfg.shoulder_amp,
+        K, shoulder3D, head[:, 3:], ref_trans, a2h_cfg.shoulder_amp
     )
-    landmarks2d.block_until_ready()
-    sm["post"] = (time.perf_counter() - t0) * 1e3
-
-    return landmarks2d, shoulders2d, head, final, nframe
+    return landmarks2d, shoulders2d, head, final
 
 
 def render_frames(
@@ -224,7 +262,7 @@ def render_frames(
         if keep_feature_maps:
             maps_pending.append(edge)
     if pending:
-        pending[-1].block_until_ready()
+        _sync(pending[-1])  # true barrier: device stream is in-order
     sm["render_device"] = (time.perf_counter() - t0) * 1e3
 
     frames_u8 = np.concatenate([np.asarray(p) for p in pending])[:nframe]
@@ -235,8 +273,6 @@ def render_frames(
         fmap_u8 = (np.concatenate([np.asarray(m) for m in maps_pending])[:nframe] * 255).astype(np.uint8)
     return frames_u8, fmap_u8
 
-
-import functools  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
@@ -258,12 +294,13 @@ def animate(
     seed: int = 0,
     render_batch: int = 8,
     keep_feature_maps: bool = False,
+    profile: bool = False,
 ) -> AnimateResult:
     """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS."""
     stage_ms: Dict[str, float] = {}
     key = jax.random.PRNGKey(seed)
     landmarks2d, shoulders2d, head, final_pts3d, nframe = compute_motion(
-        cfg, assets, models, audio, key, stage_ms
+        cfg, assets, models, audio, key, stage_ms, profile=profile
     )
     frames, fmaps = render_frames(
         cfg, assets, models, landmarks2d, shoulders2d,
