@@ -23,8 +23,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from livespeechportraits_tpu.config import Audio2FeatureConfig
-from livespeechportraits_tpu.models import nn_core
+from livespeechportraits_tpu.config import Audio2FeatureConfig, WaveNetConfig
+from livespeechportraits_tpu.models import nn_core, wavenet
 
 
 def init_audio2feature(key: jax.Array, cfg: Audio2FeatureConfig) -> Dict[str, Any]:
@@ -87,6 +87,42 @@ def apply_audio2feature(
 
     new_params = dict(params, down_bn=bn0, fc1_bn=bn1, fc2_bn=bn2)
     return preds, new_params
+
+
+# ---------------------------------------------------------------------------
+# WaveNet decoder variant (audio2feature.py:17-31, 60-61).  The reference
+# declares this branch but its A2L_wavenet_* options are never defined
+# anywhere, so it cannot be constructed there (SURVEY.md §2.3); here it is a
+# first-class runnable alternative: an unconditioned WaveNet consuming the
+# APC features directly as its input stream.
+# ---------------------------------------------------------------------------
+
+
+def a2f_wavenet_config(cfg: Audio2FeatureConfig) -> WaveNetConfig:
+    return WaveNetConfig(
+        residual_layers=7, residual_blocks=2, dilation_channels=128,
+        residual_channels=128, skip_channels=256, kernel_size=2,
+        use_bias=True, cond=False, cond_channels=0,
+        input_channels=cfg.apc_hidden_size,
+    )
+
+
+def init_audio2feature_wavenet(key: jax.Array, cfg: Audio2FeatureConfig) -> Dict[str, Any]:
+    wn = a2f_wavenet_config(cfg)
+    return {"wavenet": wavenet.init_wavenet(key, wn, cfg.output_dim)}
+
+
+def apply_audio2feature_wavenet(
+    params: Dict[str, Any],
+    cfg: Audio2FeatureConfig,
+    audio_feats: jnp.ndarray,
+    output_length=None,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """[B, T, H] APC features -> [B, T(or output_length), output_dim]."""
+    wn = a2f_wavenet_config(cfg)
+    return wavenet.forward(params["wavenet"], wn, audio_feats, None,
+                           output_length=output_length, dropout_rng=dropout_rng)
 
 
 @jax.jit

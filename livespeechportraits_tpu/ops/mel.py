@@ -259,3 +259,99 @@ def frame_energy(
     if normalize:
         energy = (energy - LOG_MEL_MIN) / -LOG_MEL_MIN
     return energy
+
+
+# ---------------------------------------------------------------------------
+# Mel inversion (parity with Audio2Mel.mel_to_audio, audio_funcs.py:77-85)
+# ---------------------------------------------------------------------------
+
+
+def _stft_frames(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
+                 window: jnp.ndarray, T: int) -> jnp.ndarray:
+    pad = (n_fft - hop) // 2
+    n_frames = 1 + (T + 2 * pad - n_fft) // hop
+    idx = _reflect_index(
+        np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :] - pad, T
+    )
+    return audio[idx] * window
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length",
+                                             "sr", "n_iter", "length"))
+def mel_to_audio(
+    mel: jnp.ndarray,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+    sr: int = SAMPLE_RATE,
+    fmin: float = 90.0,
+    fmax: float = 7600.0,
+    n_iter: int = 32,
+    length: int | None = None,
+    normalized: bool = True,
+) -> jnp.ndarray:
+    """Invert a (normalised) log-mel spectrogram to audio via Griffin-Lim.
+
+    Parity target: Audio2Mel.mel_to_audio (audio_funcs.py:77-85), which
+    undoes the [0,1] normalisation, squares to a power spectrum and runs
+    librosa's 32-iteration Griffin-Lim.  Fully jitted: the mel
+    pseudo-inverse is a matmul, each GL iteration is one iSTFT + STFT.
+
+    Args:
+        mel: [n_mels, T'] normalised log-mel (or raw log-mel when
+            normalized=False).
+    Returns:
+        [length or hop*T'] waveform estimate.
+    """
+    if normalized:
+        log_mel = mel * (-LOG_MEL_MIN) + LOG_MEL_MIN
+    else:
+        log_mel = mel
+    power = jnp.exp(log_mel) ** 2  # magnitude**2 spectrum in mel space
+
+    basis = jnp.asarray(mel_filterbank(sr, n_fft, mel.shape[0], fmin, fmax))
+    # NNLS-lite: pseudo-inverse projection clipped at 0 (librosa uses nnls).
+    pinv = jnp.asarray(np.linalg.pinv(mel_filterbank(sr, n_fft, mel.shape[0], fmin, fmax)))
+    spec_power = jnp.clip(pinv @ power, 0.0)  # [F, T']
+    mag = jnp.sqrt(spec_power)
+
+    T_frames = mel.shape[1]
+    if length is None:
+        length = hop_length * T_frames
+    pad = (n_fft - hop_length) // 2
+
+    w = _hann_periodic(win_length)
+    lpad = (n_fft - win_length) // 2
+    window = jnp.asarray(np.pad(w, (lpad, n_fft - win_length - lpad)))
+
+    # frame placement for iSTFT overlap-add
+    frame_starts = np.arange(T_frames) * hop_length  # in padded coords
+
+    def istft(spec):
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=0).T  # [T', n_fft]
+        frames = frames * window
+        y = jnp.zeros(length + 2 * pad)
+        wsum = jnp.zeros(length + 2 * pad)
+        for t, s in enumerate(frame_starts):  # static unroll over frames
+            y = jax.lax.dynamic_update_slice(
+                y, jax.lax.dynamic_slice(y, (s,), (n_fft,)) + frames[t], (s,))
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, jax.lax.dynamic_slice(wsum, (s,), (n_fft,)) + window**2, (s,))
+        y = y / jnp.maximum(wsum, 1e-8)
+        return y[pad : pad + length]
+
+    def stft_c(audio):
+        return _stft_frames(audio, n_fft, hop_length, win_length, window, length)
+
+    key_angles = jnp.zeros_like(mag)  # zero-phase init (deterministic)
+    angles = jnp.exp(1j * key_angles)
+
+    def gl_step(i, angles):
+        y = istft(mag * angles)
+        frames = stft_c(y)
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1).T  # [F, T'']
+        spec = spec[:, :T_frames]
+        return spec / jnp.maximum(jnp.abs(spec), 1e-16)
+
+    angles = jax.lax.fori_loop(0, n_iter, gl_step, angles)
+    return istft(mag * angles)

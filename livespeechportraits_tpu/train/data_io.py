@@ -1,0 +1,142 @@
+"""Reference-format training-data ingestion.
+
+Capability parity with the data-loading halves of
+datasets/audiovisual_dataset.py:114-208 and datasets/face_dataset.py:70-159:
+
+* `prepare_clip` - load a clip's wav (denoised preferred), compute 120 Hz
+  mel + APC features **once and cache them to .npy** exactly like the
+  reference's `*_APC_feature_*.npy` flow (audiovisual_dataset.py:176-198),
+  read its `3d_fit_data.npz` / tracked pts, and assemble a
+  train.datasets.ClipData.
+* `load_face_clip` - read an h5-packed jpg frame store + 2D landmarks +
+  crop parameters (`change_paras.npz`) + candidate images (normalising
+  and caching `normalized_full_*.jpg` on first run like
+  face_dataset.py:119-129) and return a FaceFrameSampler.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Optional
+
+import numpy as np
+
+from livespeechportraits_tpu.config import APCConfig
+from livespeechportraits_tpu.models import apc as apc_model
+from livespeechportraits_tpu.ops import mel as mel_ops
+from livespeechportraits_tpu.pipeline import video as video_mod
+from livespeechportraits_tpu.train import datasets
+
+
+def compute_apc_features(audio: np.ndarray, apc_params, batch_frames: int = 0) -> np.ndarray:
+    """wav [-1,1] -> [2T, hidden] APC features (one mel jit + one GRU jit)."""
+    import jax.numpy as jnp
+
+    mel80 = mel_ops.compute_mel_sequence(audio)
+    return np.asarray(apc_model.encode(apc_params, jnp.asarray(mel80)[None])[0])
+
+
+def prepare_clip(
+    clip_root: str,
+    clip_name: str,
+    apc_params,
+    apc_cfg: APCConfig,
+    use_delta_pts: bool = True,
+    mean_pts3d: Optional[np.ndarray] = None,
+    cache_tag: str = "tpu",
+) -> datasets.ClipData:
+    """Load one reference-format clip directory into a ClipData.
+
+    Expects <clip_root>/<clip_name>{_denoise,}.wav, 3d_fit_data.npz and
+    (for normalised points) tracked3D_normalized_pts_fix_contour.npy; APC
+    features are cached next to the wav.
+    """
+    den = os.path.join(clip_root, clip_name + "_denoise.wav")
+    wav_path = den if os.path.exists(den) else os.path.join(clip_root, clip_name + ".wav")
+    cache = os.path.join(clip_root, f"{clip_name}_APC_feature_{cache_tag}.npy")
+    if os.path.exists(cache):
+        feats = np.load(cache).astype(np.float32)
+    else:
+        audio = video_mod.load_wav(wav_path)
+        feats = compute_apc_features(audio, apc_params)
+        np.save(cache, feats)
+
+    fit = np.load(os.path.join(clip_root, "3d_fit_data.npz"))
+    tracked_path = os.path.join(clip_root, "tracked3D_normalized_pts_fix_contour.npy")
+    if os.path.exists(tracked_path):
+        pts3d = np.load(tracked_path).astype(np.float32)
+    else:
+        pts3d = fit["pts_3d"].astype(np.float32)
+    if use_delta_pts:
+        if mean_pts3d is None:
+            mean_path = os.path.join(os.path.dirname(clip_root), "mean_pts3d.npy")
+            mean_pts3d = np.load(mean_path)
+        pts3d = pts3d - mean_pts3d
+
+    return datasets.make_clip(
+        audio_features=feats,
+        pts3d=pts3d,
+        rot_angles=fit["rot_angles"].astype(np.float32),
+        trans=fit["trans"][:, :, 0].astype(np.float32),
+    )
+
+
+def load_face_clip(
+    clip_root: str,
+    clip_name: str,
+    load_size: int = 512,
+    frame_jump: int = 1,
+) -> datasets.FaceFrameSampler:
+    """Load a reference-format renderer-training clip (h5 frames).
+
+    Decodes the h5-packed jpgs, applies the clip's resize/crop
+    normalisation (change_paras.npz scale + centre crop, zero-padding when
+    the crop exceeds the frame, face_dataset.py:83-95), normalises and
+    caches candidate images, and returns a FaceFrameSampler.
+    """
+    import h5py
+    from PIL import Image
+
+    h5_path = os.path.join(clip_root, clip_name + ".h5")
+    store = h5py.File(h5_path, "r")[clip_name]
+    paras = np.load(os.path.join(clip_root, "change_paras.npz"))
+    scale, xc, yc = float(paras["scale"]), int(paras["xc"]), int(paras["yc"])
+
+    def normalise(img: np.ndarray) -> np.ndarray:
+        im = Image.fromarray(img)
+        w, h = im.size
+        im = im.resize((int(w * scale), int(h * scale)))
+        arr = np.asarray(im)
+        x0, x1 = xc - 256, xc + 256
+        y0, y1 = yc - 256, yc + 256
+        out = np.zeros((512, 512, 3), arr.dtype)
+        sx0, sx1 = max(x0, 0), min(x1, arr.shape[1])
+        sy0, sy1 = max(y0, 0), min(y1, arr.shape[0])
+        out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = arr[sy0:sy1, sx0:sx1]
+        return out
+
+    images = np.stack([
+        normalise(np.asarray(Image.open(io.BytesIO(store[i]))))
+        for i in range(len(store))
+    ])
+    landmarks = np.load(
+        os.path.join(clip_root, "tracked2D_normalized_pts_fix_contour.npy")
+    ).astype(np.float32)
+    shoulders = np.load(os.path.join(clip_root, "normalized_shoulder_points.npy")).astype(np.float32)
+
+    cands = []
+    for j in range(4):
+        norm_path = os.path.join(clip_root, "candidates", f"normalized_full_{j}.jpg")
+        if os.path.exists(norm_path):
+            img = np.asarray(Image.open(norm_path))
+        else:  # normalise + cache on first run (face_dataset.py:119-129)
+            raw = np.asarray(Image.open(os.path.join(clip_root, "candidates", f"full_{j}.jpg")))
+            img = normalise(raw)
+            Image.fromarray(img).save(norm_path)
+        cands.append((img.astype(np.float32) / 255.0 - 0.5) / 0.5)
+
+    return datasets.FaceFrameSampler(
+        images=images, landmarks=landmarks, shoulders=shoulders,
+        candidates=np.stack(cands), load_size=load_size, frame_jump=frame_jump,
+    )
