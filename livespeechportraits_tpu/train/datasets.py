@@ -209,6 +209,27 @@ class FaceFrameSampler:
             return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
         return img.astype(np.float32)
 
+    @staticmethod
+    def crop_coords(keypoints: np.ndarray, size: Tuple[int, int],
+                    jitter: float = 0.0,
+                    rng: Optional[np.random.Generator] = None) -> Tuple[int, int, int, int]:
+        """Face-centred square crop window (face_dataset.py:326-352):
+        centre x at the landmark mid-x, centre y at (3*min_y + max_y)/4,
+        side = 2x the landmark width clamped to the frame, optional random
+        translation, clamped back into the frame."""
+        w_ori, h_ori = size
+        min_y, max_y = keypoints[:, 1].min(), keypoints[:, 1].max()
+        min_x, max_x = keypoints[:, 0].min(), keypoints[:, 0].max()
+        xc = (min_x + max_x) // 2
+        yc = (min_y * 3 + max_y) // 4
+        hw = min((max_x - min_x) * 2, w_ori, h_ori)
+        if rng is not None and jitter > 0:
+            xb, yb = rng.uniform(-jitter, jitter, 2)
+            xc, yc = xc + xb, yc + yb
+        xc = min(max(0, xc - hw // 2) + hw, w_ori) - hw // 2
+        yc = min(max(0, yc - hw // 2) + hw, h_ori) - hw // 2
+        return int(xc - hw // 2), int(yc - hw // 2), int(xc + hw // 2), int(yc + hw // 2)
+
     def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
         jump = self.frame_jump
         base = index * jump
@@ -216,20 +237,44 @@ class FaceFrameSampler:
             base += int(rng.integers(jump))
         idx = min(base + 1, self.images.shape[0] - 1)  # target_ind = i+1
 
-        lm = self.landmarks[idx]
-        sh = self.shoulders[idx] if self.shoulders.ndim == 3 else self.shoulders
+        lm = self.landmarks[idx].copy()
+        sh = (self.shoulders[idx] if self.shoulders.ndim == 3 else self.shoulders).copy()
         img = self._to_float(self.images[idx])
 
         H = W = self.load_size
-        if rng is not None and self.crop_jitter > 0:
-            # online random translation of the crop window (10%-style jitter)
-            dx, dy = rng.uniform(-self.crop_jitter, self.crop_jitter, 2)
-            lm = lm + np.array([dx, dy], np.float32)
-            sh = sh + np.array([dx, dy], np.float32)
+        h_ori, w_ori = img.shape[:2]
+
+        # face-centred crop + resize with keypoint sync (the reference's
+        # A.Crop + A.Resize pipeline, face_dataset.py:203-208/265-273); the
+        # reference draws shoulders in *uncropped* coordinates (its
+        # __getitem__ never transforms them) - kept for parity.
+        x0, y0, x1, y1 = self.crop_coords(lm, (w_ori, h_ori), self.crop_jitter, rng)
+        if x1 > x0 and y1 > y0 and (x1 - x0) != W:
+            crop = img[y0:y1, x0:x1]
+            try:
+                import cv2
+
+                img = cv2.resize(crop, (W, H), interpolation=cv2.INTER_LINEAR)
+            except ImportError:  # pragma: no cover
+                from PIL import Image
+
+                img = np.asarray(Image.fromarray(
+                    ((crop * 0.5 + 0.5) * 255).astype(np.uint8)).resize((W, H)))
+                img = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+            s = W / float(x1 - x0)
+            lm = (lm - np.array([x0, y0], np.float32)) * s
+        elif img.shape[0] != H:
+            import cv2
+
+            img = cv2.resize(img, (W, H))
 
         fmap = rasterize.rasterize_feature_map_host(lm, sh, (W, H)).astype(np.float32) / 255.0
         mask = rasterize.facial_weight_mask(lm, H, W)
         cand = np.concatenate([self._to_float(c) for c in self.candidates], axis=-1)
+        if cand.shape[0] != H:
+            import cv2
+
+            cand = cv2.resize(cand, (W, H))
         if mask.ndim == 2:
             mask = mask[..., None]
         return {
