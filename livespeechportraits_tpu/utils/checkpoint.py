@@ -43,10 +43,32 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _rebuild(template: Any, restored: Any) -> Any:
+    """Re-impose the template's container types onto a restored pytree.
+
+    Orbax returns plain dicts/lists; NamedTuples (e.g. TrainState) come
+    back as dicts keyed by field name, and naive flatten/unflatten would
+    scramble leaves because dict keys sort differently from field order.
+    """
+    if hasattr(template, "_fields"):  # NamedTuple
+        kwargs = {
+            f: _rebuild(getattr(template, f), restored[f]) for f in template._fields
+        }
+        return type(template)(**kwargs)
+    if isinstance(template, dict):
+        return {k: _rebuild(v, restored[k]) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        if isinstance(restored, dict):  # orbax may dict-ify sequences
+            restored = [restored[str(i)] for i in range(len(template))]
+        return type(template)(_rebuild(t, r) for t, r in zip(template, restored))
+    return restored
+
+
 def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None,
                        template: Any = None) -> Any:
     """Restore the pytree saved at `step` (default: latest).  When a
-    `template` pytree is given, restored leaves adopt its structure."""
+    `template` pytree is given, restored values are re-nested into the
+    template's container types (NamedTuples, tuples) by name/position."""
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
@@ -54,7 +76,5 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None,
     path = os.path.join(os.path.abspath(ckpt_dir), str(int(step)))
     restored = _checkpointer().restore(path)
     if template is not None:
-        flat_t, treedef = jax.tree.flatten(template)
-        flat_r, _ = jax.tree.flatten(restored)
-        restored = jax.tree.unflatten(treedef, flat_r)
+        restored = _rebuild(template, restored)
     return restored
