@@ -76,6 +76,14 @@ def main() -> None:
         person_assets = assets_mod.load_person(cfg)
         person_models = assets_mod.load_person_models(cfg)
 
+    min_seconds = (cfg.audio2headpose.frame_future + 1) / 60.0
+    if len(audio) < int(min_seconds * 16000) + 16000 // 60:
+        raise SystemExit(
+            f"driving audio too short: {len(audio)/16000:.2f}s; the head-pose "
+            f"decoder predicts {cfg.audio2headpose.frame_future} frames ahead and "
+            f"needs > {min_seconds:.2f}s of audio"
+        )
+
     print(f"Animating {len(audio)/16000:.2f}s of audio for '{args.id}' ...")
     t0 = time.perf_counter()
     result = animate_mod.animate(
