@@ -278,3 +278,167 @@ def convert_feature2face_g(sd: StateDict, size: str, num_downs: int = 8,
     else:
         net = res_stage(root, 0)
     return {"net": net, "size": size}
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: our pytrees -> reference-format state dicts
+# ---------------------------------------------------------------------------
+#
+# Completes the migration story in both directions: models trained in this
+# framework can be exported as torch state_dicts with the reference's
+# module naming, loadable by the original PyTorch code.
+
+
+def _inv_linear(p, out, name):
+    out[f"{name}.weight"] = np.asarray(p["w"]).T
+    if "b" in p:
+        out[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _inv_conv1d(p, out, name):
+    out[f"{name}.weight"] = np.asarray(p["w"]).transpose(2, 1, 0)
+    if "b" in p:
+        out[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _inv_conv2d(p, out, name, transposed=False):
+    w = np.asarray(p["w"])
+    out[f"{name}.weight"] = w.transpose(2, 3, 0, 1) if transposed else w.transpose(3, 2, 0, 1)
+    if "b" in p:
+        out[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _inv_batchnorm(p, out, name):
+    out[f"{name}.weight"] = np.asarray(p["scale"])
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+    out[f"{name}.running_mean"] = np.asarray(p["mean"])
+    out[f"{name}.running_var"] = np.asarray(p["var"])
+    out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _inv_rnn(p, out, prefix, layer=0):
+    out[f"{prefix}.weight_ih_l{layer}"] = np.asarray(p["w_ih"]).T
+    out[f"{prefix}.weight_hh_l{layer}"] = np.asarray(p["w_hh"]).T
+    out[f"{prefix}.bias_ih_l{layer}"] = np.asarray(p["b_ih"])
+    out[f"{prefix}.bias_hh_l{layer}"] = np.asarray(p["b_hh"])
+
+
+def export_apc(params) -> StateDict:
+    out: StateDict = {}
+    for i, layer in enumerate(params["layers"]):
+        _inv_rnn(layer, out, f"rnns.{i}")
+    return out
+
+
+def export_wavenet(params, prefix: str = "WaveNet") -> StateDict:
+    pre = f"{prefix}." if prefix else ""
+    out: StateDict = {}
+    _inv_conv1d(params["start1"], out, f"{pre}start_conv1")
+    _inv_conv1d(params["start2"], out, f"{pre}start_conv2")
+    _inv_conv1d(params["end1"], out, f"{pre}end_conv_1")
+    _inv_conv1d(params["end2"], out, f"{pre}end_conv_2")
+    for i, blk in enumerate(params["blocks"]):
+        b = f"{pre}residual_blocks.{i}"
+        _inv_conv1d(blk["filter"], out, f"{b}.filter_conv")
+        _inv_conv1d(blk["gate"], out, f"{b}.gate_conv")
+        _inv_conv1d(blk["res"], out, f"{b}.residual_conv")
+        _inv_conv1d(blk["skip"], out, f"{b}.skip_conv")
+        if "cond_filter" in blk:
+            _inv_conv1d(blk["cond_filter"], out, f"{b}.cond_filter_conv")
+            _inv_conv1d(blk["cond_gate"], out, f"{b}.cond_gate_conv")
+    return out
+
+
+def export_audio2feature(params) -> StateDict:
+    out: StateDict = {}
+    _inv_linear(params["down1"], out, "downsample.0")
+    _inv_batchnorm(params["down_bn"], out, "downsample.1")
+    _inv_linear(params["down2"], out, "downsample.3")
+    for i, layer in enumerate(params["lstm"]):
+        _inv_rnn(layer, out, "LSTM", i)
+    _inv_linear(params["fc1"], out, "fc.0")
+    _inv_batchnorm(params["fc1_bn"], out, "fc.1")
+    _inv_linear(params["fc2"], out, "fc.3")
+    _inv_batchnorm(params["fc2_bn"], out, "fc.4")
+    _inv_linear(params["fc3"], out, "fc.6")
+    return out
+
+
+def export_audio2headpose(params) -> StateDict:
+    out: StateDict = {}
+    _inv_linear(params["down1"], out, "audio_downsample.0")
+    _inv_batchnorm(params["down_bn"], out, "audio_downsample.1")
+    _inv_linear(params["down2"], out, "audio_downsample.3")
+    out.update(export_wavenet(params["wavenet"], prefix="WaveNet"))
+    return out
+
+
+def export_feature2face_g(params, num_downs: int = 8,
+                          n_res: Optional[int] = None) -> StateDict:
+    """Inverse of convert_feature2face_g: emits 'netG.model...' keys."""
+    size = params["size"]
+    if n_res is None:
+        n_res = {"small": 0, "normal": 1, "large": 2}[size]
+    out: StateDict = {}
+
+    def inv_resblock(p, name):
+        _inv_conv2d(p["conv1"], out, f"{name}.block.0")
+        _inv_batchnorm(p["bn1"], out, f"{name}.block.1")
+        _inv_conv2d(p["conv2"], out, f"{name}.block.3")
+        _inv_batchnorm(p["bn2"], out, f"{name}.block.4")
+
+    def res_stage(p, block, depth):
+        outermost = depth == 0
+        innermost = "sub" not in p
+        seq = f"{block}.model"
+        idx = 0
+        _inv_conv2d(p["down"], out, f"{seq}.{idx}"); idx += 1
+        if "down_bn" in p:
+            _inv_batchnorm(p["down_bn"], out, f"{seq}.{idx}"); idx += 1
+        idx += 1  # ReLU
+        for rp in p["res_down"]:
+            inv_resblock(rp, f"{seq}.{idx}"); idx += 1
+        sub_idx = None
+        if not innermost:
+            sub_idx = idx; idx += 1
+        idx += 1  # Upsample
+        _inv_conv2d(p["up"], out, f"{seq}.{idx}"); idx += 1
+        if not outermost:
+            _inv_batchnorm(p["up_bn"], out, f"{seq}.{idx}"); idx += 1
+            idx += 1  # ReLU
+            for rp in p.get("res_up", []):
+                inv_resblock(rp, f"{seq}.{idx}"); idx += 1
+        if sub_idx is not None:
+            res_stage(p["sub"], f"{seq}.{sub_idx}", depth + 1)
+
+    def unet_stage(p, block, depth):
+        outermost = depth == 0
+        innermost = "sub" not in p
+        seq = f"{block}.model"
+        if outermost:
+            _inv_conv2d(p["down"], out, f"{seq}.0")
+            unet_stage(p["sub"], f"{seq}.1", depth + 1)
+            _inv_conv2d(p["up"], out, f"{seq}.3", transposed=True)
+        elif innermost:
+            _inv_conv2d(p["down"], out, f"{seq}.1")
+            _inv_conv2d(p["up"], out, f"{seq}.3", transposed=True)
+            _inv_batchnorm(p["up_bn"], out, f"{seq}.4")
+        else:
+            _inv_conv2d(p["down"], out, f"{seq}.1")
+            _inv_batchnorm(p["down_bn"], out, f"{seq}.2")
+            unet_stage(p["sub"], f"{seq}.3", depth + 1)
+            _inv_conv2d(p["up"], out, f"{seq}.5", transposed=True)
+            _inv_batchnorm(p["up_bn"], out, f"{seq}.6")
+
+    if size == "small":
+        unet_stage(params["net"], "netG.model", 0)
+    else:
+        res_stage(params["net"], "netG.model", 0)
+    return out
+
+
+def save_state_dict_torch(sd: StateDict, path: str) -> None:
+    """Write a reference-format .pkl (torch.save of a tensor state dict)."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
