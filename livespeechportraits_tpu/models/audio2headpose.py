@@ -123,7 +123,10 @@ def _decode_scan(
     cond_proj = wavenet.precompute_cond_projections(wparams, cond_steps)
     f_stack = jnp.stack([p[0][0] for p in cond_proj], axis=1)  # [nframe, L, C]
     g_stack = jnp.stack([p[1][0] for p in cond_proj], axis=1)
-    keys = jax.random.split(key, nframe)
+    # Per-step keys are fold_in(key, i): decode step i draws the same
+    # randomness regardless of utterance length, so streaming decode
+    # (pipeline/streaming.py) is sample-identical to this offline scan.
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(nframe))
 
     def step(carry, xs):
         state, x_prev = carry
@@ -200,7 +203,7 @@ def generate_sequence_sliding_window(
     audio_pad = np.concatenate([np.tile(paired[0], (R - 1, 1)), paired])
 
     history = jnp.broadcast_to(pre_headpose, (1, R, pre_headpose.shape[-1]))
-    keys = jax.random.split(key, nframe)
+    keys = [jax.random.fold_in(key, i) for i in range(nframe)]
     out = []
     for i in range(nframe):
         window_audio = jnp.asarray(audio_pad[i + f : i + f + R])[None]

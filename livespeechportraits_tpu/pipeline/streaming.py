@@ -1,0 +1,565 @@
+"""Live streaming mode: push audio chunks in, get video frames out.
+
+The reference is named *Live* Speech Portraits but ships only an offline
+batch pipeline (demo.py processes a whole wav).  This module makes the
+system genuinely streaming: `StreamingAnimator.push_audio()` accepts
+arbitrary audio chunks and emits frames as soon as they are determined,
+with outputs **identical to the offline pipeline** (same samples from the
+same PRNG schedule, same smoothing) up to one documented divergence*.
+
+Why this drops out of the TPU-first design: every sequential stage already
+carries explicit state -
+    APC        - GRU hidden per layer
+    Audio2Mouth- LSTM (h, c) per layer (+ `frame_future` lookahead)
+    Headpose   - WaveNet dilation ring buffers + previous sample, per-step
+                 PRNG keys fold_in(key, i) so sampling is position-stable
+    smoothing  - a delay line of `radius = int(4 sigma + 0.5)` frames
+so streaming is just re-chunking the offline scans.  Algorithmic latency is
+    max(frame_future_mouth + mouth_radius, frame_future_head + head_radius)
+frames (~55 frames = 0.92 s at the May settings - dominated by the
+reference's own non-causal smoothing sigmas and future-shifted training).
+
+*divergence: offline lip de-intersection shifts outer lips by the mean
+overlap across ALL flipped frames of the clip (funcs/utils.py:352), which
+is non-causal; streaming uses each frame's own mean overlap.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livespeechportraits_tpu.config import (
+    EYE_BROW_INDICES,
+    FPS,
+    MOUTH_INDICES,
+    PersonConfig,
+    SAMPLE_RATE,
+)
+from livespeechportraits_tpu.models import nn_core, wavenet
+from livespeechportraits_tpu.ops import gmm, manifold, rasterize, rasterize_pallas
+from livespeechportraits_tpu.ops.mel import (
+    LOG_MEL_MIN,
+    _hann_periodic,
+    _reflect_index,
+    mel_filterbank,
+)
+from livespeechportraits_tpu.ops.smoothing import _gaussian_kernel
+from livespeechportraits_tpu.pipeline.animate import _jit_render
+from livespeechportraits_tpu.pipeline.assets import PersonAssets, PersonModels
+
+MEL_STEP = SAMPLE_RATE * 0.5 / FPS  # 133.33 samples per 120 Hz frame
+MEL_WIN = SAMPLE_RATE // FPS  # 266
+
+
+def _mel_sample_end(i: int) -> int:
+    """Last raw sample index (exclusive) needed by mel frame i."""
+    return int(np.floor(i * MEL_STEP)) + MEL_WIN
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _mel_chunk(audio_span: jnp.ndarray, offsets: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """Mel frames from a raw-sample span; offsets are frame starts relative
+    to the span (precomputed on host).  [n_frames, 80]."""
+    col = _reflect_index(np.arange(512) - 189, MEL_WIN)
+    idx = offsets[:, None] + jnp.asarray(col)[None, :]
+    w = _hann_periodic(MEL_WIN)
+    window = np.zeros(512, np.float32)
+    window[123 : 123 + MEL_WIN] = w
+    frames = audio_span[idx] * jnp.asarray(window)
+    mag = jnp.abs(jnp.fft.rfft(frames, n=512, axis=-1))
+    basis = jnp.asarray(mel_filterbank())
+    melspec = jnp.einsum("tf,mf->tm", mag, basis, precision=jax.lax.Precision.HIGHEST)
+    log_mel = jnp.log(jnp.clip(melspec, min=1e-5))
+    return (log_mel - LOG_MEL_MIN) / -LOG_MEL_MIN
+
+
+@jax.jit
+def _gru_chunk_masked(layers, mels, h_list, valid):
+    """APC GRU stack over a (padded) chunk with masked carry updates.
+
+    mels: [C, 80]; valid: [C] bool.  Returns ([C, H], new h_list).
+    """
+    x = mels[None]  # [1, C, 80]
+    new_h = []
+    for layer, h0 in zip(layers, h_list):
+        x_proj = x[0] @ layer["w_ih"] + layer["b_ih"]  # [C, 3H]
+
+        def step(h, xs):
+            xp, ok = xs
+            hp = h @ layer["w_hh"] + layer["b_hh"]
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = jnp.where(ok, (1 - z) * n + z * h, h)
+            return h_new, h_new
+
+        hT, ys = jax.lax.scan(step, h0, (x_proj, valid))
+        new_h.append(hT)
+        x = ys[None]
+    return x[0], new_h
+
+
+@jax.jit
+def _lstm_chunk_masked(params, pairs, state, valid):
+    """Audio2Feature downsample+LSTM+fc over a (padded) chunk of paired
+    features.  pairs: [C, 2H]; state: list of (h, c); valid: [C]."""
+    y = nn_core.dense(params["down1"], pairs)
+    y, _ = nn_core.batchnorm(params["down_bn"], y, training=False)
+    y = nn_core.leaky_relu(y)
+    y = nn_core.dense(params["down2"], y)  # [C, H]
+
+    new_state = []
+    x = y
+    for layer, (h0, c0) in zip(params["lstm"], state):
+        x_proj = x @ layer["w_ih"] + layer["b_ih"]
+
+        def step(carry, xs):
+            (h, c), (xp, ok) = carry, xs
+            gates = xp + h @ layer["w_hh"] + layer["b_hh"]
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c_new = jnp.where(ok, f * c + i * g, c)
+            h_new = jnp.where(ok, o * jnp.tanh(c_new), h)
+            return (h_new, c_new), h_new
+
+        (hT, cT), ys = jax.lax.scan(step, (h0, c0), (x_proj, valid))
+        new_state.append((hT, cT))
+        x = ys
+    z = nn_core.dense(params["fc1"], x)
+    z, _ = nn_core.batchnorm(params["fc1_bn"], z, training=False)
+    z = nn_core.leaky_relu(z)
+    z = nn_core.dense(params["fc2"], z)
+    z, _ = nn_core.batchnorm(params["fc2_bn"], z, training=False)
+    z = nn_core.leaky_relu(z)
+    return nn_core.dense(params["fc3"], z), new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sigma_scale"))
+def _decode_chunk_masked(params, cfg, state, prev, f_adds, g_adds, keys, valid,
+                         sigma_scale):
+    """A2H streaming decode over a (padded) chunk.
+
+    f_adds/g_adds: [C, L, dil]; keys: [C] PRNG keys; valid: [C].
+    Returns (state, prev, samples [C, ndim]).
+    """
+    wparams = params["wavenet"]
+
+    def step(carry, xs):
+        state, prev = carry
+        fa, ga, k, ok = xs
+        proj = [(fa[li][None], ga[li][None]) for li in range(fa.shape[0])]
+        new_state, out = wavenet.stream_step(wparams, cfg.wavenet, state,
+                                             prev[None], cond_proj_t=proj)
+        sample = gmm.sample_gmm(k, out, cfg.ncenter, cfg.ndim,
+                                sigma_scale=sigma_scale)[0]
+        state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
+        new_prev = jnp.where(ok, sample, prev)
+        return (state, new_prev), sample
+
+    (state, prev), samples = jax.lax.scan(step, (state, prev),
+                                          (f_adds, g_adds, keys, valid))
+    return state, prev, samples
+
+
+class _StreamSmoother:
+    """Exact streaming equivalent of scipy/our gaussian_filter1d: emits
+    output t once inputs through t+radius exist; the left boundary uses the
+    same reflect padding as the offline call; flush() reflects the right
+    boundary."""
+
+    def __init__(self, sigma: float):
+        self.kernel = _gaussian_kernel(sigma) if sigma > 0 else None
+        self.radius = (len(self.kernel) // 2) if self.kernel is not None else 0
+        self.buf: List[np.ndarray] = []
+        self.emitted = 0
+
+    def _window(self, t: int, total: Optional[int] = None) -> np.ndarray:
+        if self.kernel is None:
+            return self.buf[t]
+        n = len(self.buf)
+        out = 0.0
+        for j, kj in enumerate(self.kernel):
+            src = t + j - self.radius
+            if src < 0:
+                src = -src - 1  # reflect
+            if src >= n:
+                src = 2 * n - src - 1  # right reflect (flush only)
+            out = out + kj * self.buf[src]
+        return out.astype(np.float32)
+
+    def push(self, rows: np.ndarray) -> np.ndarray:
+        """rows: [n, ...] new raw values; returns newly determined smoothed
+        rows (possibly empty)."""
+        self.buf.extend(np.asarray(r) for r in rows)
+        ready_until = len(self.buf) - self.radius  # exclusive
+        out = [self._window(t) for t in range(self.emitted, max(self.emitted, ready_until))]
+        self.emitted = max(self.emitted, ready_until)
+        return np.stack(out) if out else np.zeros((0,) + np.shape(self.buf[0]), np.float32)
+
+    def flush(self) -> np.ndarray:
+        out = [self._window(t) for t in range(self.emitted, len(self.buf))]
+        self.emitted = len(self.buf)
+        return np.stack(out) if out else np.zeros((0,) + np.shape(self.buf[0]) if self.buf else (0,), np.float32)
+
+
+class StreamingAnimator:
+    """Incremental audio -> frames with offline-identical outputs."""
+
+    def __init__(self, cfg: PersonConfig, assets: PersonAssets,
+                 models: PersonModels, seed: int = 0, chunk: int = 32,
+                 render_batch: int = 4):
+        self.cfg = cfg
+        self.assets = assets
+        self.models = models
+        self.chunk = chunk  # video frames per device dispatch
+        self.render_batch = render_batch
+        self.key = jax.random.PRNGKey(seed)
+
+        a2h = cfg.audio2headpose
+        self.R = a2h.wavenet.receptive_field
+        self.ff_m = cfg.audio2feature.frame_future
+        self.ff_h = a2h.frame_future
+
+        # carried model state
+        H = cfg.apc.hidden_size
+        self._apc_h = [jnp.zeros((H,)) for _ in models.apc["layers"]]
+        lh = cfg.audio2feature.lstm_hidden_size
+        self._lstm = [(jnp.zeros((lh,)), jnp.zeros((lh,))) for _ in models.audio2feature["lstm"]]
+        self._wn_state = None
+        self._prev_sample = jnp.zeros((a2h.wavenet.input_channels,))
+
+        # host-side stream buffers
+        self._audio = np.zeros(0, np.float32)
+        self._total_samples = 0
+        self._mel_done = 0  # mel frames computed
+        self._feats: List[np.ndarray] = []  # 120 Hz projected APC features
+        self._a2f_raw: List[np.ndarray] = []  # raw A2F outputs (pre shift)
+        self._head_raw: List[np.ndarray] = []  # raw A2H samples
+        self._decoded = 0
+
+        self._mouth_smooth = _StreamSmoother(cfg.audio2feature.smooth_sigma)
+        self._rot_smooth = _StreamSmoother(a2h.smooth_sigmas[0])
+        self._trans_smooth = _StreamSmoother(a2h.smooth_sigmas[1])
+        self._mouth_ready: List[np.ndarray] = []
+        self._rot_ready: List[np.ndarray] = []
+        self._trans_ready: List[np.ndarray] = []
+        self._emitted_frames = 0
+        self._flushed = False
+
+    # -- latency ----------------------------------------------------------
+
+    @property
+    def latency_frames(self) -> int:
+        return max(self.ff_m + self._mouth_smooth.radius,
+                   self.ff_h + max(self._rot_smooth.radius, self._trans_smooth.radius))
+
+    # -- stage advancement --------------------------------------------------
+
+    def _advance_mel_apc(self, flush: bool) -> None:
+        total_mel = (2 * int(self._total_samples / SAMPLE_RATE * FPS)
+                     if flush else None)
+        while True:
+            a = self._mel_done
+            b = a + 2 * self.chunk
+            if flush and total_mel is not None:
+                b = min(b, total_mel)
+                if b <= a:
+                    return
+                need_pad = True
+            else:
+                if _mel_sample_end(b - 1) > len(self._audio):
+                    return
+                need_pad = False
+            n = b - a
+            start = int(np.floor(a * MEL_STEP))
+            end = _mel_sample_end(b - 1)
+            span = self._audio[start:end]
+            if end > len(self._audio):
+                span = np.concatenate([span, np.zeros(end - len(self._audio), np.float32)])
+            offsets = np.asarray(
+                [int(np.floor(i * MEL_STEP)) - start for i in range(a, b)], np.int32
+            )
+            # pad the chunk to the fixed size for a single compiled shape
+            C = 2 * self.chunk
+            pad = C - n
+            offsets_p = np.concatenate([offsets, np.zeros(pad, np.int32)])
+            valid = np.arange(C) < n
+            mels = _mel_chunk(jnp.asarray(span), jnp.asarray(offsets_p), C)
+            feats, self._apc_h = _gru_chunk_masked(
+                self.models.apc["layers"], mels, self._apc_h, jnp.asarray(valid))
+            feats = feats[:n]
+            if self.cfg.apc.use_LLE:
+                feats = manifold.lle_project(
+                    feats, jnp.asarray(self.assets.apc_feature_base),
+                    K=self.cfg.apc.Knear, percent=self.cfg.apc.LLE_percent)
+            self._feats.append(np.asarray(feats))
+            self._mel_done = b
+            if flush and total_mel is not None and b >= total_mel:
+                return
+
+    def _feats_cat(self) -> np.ndarray:
+        return (np.concatenate(self._feats) if self._feats
+                else np.zeros((0, self.cfg.apc.hidden_size), np.float32))
+
+    def _advance_a2f(self, flush: bool) -> None:
+        feats = self._feats_cat()
+        if flush:
+            # offline pads 2*frame_future repeats of the last feature
+            if feats.shape[0] % 2 == 1:
+                feats = feats[:-1]
+            pad = np.tile(feats[-1:], (2 * self.ff_m, 1)) if feats.shape[0] else feats
+            feats = np.concatenate([feats, pad])
+        done = len(self._a2f_raw)
+        avail = feats.shape[0] // 2
+        while avail - done >= (1 if flush else self.chunk):
+            n = min(self.chunk, avail - done)
+            pairs = feats[2 * done : 2 * (done + n)].reshape(n, -1)
+            C = self.chunk
+            pairs_p = np.concatenate([pairs, np.zeros((C - n, pairs.shape[1]), np.float32)])
+            valid = np.arange(C) < n
+            out, self._lstm = _lstm_chunk_masked(
+                self.models.audio2feature, jnp.asarray(pairs_p), self._lstm,
+                jnp.asarray(valid))
+            self._a2f_raw.extend(np.asarray(out[:n]))
+            done += n
+            if flush and done >= avail:
+                break
+
+    def _advance_a2h(self, flush: bool) -> None:
+        feats = self._feats_cat()
+        T = feats.shape[0] // 2
+        if T == 0:
+            return
+        a2h = self.cfg.audio2headpose
+        total = max(T - self.ff_h, 0)
+        paired = feats[: 2 * T].reshape(T, -1)
+        # The audio_downsample MLP is per-row stateless: extend the cached
+        # downsampled rows incrementally (no O(T^2) recompute).
+        import livespeechportraits_tpu.models.audio2headpose as a2h_mod
+
+        if not hasattr(self, "_down_rows"):
+            self._down_rows = np.zeros((0, a2h.wavenet.cond_channels), np.float32)
+        if T > self._down_rows.shape[0]:
+            new_rows, _ = a2h_mod._audio_downsample(
+                self.models.audio2headpose,
+                jnp.asarray(paired[self._down_rows.shape[0] : T][None]), False)
+            self._down_rows = np.concatenate([self._down_rows, np.asarray(new_rows[0])])
+
+        while total - self._decoded >= (1 if flush else self.chunk):
+            n = min(self.chunk, total - self._decoded)
+            i0 = self._decoded
+            if self._wn_state is None:
+                # prime ring buffers (audio rows clamped at 0)
+                warm_idx = np.maximum(np.arange(-(self.R - 1), 0) + self.ff_h, 0)
+                cond_warm = jnp.asarray(self._down_rows[warm_idx])[None]
+                x_warm = jnp.broadcast_to(
+                    self._prev_sample, (1, self.R - 1, self._prev_sample.shape[-1]))
+                self._wn_state = wavenet.stream_init(
+                    self.models.audio2headpose["wavenet"], a2h.wavenet, x_warm, cond_warm)
+                self._wn_state = jax.tree.map(lambda b: b[0], self._wn_state)
+
+            idx = np.arange(i0, i0 + n) + self.ff_h
+            cond_steps = jnp.asarray(self._down_rows[idx])[None]
+            proj = wavenet.precompute_cond_projections(
+                self.models.audio2headpose["wavenet"], cond_steps)
+            f_stack = jnp.stack([p[0][0] for p in proj], axis=1)  # [n, L, C]
+            g_stack = jnp.stack([p[1][0] for p in proj], axis=1)
+            C = self.chunk
+            padn = C - n
+            f_p = jnp.concatenate([f_stack, jnp.zeros((padn,) + f_stack.shape[1:])])
+            g_p = jnp.concatenate([g_stack, jnp.zeros((padn,) + g_stack.shape[1:])])
+            keys = jnp.stack([jax.random.fold_in(self.key, i) for i in range(i0, i0 + C)])
+            valid = jnp.asarray(np.arange(C) < n)
+
+            state1 = jax.tree.map(lambda b: b[None], self._wn_state)
+            state1, prev, samples = _decode_chunk_masked(
+                self.models.audio2headpose, a2h, state1, self._prev_sample,
+                f_p, g_p, keys, valid, float(a2h.sample_sigma_scale))
+            self._wn_state = jax.tree.map(lambda b: b[0], state1)
+            self._prev_sample = prev
+            self._head_raw.extend(np.asarray(samples[:n]))
+            self._decoded += n
+
+    def _advance_post(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Feed new raw predictions into the smoothers; return newly
+        determined (mouth_pts3d [n,73,3-pre-mean], head [n,6])."""
+        a2h = self.cfg.audio2headpose
+        # mouth: raw output index t+ff is the prediction for frame t
+        new_mouth = []
+        for t in range(len(self._mouth_smooth.buf), len(self._a2f_raw) - self.ff_m):
+            delta = self._a2f_raw[t + self.ff_m].reshape(25, 3)
+            full = np.zeros((73, 3), np.float32)
+            full[np.asarray(MOUTH_INDICES)] = delta
+            new_mouth.append(full)
+        mouth_sm = self._mouth_smooth.push(np.asarray(new_mouth)) if new_mouth else \
+            np.zeros((0, 73, 3), np.float32)
+
+        new_head = []
+        for t in range(len(self._rot_smooth.buf), len(self._head_raw)):
+            h = self._head_raw[t][:6].copy()
+            h[:3] *= a2h.rot_amp
+            h[3:] *= a2h.trans_amp
+            new_head.append(h)
+        if new_head:
+            rot_sm = self._rot_smooth.push(np.asarray(new_head)[:, :3])
+            trans_sm = self._trans_smooth.push(np.asarray(new_head)[:, 3:])
+        else:
+            rot_sm = np.zeros((0, 3), np.float32)
+            trans_sm = np.zeros((0, 3), np.float32)
+        return mouth_sm, rot_sm, trans_sm
+
+    def _flush_post(self):
+        mouth_sm = self._mouth_smooth.flush()
+        rot = self._rot_smooth.flush()
+        trans = self._trans_smooth.flush()
+        if mouth_sm.ndim == 1:
+            mouth_sm = np.zeros((0, 73, 3), np.float32)
+        if rot.ndim == 1:
+            rot = np.zeros((0, 3), np.float32)
+        if trans.ndim == 1:
+            trans = np.zeros((0, 3), np.float32)
+        return mouth_sm, rot, trans
+
+    def _finalize_frames(self, mouth_sm: np.ndarray, rot_sm: np.ndarray,
+                         trans_sm: np.ndarray) -> np.ndarray:
+        """Per-frame tail of stage 5 + stage 6 for ready frames.
+
+        rot and trans smoothers have different radii, so they become ready
+        at different rates; frames emit once all three streams cover them.
+        """
+        self._mouth_ready.extend(mouth_sm)
+        self._rot_ready.extend(rot_sm)
+        self._trans_ready.extend(trans_sm)
+        n = min(len(self._mouth_ready), len(self._rot_ready),
+                len(self._trans_ready)) - self._emitted_frames
+        if n <= 0:
+            return np.zeros((0, self.cfg.feature2face.load_size,
+                             self.cfg.feature2face.load_size, 3), np.uint8)
+        a2f = self.cfg.audio2feature
+        a2h = self.cfg.audio2headpose
+        s = self._emitted_frames
+        mouth = np.stack(self._mouth_ready[s : s + n])
+        head = np.concatenate(
+            [np.stack(self._rot_ready[s : s + n]), np.stack(self._trans_ready[s : s + n])],
+            axis=1,
+        )
+
+        from livespeechportraits_tpu.ops import geometry, smoothing
+
+        pts = jnp.asarray(mouth)
+        pts = smoothing.mouth_amp(pts, True, a2f.amp_method, a2f.amp_params)
+        pts = pts + jnp.asarray(self.assets.mean_pts3d)
+        pts = _deintersect_per_frame(pts)
+
+        hd = jnp.asarray(head)
+        hd = hd.at[:, 3:].add(jnp.asarray(self.assets.mean_translation))
+        hd = hd.at[:, 0].add(180.0)
+
+        final = jnp.broadcast_to(jnp.asarray(self.assets.std_mean_pts3d), (n, 73, 3))
+        final = final.at[:, 46:64].set(pts[:, 46:64])
+        ncand = self.assets.candidate_eye_brow.shape[0]
+        brow_idx = (np.arange(s, s + n)) % ncand
+        brows = jnp.asarray(self.assets.candidate_eye_brow)[jnp.asarray(brow_idx)] + \
+            jnp.asarray(self.assets.mean_pts3d[list(EYE_BROW_INDICES)])
+        final = final.at[:, jnp.asarray(np.asarray(EYE_BROW_INDICES))].set(brows)
+
+        K = jnp.asarray(self.assets.camera_intrinsic)
+        lm2d = geometry.project_landmarks(K, jnp.eye(3), jnp.zeros(3),
+                                          self.assets.scale, hd, final)
+        sh2d, _ = geometry.project_shoulders(
+            K, jnp.asarray(self.assets.shoulder3D), hd[:, 3:],
+            jnp.asarray(self.assets.ref_trans), a2h.shoulder_amp)
+
+        frames = _render_ready(self.cfg, self.assets, self.models, lm2d, sh2d,
+                               self.render_batch)
+        self._emitted_frames += n
+        return frames
+
+    # -- public API ---------------------------------------------------------
+
+    def push_audio(self, samples: np.ndarray) -> np.ndarray:
+        """Feed raw 16 kHz samples; returns any newly determined frames
+        [n, H, W, 3] uint8 (possibly empty)."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed")
+        self._audio = np.concatenate([self._audio, np.asarray(samples, np.float32)])
+        self._total_samples = len(self._audio)
+        self._advance_mel_apc(flush=False)
+        self._advance_a2f(flush=False)
+        self._advance_a2h(flush=False)
+        mouth_sm, rot_sm, trans_sm = self._advance_post()
+        return self._finalize_frames(mouth_sm, rot_sm, trans_sm)
+
+    def flush(self) -> np.ndarray:
+        """Signal end of stream; returns the remaining frames."""
+        self._flushed = True
+        self._advance_mel_apc(flush=True)
+        self._advance_a2f(flush=True)
+        self._advance_a2h(flush=True)
+        m1, r1, t1 = self._advance_post()
+        m2, r2, t2 = self._flush_post()
+        mouth = np.concatenate([m1, m2]) if len(m2) else m1
+        rot = np.concatenate([r1, r2]) if len(r2) else r1
+        trans = np.concatenate([t1, t2]) if len(t2) else t1
+        return self._finalize_frames(mouth, rot, trans)
+
+
+@jax.jit
+def _deintersect_per_frame(pts3d: jnp.ndarray) -> jnp.ndarray:
+    """Causal lip de-intersection: per-frame mean overlap for the outer
+    lips instead of the offline global mean (see module docstring)."""
+    from livespeechportraits_tpu.ops import smoothing as S
+
+    ui = jnp.asarray(S.UPPER_INNER_LIP)
+    li = jnp.asarray(S.LOWER_INNER_LIP)
+    uo = jnp.asarray(S.UPPER_OUTER_LIP)
+    lo = jnp.asarray(S.LOWER_OUTER_LIP)
+    upper_y = pts3d[:, ui, 1]
+    lower_y = pts3d[:, li, 1]
+    flip = ((lower_y > upper_y).sum(axis=1) == 3)[:, None]
+    diff_half = (lower_y - upper_y) * 0.5
+    frame_mean = diff_half.mean(axis=1, keepdims=True)
+    pts3d = pts3d.at[:, ui, 1].add(jnp.where(flip, diff_half, 0.0))
+    pts3d = pts3d.at[:, li, 1].add(jnp.where(flip, -diff_half, 0.0))
+    pts3d = pts3d.at[:, uo, 1].add(jnp.where(flip, frame_mean, 0.0))
+    pts3d = pts3d.at[:, lo, 1].add(jnp.where(flip, -frame_mean, 0.0))
+    return pts3d
+
+
+def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch) -> np.ndarray:
+    """Render a variable number of ready frames in fixed-size batches."""
+    n = lm2d.shape[0]
+    H = W = cfg.feature2face.load_size
+    if assets.image_pad is not None:
+        top, bottom, left, right = assets.image_pad
+        sh2d = sh2d + jnp.asarray([right - left, top - bottom], jnp.float32)
+    cand = jnp.asarray(assets.candidate_images)
+    cand_stack = jnp.concatenate(list(cand), axis=-1)
+    compute_dtype = jnp.bfloat16 if cfg.feature2face.precision == "bfloat16" else None
+    if rasterize_pallas.supports_pallas():
+        rasterize_fn = rasterize_pallas.rasterize_feature_maps_pallas
+    else:
+        rasterize_fn = rasterize.rasterize_feature_maps
+
+    pad_to = -(-n // render_batch) * render_batch if n else 0
+    if pad_to == 0:
+        return np.zeros((0, H, W, 3), np.uint8)
+    lm = jnp.concatenate([lm2d, jnp.broadcast_to(lm2d[-1:], (pad_to - n, 73, 2))])
+    sh = jnp.concatenate([sh2d, jnp.broadcast_to(sh2d[-1:], (pad_to - n,) + sh2d.shape[1:])])
+    outs = []
+    for s in range(0, pad_to, render_batch):
+        edge = rasterize_fn(lm[s : s + render_batch], sh[s : s + render_batch], (H, W))
+        inp = jnp.concatenate(
+            [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
+            axis=-1)
+        outs.append(_jit_render(models.feature2face["net"],
+                                models.feature2face["size"], inp, compute_dtype))
+    return np.concatenate([np.asarray(o) for o in outs])[:n]

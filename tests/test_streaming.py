@@ -1,0 +1,84 @@
+"""Streaming mode must reproduce the offline pipeline frame-for-frame."""
+
+import numpy as np
+import jax
+import pytest
+
+from livespeechportraits_tpu.pipeline import animate as animate_mod
+from livespeechportraits_tpu.pipeline import assets as assets_mod
+from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator, _StreamSmoother
+from tests.test_pipeline import tiny_person, _sine_audio
+
+
+@pytest.fixture(scope="module")
+def person():
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=64, bank_size=64)
+    return cfg, a, m
+
+
+def test_stream_smoother_matches_offline_gaussian():
+    from scipy.ndimage import gaussian_filter1d as sg
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 3)).astype(np.float32)
+    sm = _StreamSmoother(2.0)
+    outs = []
+    for lo in range(0, 50, 7):  # odd-sized pushes
+        outs.append(sm.push(x[lo : lo + 7]))
+    outs.append(sm.flush())
+    ours = np.concatenate([o for o in outs if len(o)])
+    ref = sg(x, 2.0, axis=0)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_streaming_matches_offline(person):
+    cfg, a, m = person
+    audio = _sine_audio(1.2)
+    offline = animate_mod.animate(cfg, a, m, audio, seed=5, render_batch=4)
+
+    stream = StreamingAnimator(cfg, a, m, seed=5, chunk=16, render_batch=4)
+    frames = []
+    # push in awkward chunk sizes (not frame-aligned)
+    for lo in range(0, len(audio), 3001):
+        out = stream.push_audio(audio[lo : lo + 3001])
+        if len(out):
+            frames.append(out)
+    out = stream.flush()
+    if len(out):
+        frames.append(out)
+    streamed = np.concatenate(frames)
+
+    assert streamed.shape == offline.frames.shape, (
+        streamed.shape, offline.frames.shape)
+    # uint8 frames may differ by 1 on float ties between batch shapes
+    diff = np.abs(streamed.astype(int) - offline.frames.astype(int))
+    assert diff.max() <= 1, f"max frame diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01
+
+
+def test_streaming_incremental_emission(person):
+    """Frames must come out during the stream, not only at flush."""
+    cfg, a, m = person
+    audio = _sine_audio(1.5)
+    stream = StreamingAnimator(cfg, a, m, seed=0, chunk=16, render_batch=4)
+    mid = stream.push_audio(audio[: len(audio) // 2])
+    mid2 = stream.push_audio(audio[len(audio) // 2 :])
+    tail = stream.flush()
+    emitted_early = len(mid) + len(mid2)
+    assert emitted_early > 0, "no frames emitted before flush"
+    total = emitted_early + len(tail)
+    expected = int(len(audio) / 16000 * 60) - cfg.audio2headpose.frame_future
+    assert total == expected
+    assert stream.latency_frames < expected  # latency bounded
+
+
+def test_streaming_rejects_push_after_flush(person):
+    cfg, a, m = person
+    stream = StreamingAnimator(cfg, a, m)
+    stream.push_audio(_sine_audio(0.5))
+    stream.flush()
+    with pytest.raises(RuntimeError):
+        stream.push_audio(np.zeros(100, np.float32))
