@@ -35,6 +35,9 @@ def main() -> None:
                         help="override render resolution (synthetic only; 0 = config)")
     parser.add_argument("--duration", type=float, default=0.0,
                         help="optional cap on driving-audio seconds (0 = full)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="drive the live streaming pipeline (audio pushed "
+                             "in 100ms chunks, frames emitted incrementally)")
     args = parser.parse_args()
 
     from livespeechportraits_tpu.config import (
@@ -86,6 +89,31 @@ def main() -> None:
 
     print(f"Animating {len(audio)/16000:.2f}s of audio for '{args.id}' ...")
     t0 = time.perf_counter()
+    if args.streaming:
+        from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
+
+        stream = StreamingAnimator(cfg, person_assets, person_models,
+                                   seed=args.seed, render_batch=args.render_batch)
+        chunks, first_frame_at = [], None
+        for lo in range(0, len(audio), 1600):  # 100 ms pushes
+            out = stream.push_audio(audio[lo : lo + 1600])
+            if len(out):
+                if first_frame_at is None:
+                    first_frame_at = time.perf_counter() - t0
+                chunks.append(out)
+        tail = stream.flush()
+        if len(tail):
+            chunks.append(tail)
+        frames = np.concatenate(chunks)
+        wall = time.perf_counter() - t0
+        print(f"streaming: first frame after {first_frame_at:.2f}s "
+              f"(algorithmic latency {stream.latency_frames} frames); "
+              f"{len(frames)} frames in {wall:.2f}s -> {len(frames)/wall:.1f} fps")
+        out_path = join(save_root, audio_name + "_streamed.avi")
+        video_mod.write_video(frames, out_path, audio)
+        print(f"wrote {out_path}")
+        return
+
     result = animate_mod.animate(
         cfg, person_assets, person_models, audio,
         seed=args.seed, render_batch=args.render_batch,
