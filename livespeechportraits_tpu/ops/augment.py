@@ -21,7 +21,7 @@ time stretching) so no external binaries are needed:
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.signal import resample_poly

@@ -30,10 +30,8 @@ import numpy as np
 
 from livespeechportraits_tpu.config import (
     EYE_BROW_INDICES,
-    FPS,
     MOUTH_INDICES,
     PersonConfig,
-    SAMPLE_RATE,
 )
 from livespeechportraits_tpu.models import apc as apc_model
 from livespeechportraits_tpu.models import audio2feature as a2f_model

@@ -13,17 +13,13 @@ released checkpoint (SURVEY.md §7 'minimum end-to-end slice').
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 import numpy as np
 import jax
 
-from livespeechportraits_tpu.config import (
-    EYE_BROW_INDICES,
-    MOUTH_INDICES,
-    PersonConfig,
-)
+from livespeechportraits_tpu.config import EYE_BROW_INDICES, PersonConfig
 from livespeechportraits_tpu.models import apc, audio2feature, audio2headpose, feature2face
 from livespeechportraits_tpu.utils import torch_convert
 

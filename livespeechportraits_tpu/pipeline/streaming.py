@@ -27,7 +27,7 @@ is non-causal; streaming uses each frame's own mean overlap.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ forward's auxiliary output back in (`merge_bn_stats`).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ XLA, no DataParallel wrapper, no dummy-batch padding
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,8 @@ Visualizer scalar/loss logging, linear LR schedule with resume.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterable, Optional
+from dataclasses import dataclass
+from typing import Any, Optional
 
 import jax
 import numpy as np
