@@ -239,6 +239,28 @@ def init_audio2headpose_lstm(key: jax.Array, cfg: Audio2HeadposeConfig) -> Dict[
     }
 
 
+def generate_sequence_lstm(
+    params: Dict[str, Any],
+    cfg: Audio2HeadposeConfig,
+    audio_feats: jnp.ndarray,
+    key: jax.Array,
+    sigma_scale: float = 0.3,
+) -> jnp.ndarray:
+    """One-shot (non-autoregressive) LSTM-variant inference
+    (audio2headpose_model.py:191-203): the whole utterance in one forward,
+    GMM-sampled per frame.
+
+    Args:
+        audio_feats: [2T, 512] 120 Hz APC features.
+    Returns:
+        [T, ndim] sampled pose sequence.
+    """
+    T = audio_feats.shape[0] // 2
+    paired = audio_feats[: 2 * T].reshape(T, -1)[None]
+    preds, _ = apply_audio2headpose_lstm(params, paired, training=False)
+    return gmm.sample_gmm(key, preds, cfg.ncenter, cfg.ndim, sigma_scale=sigma_scale)[0]
+
+
 def apply_audio2headpose_lstm(
     params: Dict[str, Any], audio_feats: jnp.ndarray, training: bool = False
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:

@@ -1,1 +1,1 @@
-from livespeechportraits_tpu.parallel import mesh, sharding  # noqa: F401
+from livespeechportraits_tpu.parallel import mesh, multihost, sharding  # noqa: F401

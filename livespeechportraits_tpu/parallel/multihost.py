@@ -1,0 +1,57 @@
+"""Multi-host runtime initialisation.
+
+The reference's multi-process path is a dormant DDP branch that crashes as
+written (networks.py:395-398 calls `net()` on a module; SURVEY.md §2.2).
+Here multi-host is the standard JAX runtime: call `initialize()` once per
+process, build the same (data, model) mesh over `jax.devices()` (which
+then spans all hosts), and run the same pjit programs - XLA routes
+collectives over ICI within a slice and DCN across slices based on the
+sharding layout.  No wrapper modules, no rank-conditional code.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialise jax.distributed (no-op on single-process runs).
+
+    On Cloud TPU the arguments are auto-detected from the metadata server;
+    elsewhere pass coordinator 'host:port', the process count and this
+    process's id (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID).
+    """
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        return  # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The rows of a global batch this host should feed its local devices
+    (hosts load disjoint shards; jax.make_array_from_process_local_data or
+    device_put with a NamedSharding assembles the global array)."""
+    per = global_batch // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

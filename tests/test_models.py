@@ -169,3 +169,23 @@ def test_audio2headpose_lstm_variant():
     audio = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
     preds, _ = audio2headpose.apply_audio2headpose_lstm(params, audio)
     assert preds.shape == (2, 7, TINY_A2H.gmm_output_dim)
+
+
+def test_audio2headpose_lstm_generate():
+    params = audio2headpose.init_audio2headpose_lstm(jax.random.PRNGKey(0), TINY_A2H)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (20, 8))
+    out = audio2headpose.generate_sequence_lstm(params, TINY_A2H, feats, jax.random.PRNGKey(2))
+    assert out.shape == (10, TINY_A2H.ndim)
+    out0 = audio2headpose.generate_sequence_lstm(params, TINY_A2H, feats,
+                                                 jax.random.PRNGKey(3), sigma_scale=0.0)
+    out1 = audio2headpose.generate_sequence_lstm(params, TINY_A2H, feats,
+                                                 jax.random.PRNGKey(4), sigma_scale=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    from livespeechportraits_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single process
+    assert multihost.is_primary()
+    assert multihost.local_batch_slice(16) == slice(0, 16)
