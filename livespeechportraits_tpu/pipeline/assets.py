@@ -105,7 +105,8 @@ def load_person_models(cfg: PersonConfig) -> PersonModels:
         apc=torch_convert.convert_apc(sd_apc, cfg.apc),
         audio2feature=torch_convert.convert_audio2feature(sd_a2f, cfg.audio2feature),
         audio2headpose=torch_convert.convert_audio2headpose(sd_a2h, cfg.audio2headpose),
-        feature2face=torch_convert.convert_feature2face_g(sd_f2f, cfg.feature2face.size),
+        feature2face=torch_convert.convert_feature2face_g(
+            sd_f2f, cfg.feature2face.size, num_downs=cfg.feature2face.n_downsample),
     )
 
 
