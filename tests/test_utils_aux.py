@@ -132,3 +132,33 @@ def test_metrics():
     d_diff = metrics.perceptual_distance(vgg, x, y)
     assert d_same == pytest.approx(0.0, abs=1e-6)
     assert d_diff > d_same
+
+
+def test_gan_loss_modes():
+    from livespeechportraits_tpu.models import losses as L
+    import jax.numpy as jnp
+
+    logits = [[jnp.zeros((2, 4, 4, 1))], [jnp.ones((2, 2, 2, 1))]]
+    for mode in ["ls", "original", "hinge"]:
+        d_real = float(L.gan_loss(logits, True, mode, for_discriminator=True))
+        d_fake = float(L.gan_loss(logits, False, mode, for_discriminator=True))
+        g = float(L.gan_loss(logits, True, mode, for_discriminator=False))
+        assert np.isfinite([d_real, d_fake, g]).all()
+    # LS specifics: real target 1 on zero logits -> MSE 1 per scale
+    assert float(L.gan_loss([[jnp.zeros((1, 2, 2, 1))]], True, "ls")) == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        L.gan_loss(logits, True, "nope")
+
+
+def test_vgg_style_loss_runs():
+    from livespeechportraits_tpu.models import losses as L
+    import jax.numpy as jnp
+
+    vgg = L.init_vgg19()
+    x = jnp.zeros((1, 64, 64, 3))
+    y = jnp.ones((1, 64, 64, 3)) * 0.5
+    p, s = L.vgg_style_loss(vgg, x, y)
+    assert float(p) > 0 and float(s) >= 0
+    p_same, s_same = L.vgg_style_loss(vgg, x, x)
+    assert float(p_same) == pytest.approx(0.0, abs=1e-6)
+    assert float(s_same) == pytest.approx(0.0, abs=1e-4)
