@@ -35,6 +35,7 @@ def knn_indices(feats: jnp.ndarray, feat_database: jnp.ndarray, K: int = 10) -> 
     Returns:
         [T, K] int32 indices.
     """
+    K = min(K, feat_database.shape[0])  # banks smaller than K degrade gracefully
     q_norm = jnp.sum(feats**2, axis=-1, keepdims=True)  # [T, 1]
     b_norm = jnp.sum(feat_database**2, axis=-1)  # [N]
     dist = q_norm + b_norm[None, :] - 2.0 * jnp.matmul(feats, feat_database.T, precision=jax.lax.Precision.HIGHEST)

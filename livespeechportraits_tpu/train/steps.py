@@ -126,6 +126,7 @@ def make_f2f_steps(
     tx_d: optax.GradientTransformation,
     vgg_params: Optional[Any] = None,
     compute_dtype=None,
+    remat: bool = False,
 ):
     """Returns (d_step, g_step).
 
@@ -134,6 +135,16 @@ def make_f2f_steps(
     Generator TrainState.params holds the *net* subtree only (the `size`
     tag is static here).  The reference's fp16 GradScaler dance is
     unnecessary: bf16 on TPU keeps fp32 range.
+
+    remat=True rematerialises the generator forward in the backward pass
+    (jax.checkpoint) - trades ~1/3 more FLOPs for activation memory, the
+    lever for 512^2 training at larger per-chip batches.
+
+    Note on batch-norm semantics under data parallelism: with a
+    `data`-sharded global batch, GSPMD computes GLOBAL batch statistics
+    (sync-BN).  torch DataParallel computes per-replica statistics; sync-BN
+    is the strictly better-behaved variant, documented as an intended
+    divergence.
     """
     gan_mode = cfg.gan_mode
     size = cfg.size
@@ -142,9 +153,17 @@ def make_f2f_steps(
         """g_net is the generator's `net` subtree (no metadata leaves -
         the `size` string stays static via this closure)."""
         inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]], axis=-1)
-        fake, aux = f2f.apply_generator({"net": g_net, "size": size}, inp,
-                                        training=training, compute_dtype=compute_dtype)
-        return inp, fake, aux["net"]
+
+        def fwd(net, x):
+            fake, aux = f2f.apply_generator({"net": net, "size": size}, x,
+                                            training=training,
+                                            compute_dtype=compute_dtype)
+            return fake, aux["net"]
+
+        if remat:
+            fwd = jax.checkpoint(fwd, static_argnums=())
+        fake, aux_net = fwd(g_net, inp)
+        return inp, fake, aux_net
 
     def d_loss_fn(d_params, g_net, batch):
         inp, fake, _ = g_forward(g_net, batch, training=False)

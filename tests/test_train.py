@@ -238,3 +238,30 @@ def test_checkpoint_roundtrip(tmp_path):
     r_params = restored["a2f"]["params"]
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(r_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_f2f_remat_step_matches_plain():
+    """jax.checkpoint'd generator forward yields the same update."""
+    import optax
+
+    kg, kd = jax.random.split(jax.random.PRNGKey(3))
+    g = feature2face.init_generator(kg, F2F_CFG)
+    d = feature2face.init_discriminator(kd, F2F_CFG)
+    tx = optax.sgd(0.01)
+    rng = np.random.default_rng(4)
+    B, H = 2, 32
+    batch = {
+        "feature_map": jnp.asarray(rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32)),
+        "cand_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32)),
+        "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
+    }
+    outs = []
+    for remat in [False, True]:
+        g_state = state_mod.create_state(g["net"], tx)
+        d_state = state_mod.create_state(d, tx)
+        _, g_step = steps.make_f2f_steps(F2F_CFG, tx, tx, remat=remat)
+        g_state, m = g_step(g_state, d_state.params, batch)
+        outs.append((float(m["loss_G"]), g_state.params))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
