@@ -39,7 +39,7 @@ def main() -> None:
     from livespeechportraits_tpu.pipeline import assets as assets_mod
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
-    render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     cfg = PersonConfig(
         name="BenchMay",

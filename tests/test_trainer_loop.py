@@ -44,3 +44,43 @@ def test_train_audio2feature_loop_and_resume(tmp_path):
     )
     st2 = trainer.train_audio2feature(cfg, loop2, sampler)
     assert int(st2.step) > int(st.step)  # kept training from the restore
+
+
+def test_train_then_animate(tmp_path):
+    """Params trained here drop straight into the inference pipeline."""
+    import jax
+    from livespeechportraits_tpu.train import state as state_mod, steps
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from tests.test_pipeline import tiny_person, _sine_audio
+    import optax
+
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=64, bank_size=64)
+    # a few GAN steps on synthetic face data at the pipeline's size
+    from livespeechportraits_tpu.models import feature2face
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(0)
+    H = 64
+    images = rng.integers(0, 255, (70, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(10, 54, (70, 73, 2)).astype(np.float32)
+    sh = rng.uniform(10, 54, (18, 2)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, a.candidate_images, load_size=H)
+
+    tx = optax.adam(2e-4, b1=0.5)
+    d = feature2face.init_discriminator(jax.random.PRNGKey(1), cfg.feature2face)
+    g_state = state_mod.create_state(m.feature2face["net"], tx)
+    d_state = state_mod.create_state(d, tx)
+    d_step, g_step = steps.make_f2f_steps(cfg.feature2face, tx, tx)
+    for batch in sampler.batches(2, rng):
+        d_state, _ = d_step(d_state, g_state.params, batch)
+        g_state, _ = g_step(g_state, d_state.params, batch)
+        break
+
+    # trained generator params back into the inference pipeline
+    m.feature2face = {"net": g_state.params, "size": cfg.feature2face.size}
+    res = animate_mod.animate(cfg, a, m, _sine_audio(0.6), seed=0, render_batch=4)
+    assert res.frames.shape[1:] == (64, 64, 3)
+    assert np.isfinite(res.landmarks).all()
