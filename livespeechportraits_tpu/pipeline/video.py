@@ -67,8 +67,11 @@ def write_video(
         raise RuntimeError("cv2 unavailable; cannot write video")
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     T, H, W, _ = frames.shape
-    tmp_path = output_path + ".tmp.avi"
-    out = cv2.VideoWriter(tmp_path, cv2.VideoWriter_fourcc(*"DIVX"), fps, (W, H))
+    # container follows the extension: DIVX avi (reference demo.py:36) or
+    # mp4v mp4 (the reference's predict.py re-encodes to mp4, 274-281)
+    fourcc = "mp4v" if output_path.lower().endswith(".mp4") else "DIVX"
+    tmp_path = output_path + ".tmp" + os.path.splitext(output_path)[1]
+    out = cv2.VideoWriter(tmp_path, cv2.VideoWriter_fourcc(*fourcc), fps, (W, H))
     for t in range(T):
         out.write(cv2.cvtColor(frames[t], cv2.COLOR_RGB2BGR))
     out.release()

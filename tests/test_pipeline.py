@@ -98,3 +98,14 @@ def test_wav_resample(tmp_path):
     wavfile.write(p, sr_in, (audio * 32767).astype(np.int16))
     out = video_mod.load_wav(p, 16000)
     assert abs(out.shape[0] - int(0.25 * 16000)) <= 2
+
+
+def test_write_video_mp4(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (10, 32, 32, 3), dtype=np.uint8)
+    out = video_mod.write_video(frames, str(tmp_path / "o.mp4"), _sine_audio(10 / 60))
+    assert os.path.exists(out) and out.endswith(".mp4")
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
