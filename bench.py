@@ -39,7 +39,7 @@ def main() -> None:
     from livespeechportraits_tpu.pipeline import assets as assets_mod
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
-    render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -58,7 +58,7 @@ def main() -> None:
     # barrier per stage so the attribution is truthful (block_until_ready
     # is unreliable over the tunnelled backend).
     warm = animate_mod.animate(cfg, person_assets, person_models, audio,
-                               seed=0, render_batch=render_batch)
+                               seed=0, render_batch=render_batch, profile=True)
     result = animate_mod.animate(cfg, person_assets, person_models, audio,
                                  seed=0, render_batch=render_batch, profile=True)
 

@@ -104,7 +104,7 @@ def compute_motion(
     t0 = time.perf_counter()
     if cfg.apc.use_LLE:
         feats = manifold.lle_project(
-            feats, jnp.asarray(assets.apc_feature_base),
+            feats, assets.device("apc_feature_base"),
             K=cfg.apc.Knear, percent=cfg.apc.LLE_percent,
         )
         if profile:
@@ -140,14 +140,14 @@ def compute_motion(
         cfg,
         pred_feat[:nframe],
         pred_head[:nframe],
-        jnp.asarray(assets.mean_pts3d),
-        jnp.asarray(assets.std_mean_pts3d),
-        jnp.asarray(assets.mean_translation),
-        jnp.asarray(assets.candidate_eye_brow),
+        assets.device("mean_pts3d"),
+        assets.device("std_mean_pts3d"),
+        assets.device("mean_translation"),
+        assets.device("candidate_eye_brow"),
         jnp.asarray(brow_idx),
-        jnp.asarray(assets.camera_intrinsic),
-        jnp.asarray(assets.shoulder3D),
-        jnp.asarray(assets.ref_trans),
+        assets.device("camera_intrinsic"),
+        assets.device("shoulder3D"),
+        assets.device("ref_trans"),
         assets.scale,
     )
     if profile:
@@ -218,7 +218,7 @@ def render_frames(
             [right - left, top - bottom], jnp.float32
         )
 
-    cand = jnp.asarray(assets.candidate_images)  # [4, H, W, 3]
+    cand = assets.device("candidate_images")  # [4, H, W, 3]
     cand_stack = jnp.concatenate(list(cand), axis=-1)  # [H, W, 12]
     compute_dtype = (
         jnp.bfloat16 if cfg.feature2face.precision == "bfloat16" else None

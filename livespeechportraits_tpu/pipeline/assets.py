@@ -41,6 +41,17 @@ class PersonAssets:
     scale: float  # id_scale
     image_pad: Optional[tuple] = None  # (top, bottom, left, right) or None
 
+    def device(self, name: str):
+        """Device-resident view of an array field, uploaded once and cached
+        (the LLE bank and candidate images are MBs; re-uploading them per
+        animate() call would dominate several pipeline stages)."""
+        import jax.numpy as jnp
+
+        cache = self.__dict__.setdefault("_device_cache", {})
+        if name not in cache:
+            cache[name] = jnp.asarray(getattr(self, name))
+        return cache[name]
+
 
 @dataclass
 class PersonModels:
