@@ -265,3 +265,19 @@ def test_f2f_remat_step_matches_plain():
     assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
     for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prefetch_iterator():
+    from livespeechportraits_tpu.train.prefetch import prefetch
+
+    out = list(prefetch(iter(range(10)), size=3, transform=lambda x: x * 2))
+    assert out == [i * 2 for i in range(10)]
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker failed")
+
+    it = prefetch(boom(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)
