@@ -27,23 +27,32 @@ from livespeechportraits_tpu.ops import rasterize as rast_xla
 # Pad segment tables to a lane-friendly width.
 SEG_PAD = 128
 TILE_H = 128
+# Full-width tiles measured fastest at 512^2 (column tiling doubles the
+# grid-step overhead for less culling win than row tiling already gives);
+# the kernel supports narrower tiles for wider canvases.
+TILE_W = 512
 
 
-def _kernel(seg_ref, out_ref, *, radius: float, n_seg: int, tile_h: int, width: int):
-    """One (frame, row-tile) program: fold every segment into the tile.
+def _kernel(seg_ref, out_ref, *, radius: float, n_seg: int, tile_h: int, tile_w: int):
+    """One (frame, row-tile, col-tile) program: fold every segment into
+    the tile.
 
-    Segments whose y-extent misses this row tile are skipped with a scalar
-    branch (faces cluster vertically, so most segments touch only 1-2 of
-    the row tiles)."""
+    Segments whose x/y bounding box misses this tile are skipped with a
+    scalar branch (faces cluster spatially, so most segments touch only a
+    couple of tiles)."""
     tile_row = pl.program_id(1)
+    tile_col = pl.program_id(2)
     y0 = tile_row * tile_h
+    x0 = tile_col * tile_w
     # tpu.iota only produces integers; cast to f32 afterwards.
-    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0).astype(jnp.float32) + jnp.float32(y0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32) + jnp.float32(y0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32) + jnp.float32(x0)
 
     r2 = jnp.float32(radius * radius)
-    tile_lo = jnp.float32(y0) - jnp.float32(radius)
-    tile_hi = jnp.float32(y0 + tile_h - 1) + jnp.float32(radius)
+    y_lo = jnp.float32(y0) - jnp.float32(radius)
+    y_hi = jnp.float32(y0 + tile_h - 1) + jnp.float32(radius)
+    x_lo = jnp.float32(x0) - jnp.float32(radius)
+    x_hi = jnp.float32(x0 + tile_w - 1) + jnp.float32(radius)
 
     def body(s, acc):
         ax = seg_ref[0, s, 0]
@@ -64,12 +73,14 @@ def _kernel(seg_ref, out_ref, *, radius: float, n_seg: int, tile_h: int, width: 
             d2 = ex * ex + ey * ey
             return jnp.maximum(acc, jnp.where(d2 <= r2, 1.0, 0.0))
 
-        ymin = jnp.minimum(ay, by)
-        ymax = jnp.maximum(ay, by)
-        touches = jnp.logical_and(ymax >= tile_lo, ymin <= tile_hi)
-        return jax.lax.cond(touches, hit, lambda _: acc, None)
+        touches_y = jnp.logical_and(jnp.maximum(ay, by) >= y_lo,
+                                    jnp.minimum(ay, by) <= y_hi)
+        touches_x = jnp.logical_and(jnp.maximum(ax, bx) >= x_lo,
+                                    jnp.minimum(ax, bx) <= x_hi)
+        return jax.lax.cond(jnp.logical_and(touches_y, touches_x),
+                            hit, lambda _: acc, None)
 
-    acc = jax.lax.fori_loop(0, n_seg, body, jnp.zeros((tile_h, width), jnp.float32))
+    acc = jax.lax.fori_loop(0, n_seg, body, jnp.zeros((tile_h, tile_w), jnp.float32))
     out_ref[0, :, :] = acc
 
 
@@ -90,20 +101,22 @@ def rasterize_segments_pallas(
         pad = jnp.full((T, SEG_PAD - S, 4), -1e6, segments.dtype)
         segments = jnp.concatenate([segments, pad], axis=1)
     tile_h = min(TILE_H, height)
-    n_tiles = -(-height // tile_h)
+    tile_w = min(TILE_W, width)
+    n_rows = -(-height // tile_h)
+    n_cols = -(-width // tile_w)
 
     kernel = functools.partial(
-        _kernel, radius=radius, n_seg=SEG_PAD, tile_h=tile_h, width=width
+        _kernel, radius=radius, n_seg=SEG_PAD, tile_h=tile_h, tile_w=tile_w
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, height, width), jnp.float32),
-        grid=(T, n_tiles),
+        grid=(T, n_rows, n_cols),
         in_specs=[
-            pl.BlockSpec((1, SEG_PAD, 4), lambda t, i: (t, 0, 0),
+            pl.BlockSpec((1, SEG_PAD, 4), lambda t, i, j: (t, 0, 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, width), lambda t, i: (t, i, 0),
+        out_specs=pl.BlockSpec((1, tile_h, tile_w), lambda t, i, j: (t, i, j),
                                memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(segments)
