@@ -36,8 +36,17 @@ class Predictor:
     """Load-once / predict-many serving object (predict.py Predictor parity)."""
 
     def __init__(self, max_audio_seconds: float = 10.0,
-                 results_dir: Optional[str] = None):
+                 results_dir: Optional[str] = None,
+                 bucket_seconds: float = 1.0):
+        """bucket_seconds > 0 pads each request's audio up to the next
+        bucket so every pipeline program compiles once per bucket instead
+        of once per audio length (XLA shapes are static); outputs are
+        trimmed to the true frame count.  The padding only perturbs the
+        final ~0.6 s of a clip (mouth frame_future lookahead + smoothing
+        tails read zero-padded audio instead of repeat-padding); set 0 for
+        bit-exact offline behaviour."""
         self.max_audio_seconds = max_audio_seconds
+        self.bucket_seconds = bucket_seconds
         self.results_dir = results_dir or tempfile.mkdtemp(prefix="lsp_serve_")
         self._person: Optional[str] = None
         self._cfg: Optional[PersonConfig] = None
@@ -87,11 +96,20 @@ class Predictor:
         if audio.shape[0] > cap:  # trim like predict.py:145-153
             audio = audio[:cap]
 
+        true_audio = audio
+        true_frames = int(len(true_audio) / 16000 * 60) - \
+            self._cfg.audio2headpose.frame_future
+        if self.bucket_seconds > 0:
+            bucket = int(self.bucket_seconds * 16000)
+            padded = -(-len(audio) // bucket) * bucket
+            audio = np.pad(audio, (0, padded - len(audio)))
+
         t0 = time.perf_counter()
         result = animate_mod.animate(self._cfg, self._assets, self._models,
                                      audio, seed=seed, render_batch=render_batch)
         wall = time.perf_counter() - t0
+        frames = result.frames[:true_frames]
         out_path = os.path.join(self.results_dir, f"{name}.avi")
-        video_mod.write_video(result.frames, out_path, audio)
-        return PredictResult(video_path=out_path, nframe=result.nframe,
+        video_mod.write_video(frames, out_path, true_audio)
+        return PredictResult(video_path=out_path, nframe=len(frames),
                              wall_s=wall, stage_ms=result.stage_ms)

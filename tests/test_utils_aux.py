@@ -162,3 +162,20 @@ def test_vgg_style_loss_runs():
     p_same, s_same = L.vgg_style_loss(vgg, x, x)
     assert float(p_same) == pytest.approx(0.0, abs=1e-6)
     assert float(s_same) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_serve_bucketing_reuses_compiled_shapes(tmp_path):
+    """Different audio lengths within a bucket hit identical pipeline
+    shapes (no per-length recompiles) and still emit the right frame count."""
+    from livespeechportraits_tpu.serve import Predictor
+
+    p = Predictor(max_audio_seconds=3.0, results_dir=str(tmp_path / "s"),
+                  bucket_seconds=1.0)
+    p.setup("Synthetic", image_size=64)
+    for seconds in [0.8, 0.95]:  # both pad to the 1 s bucket
+        t = np.arange(int(seconds * 16000)) / 16000
+        audio = (0.3 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+        res = p.predict(audio, render_batch=4)
+        expected = int(seconds * 60) - 15  # default frame_future
+        assert res.nframe == expected
+        assert os.path.exists(res.video_path)
