@@ -175,9 +175,19 @@ class _StreamSmoother:
     same reflect padding as the offline call; flush() reflects the right
     boundary."""
 
-    def __init__(self, sigma: float):
+    def __init__(self, sigma: float, max_radius: Optional[int] = None):
         self.kernel = _gaussian_kernel(sigma) if sigma > 0 else None
         self.radius = (len(self.kernel) // 2) if self.kernel is not None else 0
+        if max_radius is not None and self.kernel is not None and self.radius > max_radius:
+            # Truncate the look-AHEAD side only: the causal (past) half keeps
+            # its full extent, the future half is cut at max_radius and the
+            # kernel renormalised.  Latency drops to max_radius frames at the
+            # cost of slightly less smoothing right of centre.
+            k = self.kernel[: self.radius + max_radius + 1]
+            self.kernel = (k / k.sum()).astype(np.float32)
+            self.future = max_radius
+        else:
+            self.future = self.radius
         self.buf: List[np.ndarray] = []
         self.emitted = 0
 
@@ -199,7 +209,7 @@ class _StreamSmoother:
         """rows: [n, ...] new raw values; returns newly determined smoothed
         rows (possibly empty)."""
         self.buf.extend(np.asarray(r) for r in rows)
-        ready_until = len(self.buf) - self.radius  # exclusive
+        ready_until = len(self.buf) - self.future  # exclusive
         out = [self._window(t) for t in range(self.emitted, max(self.emitted, ready_until))]
         self.emitted = max(self.emitted, ready_until)
         return np.stack(out) if out else np.zeros((0,) + np.shape(self.buf[0]), np.float32)
@@ -215,7 +225,12 @@ class StreamingAnimator:
 
     def __init__(self, cfg: PersonConfig, assets: PersonAssets,
                  models: PersonModels, seed: int = 0, chunk: int = 32,
-                 render_batch: int = 4):
+                 render_batch: int = 4,
+                 smooth_latency_cap: Optional[int] = None):
+        """smooth_latency_cap (frames) truncates the smoothers' look-ahead
+        for lower live latency (the offline pipeline's head-pose smoothing
+        alone looks 40 frames = 0.67 s into the future); None keeps
+        offline-exact output."""
         self.cfg = cfg
         self.assets = assets
         self.models = models
@@ -245,9 +260,10 @@ class StreamingAnimator:
         self._head_raw: List[np.ndarray] = []  # raw A2H samples
         self._decoded = 0
 
-        self._mouth_smooth = _StreamSmoother(cfg.audio2feature.smooth_sigma)
-        self._rot_smooth = _StreamSmoother(a2h.smooth_sigmas[0])
-        self._trans_smooth = _StreamSmoother(a2h.smooth_sigmas[1])
+        cap = smooth_latency_cap
+        self._mouth_smooth = _StreamSmoother(cfg.audio2feature.smooth_sigma, cap)
+        self._rot_smooth = _StreamSmoother(a2h.smooth_sigmas[0], cap)
+        self._trans_smooth = _StreamSmoother(a2h.smooth_sigmas[1], cap)
         self._mouth_ready: List[np.ndarray] = []
         self._rot_ready: List[np.ndarray] = []
         self._trans_ready: List[np.ndarray] = []
@@ -258,8 +274,8 @@ class StreamingAnimator:
 
     @property
     def latency_frames(self) -> int:
-        return max(self.ff_m + self._mouth_smooth.radius,
-                   self.ff_h + max(self._rot_smooth.radius, self._trans_smooth.radius))
+        return max(self.ff_m + self._mouth_smooth.future,
+                   self.ff_h + max(self._rot_smooth.future, self._trans_smooth.future))
 
     # -- stage advancement --------------------------------------------------
 

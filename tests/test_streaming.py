@@ -82,3 +82,19 @@ def test_streaming_rejects_push_after_flush(person):
     stream.flush()
     with pytest.raises(RuntimeError):
         stream.push_audio(np.zeros(100, np.float32))
+
+
+def test_streaming_latency_cap(person):
+    """Capping smoother look-ahead cuts latency; output stays finite and
+    frame counts match the offline pipeline."""
+    cfg, a, m = person
+    audio = _sine_audio(1.2)
+    exact = StreamingAnimator(cfg, a, m, seed=2, chunk=16, render_batch=4)
+    fast = StreamingAnimator(cfg, a, m, seed=2, chunk=16, render_batch=4,
+                             smooth_latency_cap=5)
+    assert fast.latency_frames < exact.latency_frames
+    frames = [fast.push_audio(audio)]
+    frames.append(fast.flush())
+    out = np.concatenate([f for f in frames if len(f)])
+    expected = int(len(audio) / 16000 * 60) - cfg.audio2headpose.frame_future
+    assert out.shape[0] == expected
