@@ -223,6 +223,13 @@ def compute_mel_sequence(audio: np.ndarray | jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def mel_energy(mels: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame energy from a log-mel spectrogram [B, n_mels, T]:
+    log(mean(exp(mel))) over bins (Audio2Mel.get_energy_mel,
+    audio_funcs.py:107-113)."""
+    return jnp.log(jnp.exp(mels).mean(axis=1))
+
+
 def mu_law_encode(x: jnp.ndarray, mu: int = 255) -> jnp.ndarray:
     """mu-law compand + quantise to [0, mu] (audio_funcs.py:118-131)."""
     x = jnp.clip(x, -1.0, 1.0)

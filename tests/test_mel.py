@@ -112,3 +112,12 @@ def test_frame_energy_shape():
     e = np.asarray(mel_ops.frame_energy(audio))
     assert e.ndim == 2 and e.shape[0] == 1
     assert np.isfinite(e).all()
+
+
+def test_mel_energy():
+    import jax.numpy as jnp
+
+    mels = jnp.zeros((1, 80, 5))  # exp(0)=1 -> mean 1 -> log 0
+    e = mel_ops.mel_energy(mels)
+    assert e.shape == (1, 5)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-6)
