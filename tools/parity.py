@@ -17,8 +17,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+# runnable from anywhere: the package lives one level above tools/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_video(path: str, max_frames: int = 0) -> np.ndarray:
