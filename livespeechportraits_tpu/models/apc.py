@@ -55,3 +55,14 @@ def encode(params: Dict[str, Any], mels: jnp.ndarray) -> jnp.ndarray:
     """Frozen-encoder entry point (no residual - the released subject
     configs all set residual: false)."""
     return apply_apc(params, mels, residual=False)
+
+
+def encode_fast(params: Dict[str, Any], mels: jnp.ndarray) -> jnp.ndarray:
+    """[T, mel] -> [T, H]: the batch-1 inference path, routed through the
+    VMEM-resident Pallas recurrence kernel on TPU (~2x the XLA scan;
+    ops/recurrent_pallas.py) with the scan fallback elsewhere."""
+    from livespeechportraits_tpu.ops import recurrent_pallas as rp
+
+    if rp.supports_pallas():
+        return rp.apc_encode_pallas(params, mels)
+    return encode(params, mels[None])[0]

@@ -131,6 +131,32 @@ def _infer(params: Dict[str, Any], audio_feats: jnp.ndarray) -> jnp.ndarray:
     return preds
 
 
+def _infer_fast(params: Dict[str, Any], audio_feats: jnp.ndarray) -> jnp.ndarray:
+    """Batch-1 inference with the LSTM recurrences on the Pallas VMEM
+    kernel (ops/recurrent_pallas.py); identical math to apply_audio2feature
+    in eval mode."""
+    from livespeechportraits_tpu.ops import recurrent_pallas as rp
+
+    B, T2, H = audio_feats.shape
+    T = T2 // 2
+    x = audio_feats.reshape(B * T, 2 * H)
+    y = nn_core.dense(params["down1"], x)
+    y, _ = nn_core.batchnorm(params["down_bn"], y, training=False)
+    y = nn_core.leaky_relu(y)
+    y = nn_core.dense(params["down2"], y).reshape(B, T, H)
+    for layer in params["lstm"]:
+        y, _ = rp.lstm_layer_pallas(layer, y)
+    z = y.reshape(B * T, -1)
+    z = nn_core.dense(params["fc1"], z)
+    z, _ = nn_core.batchnorm(params["fc1_bn"], z, training=False)
+    z = nn_core.leaky_relu(z)
+    z = nn_core.dense(params["fc2"], z)
+    z, _ = nn_core.batchnorm(params["fc2_bn"], z, training=False)
+    z = nn_core.leaky_relu(z)
+    z = nn_core.dense(params["fc3"], z)
+    return z.reshape(B, T, -1)
+
+
 def generate_sequence(
     params: Dict[str, Any],
     audio_feats: jnp.ndarray,
@@ -147,12 +173,15 @@ def generate_sequence(
     Returns:
         [T, output_dim] mouth-delta predictions.
     """
+    from livespeechportraits_tpu.ops import recurrent_pallas as rp
+
     T = audio_feats.shape[0] // 2
     feats = audio_feats[: 2 * T]
     if frame_future > 0:
         pad = jnp.broadcast_to(feats[-1], (2 * frame_future,) + feats.shape[1:])
         feats = jnp.concatenate([feats, pad], axis=0)
-    preds = _infer(params, feats[None])[0]
+    infer = _infer_fast if rp.supports_pallas() else _infer
+    preds = infer(params, feats[None])[0]
     if frame_future > 0:
         preds = preds[frame_future:]
     return preds[:T]

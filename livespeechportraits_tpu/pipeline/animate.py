@@ -95,7 +95,7 @@ def compute_motion(
     # ---- 1. deep audio features (demo.py:183-192)
     t0 = time.perf_counter()
     mel80 = mel.compute_mel_sequence(audio)  # [2T, 80]
-    feats = apc_model.encode(models.apc, mel80[None])[0]  # [2T, 512]
+    feats = apc_model.encode_fast(models.apc, mel80)  # [2T, 512]
     if profile:
         _sync(feats)
     sm["mel_apc"] = (time.perf_counter() - t0) * 1e3
