@@ -1,0 +1,114 @@
+"""Minimal HTTP serving front-end over serve.Predictor.
+
+The reference's web surface is a Replicate cog container (predict.py,
+cog.yaml); this is the dependency-free equivalent: a stdlib http.server
+that accepts a wav upload and streams back the rendered video.
+
+    python -m livespeechportraits_tpu.server --id Synthetic --port 8080
+
+    curl -X POST --data-binary @input.wav \
+         -H 'Content-Type: audio/wav' \
+         http://localhost:8080/animate -o out.avi
+
+GET /healthz returns pipeline/device status.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from livespeechportraits_tpu.serve import Predictor
+
+
+def make_handler(predictor: Predictor):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet default logging
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                info = {
+                    "status": "ok",
+                    "person": predictor._person,
+                    "device": str(jax.devices()[0]),
+                    "max_audio_seconds": predictor.max_audio_seconds,
+                }
+                self._send(200, json.dumps(info).encode(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/animate":
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._send(400, b"empty body", "text/plain")
+                return
+            payload = self.rfile.read(length)
+            try:
+                import os
+                import tempfile
+
+                from scipy.io import wavfile
+
+                wavfile.read(io.BytesIO(payload))  # validate before rendering
+                with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                    f.write(payload)
+                    wav_path = f.name
+                try:
+                    result = predictor.predict(wav_path)
+                finally:
+                    os.unlink(wav_path)
+                with open(result.video_path, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "video/x-msvideo")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("X-Frames", str(result.nframe))
+                self.send_header("X-Wall-Seconds", f"{result.wall_s:.3f}")
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # surface errors as 400s with the message
+                self._send(400, f"error: {e}".encode(), "text/plain")
+
+    return Handler
+
+
+def serve_forever(person_id: str = "Synthetic", port: int = 8080,
+                  image_size: int = 512, config_dir: str = "./config",
+                  max_audio_seconds: float = 10.0) -> HTTPServer:
+    predictor = Predictor(max_audio_seconds=max_audio_seconds)
+    predictor.setup(person_id, config_dir=config_dir, image_size=image_size)
+    server = HTTPServer(("0.0.0.0", port), make_handler(predictor))
+    print(f"serving '{person_id}' on :{port} (POST /animate, GET /healthz)")
+    server.serve_forever()
+    return server
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--id", default="Synthetic")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--config_dir", default="./config")
+    p.add_argument("--max_audio_seconds", type=float, default=10.0)
+    args = p.parse_args()
+    serve_forever(args.id, args.port, args.image_size, args.config_dir,
+                  args.max_audio_seconds)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""HTTP serving front-end: health check + wav upload -> video response."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from http.server import HTTPServer
+from scipy.io import wavfile
+
+from livespeechportraits_tpu.serve import Predictor
+from livespeechportraits_tpu.server import make_handler
+
+
+@pytest.fixture(scope="module")
+def server_port(tmp_path_factory):
+    predictor = Predictor(max_audio_seconds=1.0,
+                          results_dir=str(tmp_path_factory.mktemp("srv")))
+    predictor.setup("Synthetic", image_size=64)
+    httpd = HTTPServer(("127.0.0.1", 0), make_handler(predictor))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def test_healthz(server_port):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/healthz") as r:
+        assert r.status == 200
+        import json
+
+        info = json.loads(r.read())
+        assert info["status"] == "ok"
+        assert info["person"] == "Synthetic"
+
+
+def test_animate_roundtrip(server_port, tmp_path):
+    t = np.arange(int(0.6 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, audio)
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/animate", data=buf.getvalue(),
+        headers={"Content-Type": "audio/wav"}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        nframes = int(r.headers["X-Frames"])
+        body = r.read()
+    assert nframes == int(0.6 * 60) - 15
+    assert len(body) > 1000  # a real video came back
+
+    # decodable
+    import cv2
+
+    p = tmp_path / "resp.avi"
+    p.write_bytes(body)
+    cap = cv2.VideoCapture(str(p))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == nframes
+
+
+def test_bad_requests(server_port):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/animate", data=b"not audio",
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(f"http://127.0.0.1:{server_port}/nope", timeout=60)
+    assert exc.value.code == 404
