@@ -56,6 +56,9 @@ class AnimateResult:
     headpose: np.ndarray  # [T, 6]
     pts3d: np.ndarray  # [T, 73, 3]
     nframe: int
+    # Wall-clock per stage.  Keys mel_apc/lle/audio2mouth/headpose/post/
+    # render_device cover device work (truthful only with profile=True);
+    # 'render' is the host fetch of the finished uint8 frames.
     stage_ms: Dict[str, float] = field(default_factory=dict)
 
     @property
