@@ -208,10 +208,27 @@ def render_frames(
     render_batch: int = 8,
     keep_feature_maps: bool = False,
     stage_ms: Optional[Dict[str, float]] = None,
+    mesh=None,
 ):
-    """Stage 6 (demo.py:258-272): rasterise + U-Net, batched over frames."""
+    """Stage 6 (demo.py:258-272): rasterise + U-Net, batched over frames.
+
+    With a `jax.sharding.Mesh`, each render batch is sharded over the
+    mesh's `data` axis (frames are independent, so rendering scales
+    near-linearly across chips over ICI; params are replicated).
+    render_batch must then be a multiple of the data-axis size.
+    """
     sm = stage_ms if stage_ms is not None else {}
     t0 = time.perf_counter()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("data", None, None))
+        data_size = mesh.shape["data"]
+        if render_batch % data_size != 0:
+            raise ValueError(
+                f"render_batch {render_batch} must divide over the data axis "
+                f"({data_size} devices)")
 
     nframe = landmarks2d.shape[0]
     H = W = cfg.feature2face.load_size
@@ -249,9 +266,12 @@ def render_frames(
     pending: List[Any] = []
     maps_pending: List[Any] = []
     for start in range(0, pad_to, render_batch):
-        edge = rasterize_fn(
-            lm[start : start + render_batch], sh[start : start + render_batch], (H, W)
-        )  # [B, H, W]
+        lm_b = lm[start : start + render_batch]
+        sh_b = sh[start : start + render_batch]
+        if mesh is not None:
+            lm_b = jax.device_put(lm_b, batch_sh)
+            sh_b = jax.device_put(sh_b, batch_sh)
+        edge = rasterize_fn(lm_b, sh_b, (H, W))  # [B, H, W]
         inp = jnp.concatenate(
             [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
             axis=-1,
@@ -296,8 +316,13 @@ def animate(
     render_batch: int = 8,
     keep_feature_maps: bool = False,
     profile: bool = False,
+    mesh=None,
 ) -> AnimateResult:
-    """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS."""
+    """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS.
+
+    mesh: optional jax.sharding.Mesh; rendering (the dominant stage) is
+    then frame-sharded over its `data` axis.
+    """
     stage_ms: Dict[str, float] = {}
     key = jax.random.PRNGKey(seed)
     landmarks2d, shoulders2d, head, final_pts3d, nframe = compute_motion(
@@ -306,7 +331,7 @@ def animate(
     frames, fmaps = render_frames(
         cfg, assets, models, landmarks2d, shoulders2d,
         render_batch=render_batch, keep_feature_maps=keep_feature_maps,
-        stage_ms=stage_ms,
+        stage_ms=stage_ms, mesh=mesh,
     )
     return AnimateResult(
         frames=frames,

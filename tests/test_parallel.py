@@ -109,3 +109,26 @@ def test_param_partition_spec_rules():
     spec2 = shard_mod.param_partition_spec((), np.zeros((3, 3, 8, 6)), 4)
     assert spec2 == P()  # not divisible -> replicated
     assert shard_mod.param_partition_spec((), np.zeros(()), 4) == P()
+
+
+def test_multichip_inference_rendering_matches_single_device():
+    """Frame-sharded rendering over the data axis reproduces the
+    single-device pipeline output."""
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from tests.test_pipeline import tiny_person, _sine_audio
+
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=64, bank_size=64)
+    audio = _sine_audio(0.7)
+    ref = animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=8)
+
+    mesh = mesh_mod.make_mesh(1)  # 8 data devices
+    out = animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=8, mesh=mesh)
+    assert out.frames.shape == ref.frames.shape
+    diff = np.abs(out.frames.astype(int) - ref.frames.astype(int))
+    assert diff.max() <= 1
+
+    with pytest.raises(ValueError):
+        animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=3, mesh=mesh)
