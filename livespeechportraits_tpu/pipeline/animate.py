@@ -209,8 +209,13 @@ def render_frames(
     keep_feature_maps: bool = False,
     stage_ms: Optional[Dict[str, float]] = None,
     mesh=None,
+    transfer: str = "rgb",
 ):
     """Stage 6 (demo.py:258-272): rasterise + U-Net, batched over frames.
+
+    transfer='yuv420' fetches frames as planar 4:2:0 (half the host-link
+    bytes; chroma subsampled like any video encoding) and reassembles RGB
+    on the host; 'rgb' (default) is exact.
 
     With a `jax.sharding.Mesh`, each render batch is sharded over the
     mesh's `data` axis (frames are independent, so rendering scales
@@ -276,17 +281,28 @@ def render_frames(
             [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
             axis=-1,
         )
-        fake_u8 = _jit_render(
-            models.feature2face["net"], models.feature2face["size"], inp, compute_dtype
-        )
+        if transfer == "yuv420":
+            fake_u8 = _jit_render_yuv420(
+                models.feature2face["net"], models.feature2face["size"], inp,
+                compute_dtype)
+        else:
+            fake_u8 = _jit_render(
+                models.feature2face["net"], models.feature2face["size"], inp,
+                compute_dtype)
         pending.append(fake_u8)
         if keep_feature_maps:
             maps_pending.append(edge)
     if pending:
-        _sync(pending[-1])  # true barrier: device stream is in-order
+        last = pending[-1][0] if isinstance(pending[-1], tuple) else pending[-1]
+        _sync(last)  # true barrier: device stream is in-order
     sm["render_device"] = (time.perf_counter() - t0) * 1e3
 
-    frames_u8 = np.concatenate([np.asarray(p) for p in pending])[:nframe]
+    if transfer == "yuv420":
+        planes = [tuple(np.asarray(x) for x in p) for p in pending]
+        frames_u8 = np.concatenate(
+            [yuv420_to_rgb(y, u, v) for (y, u, v) in planes])[:nframe]
+    else:
+        frames_u8 = np.concatenate([np.asarray(p) for p in pending])[:nframe]
     sm["render"] = (time.perf_counter() - t0) * 1e3 - sm["render_device"]
 
     fmap_u8 = None
@@ -307,6 +323,43 @@ def _jit_render(net, size, inp, compute_dtype):
     return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_yuv420(net, size, inp, compute_dtype):
+    """Render and emit planar YUV 4:2:0 (BT.601 full range) on device.
+
+    Halves host-link traffic vs uint8 RGB (12 vs 24 bits/px); video
+    encoders consume 4:2:0 anyway, so for serving this is free.  Returns
+    (Y [B,H,W], U [B,H/2,W/2], V [B,H/2,W/2]) uint8.
+    """
+    img, _ = f2f_model.apply_generator(
+        {"net": net, "size": size}, inp, training=False, compute_dtype=compute_dtype
+    )
+    rgb = (img + 1.0) * 127.5  # float [0, 255]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def down2(c):  # 2x2 chroma average
+        B, H, W = c.shape
+        return c.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+
+    to_u8 = lambda c: jnp.clip(c + 0.5, 0, 255).astype(jnp.uint8)  # noqa: E731
+    return to_u8(y), to_u8(down2(u)), to_u8(down2(v))
+
+
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Host-side inverse of _jit_render_yuv420 ([B,H,W]+2x[B,H/2,W/2] u8
+    -> [B,H,W,3] u8; nearest chroma upsampling)."""
+    yf = y.astype(np.float32)
+    uf = np.repeat(np.repeat(u.astype(np.float32) - 128.0, 2, axis=1), 2, axis=2)
+    vf = np.repeat(np.repeat(v.astype(np.float32) - 128.0, 2, axis=1), 2, axis=2)
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+
+
 def animate(
     cfg: PersonConfig,
     assets: PersonAssets,
@@ -317,11 +370,13 @@ def animate(
     keep_feature_maps: bool = False,
     profile: bool = False,
     mesh=None,
+    transfer: str = "rgb",
 ) -> AnimateResult:
     """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS.
 
     mesh: optional jax.sharding.Mesh; rendering (the dominant stage) is
     then frame-sharded over its `data` axis.
+    transfer: 'rgb' (exact) or 'yuv420' (half the host-link bytes).
     """
     stage_ms: Dict[str, float] = {}
     key = jax.random.PRNGKey(seed)
@@ -331,7 +386,7 @@ def animate(
     frames, fmaps = render_frames(
         cfg, assets, models, landmarks2d, shoulders2d,
         render_batch=render_batch, keep_feature_maps=keep_feature_maps,
-        stage_ms=stage_ms, mesh=mesh,
+        stage_ms=stage_ms, mesh=mesh, transfer=transfer,
     )
     return AnimateResult(
         frames=frames,

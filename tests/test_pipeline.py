@@ -109,3 +109,16 @@ def test_write_video_mp4(tmp_path):
 
     cap = cv2.VideoCapture(out)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+
+
+def test_yuv420_transfer_visually_identical(person):
+    cfg, a, m = person
+    audio = _sine_audio(0.6)
+    rgb = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4)
+    yuv = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4,
+                              transfer="yuv420")
+    assert yuv.frames.shape == rgb.frames.shape
+    # chroma subsampling is lossy but visually transparent: high PSNR
+    from livespeechportraits_tpu.utils.metrics import psnr
+
+    assert psnr(yuv.frames, rgb.frames) > 30.0
