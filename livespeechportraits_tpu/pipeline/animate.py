@@ -293,14 +293,13 @@ def render_frames(
         if keep_feature_maps:
             maps_pending.append(edge)
     if pending:
-        last = pending[-1][0] if isinstance(pending[-1], tuple) else pending[-1]
-        _sync(last)  # true barrier: device stream is in-order
+        _sync(pending[-1])  # true barrier: device stream is in-order
     sm["render_device"] = (time.perf_counter() - t0) * 1e3
 
     if transfer == "yuv420":
-        planes = [tuple(np.asarray(x) for x in p) for p in pending]
-        frames_u8 = np.concatenate(
-            [yuv420_to_rgb(y, u, v) for (y, u, v) in planes])[:nframe]
+        frames_u8 = np.concatenate([
+            yuv420_to_rgb(*yuv420_unpack(np.asarray(p), H, W)) for p in pending
+        ])[:nframe]
     else:
         frames_u8 = np.concatenate([np.asarray(p) for p in pending])[:nframe]
     sm["render"] = (time.perf_counter() - t0) * 1e3 - sm["render_device"]
@@ -345,7 +344,22 @@ def _jit_render_yuv420(net, size, inp, compute_dtype):
         return c.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
 
     to_u8 = lambda c: jnp.clip(c + 0.5, 0, 255).astype(jnp.uint8)  # noqa: E731
-    return to_u8(y), to_u8(down2(u)), to_u8(down2(v))
+    B, H, W = y.shape
+    # Pack planes into ONE contiguous buffer per batch: a single host fetch
+    # (per-fetch link latency dominates multi-plane transfers).
+    return jnp.concatenate(
+        [to_u8(y).reshape(B, -1), to_u8(down2(u)).reshape(B, -1),
+         to_u8(down2(v)).reshape(B, -1)], axis=1)
+
+
+def yuv420_unpack(packed: np.ndarray, h: int, w: int):
+    """[B, h*w*3/2] packed planes -> (Y [B,h,w], U, V [B,h/2,w/2])."""
+    B = packed.shape[0]
+    y = packed[:, : h * w].reshape(B, h, w)
+    q = (h // 2) * (w // 2)
+    u = packed[:, h * w : h * w + q].reshape(B, h // 2, w // 2)
+    v = packed[:, h * w + q :].reshape(B, h // 2, w // 2)
+    return y, u, v
 
 
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
