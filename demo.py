@@ -35,6 +35,8 @@ def main() -> None:
                         help="override render resolution (synthetic only; 0 = config)")
     parser.add_argument("--duration", type=float, default=0.0,
                         help="optional cap on driving-audio seconds (0 = full)")
+    parser.add_argument("--transfer", default="rgb", choices=["rgb", "yuv420"],
+                        help="frame host-transfer format (yuv420 halves link bytes)")
     parser.add_argument("--streaming", action="store_true",
                         help="drive the live streaming pipeline (audio pushed "
                              "in 100ms chunks, frames emitted incrementally)")
@@ -118,6 +120,7 @@ def main() -> None:
         cfg, person_assets, person_models, audio,
         seed=args.seed, render_batch=args.render_batch,
         keep_feature_maps=bool(cfg.feature2face.save_input),
+        transfer=args.transfer,
     )
     wall = time.perf_counter() - t0
     print(f"stages (ms): {json.dumps({k: round(v, 1) for k, v in result.stage_ms.items()})}")

@@ -78,7 +78,7 @@ class Predictor:
         self._person = person_id
 
     def predict(self, driving_audio: str | np.ndarray, seed: int = 0,
-                render_batch: int = 16) -> PredictResult:
+                render_batch: int = 16, transfer: str = "yuv420") -> PredictResult:
         """audio (path or float32 [-1,1] @16k) -> muxed video path."""
         if self._cfg is None:
             raise RuntimeError("call setup() first")
@@ -105,8 +105,11 @@ class Predictor:
             audio = np.pad(audio, (0, padded - len(audio)))
 
         t0 = time.perf_counter()
+        # frames leave the device as packed YUV 4:2:0 by default: half the
+        # host-link bytes, and the video encoder consumes 4:2:0 anyway
         result = animate_mod.animate(self._cfg, self._assets, self._models,
-                                     audio, seed=seed, render_batch=render_batch)
+                                     audio, seed=seed, render_batch=render_batch,
+                                     transfer=transfer)
         wall = time.perf_counter() - t0
         frames = result.frames[:true_frames]
         out_path = os.path.join(self.results_dir, f"{name}.avi")
