@@ -189,3 +189,104 @@ def test_multihost_helpers_single_process():
     multihost.initialize()  # no-op single process
     assert multihost.is_primary()
     assert multihost.local_batch_slice(16) == slice(0, 16)
+
+
+def test_audio2headpose_full_module_matches_reference_torch():
+    """Oracle: the reference's Audio2Headpose (audio_downsample MLP +
+    conditional WaveNet) in eval mode, weights converted by name."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.audio2headpose import Audio2Headpose as RefA2H  # type: ignore
+    finally:
+        sys.path.pop(0)
+    from livespeechportraits_tpu.utils import torch_convert
+
+    class Opt:
+        loss = "GMM"
+        APC_hidden_size = 8
+        A2H_GMM_ndim = 12
+        A2H_GMM_ncenter = 1
+        A2H_wavenet_residual_layers = 3
+        A2H_wavenet_residual_blocks = 2
+        # NOTE: the reference passes residual_channels into WaveNet's
+        # dilation_channels slot and vice versa (audio2headpose.py:23-36);
+        # with equal values (the shipped defaults are both 128) it cancels.
+        A2H_wavenet_residual_channels = 8
+        A2H_wavenet_dilation_channels = 8
+        A2H_wavenet_skip_channels = 16
+        A2H_wavenet_kernel_size = 2
+        A2H_wavenet_use_bias = True
+        A2H_wavenet_cond = True
+        A2H_wavenet_cond_channels = 8
+        A2H_wavenet_input_channels = 12
+        time_frame_length = 4
+
+    torch.manual_seed(0)
+    ref = RefA2H(Opt())
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = torch_convert.convert_audio2headpose(sd, TINY_A2H)
+
+    rng = np.random.default_rng(0)
+    L = TINY_WN.receptive_field + 4 - 1
+    hist = rng.normal(size=(2, L, 12)).astype(np.float32)
+    audio = rng.normal(size=(2, L, 16)).astype(np.float32)
+
+    ours, _ = audio2headpose.apply_audio2headpose(
+        params, TINY_A2H, jnp.asarray(hist), jnp.asarray(audio), output_length=4)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(hist), torch.from_numpy(audio)).numpy()
+    assert np.asarray(ours).shape == out_ref.shape
+    np.testing.assert_allclose(np.asarray(ours), out_ref, atol=2e-5)
+
+
+def test_discriminator_matches_reference_torch():
+    """Oracle: the reference's MultiscaleDiscriminator constructed with
+    the *intended* keyword arguments (its live call site passes them
+    positionally misaligned - feature2face_D.py:22, SURVEY §2.3)."""
+    torch = pytest.importorskip("torch")
+    ref_networks = _ref_import()
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.models import feature2face
+    from livespeechportraits_tpu.utils.torch_convert import _conv2d, _batchnorm
+
+    cfg = Feature2FaceConfig(size="normal", ngf=8, ndf=8, n_layers_D=3, num_D=2,
+                             n_downsample=5, load_size=32)
+    input_nc = cfg.input_nc + 3
+    torch.manual_seed(0)
+    ref = ref_networks.MultiscaleDiscriminator(
+        input_nc, ndf=cfg.ndf, n_layers=cfg.n_layers_D, num_D=cfg.num_D,
+        getIntermFeat=True)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    # convert by the reference's scale{i}_layer{j} naming; its forward
+    # applies the LAST-constructed D to the full-res input
+    params = feature2face.init_discriminator(jax.random.PRNGKey(0), cfg)
+    n_l = cfg.n_layers_D
+    new_scales = []
+    for si in range(cfg.num_D):
+        ref_scale = cfg.num_D - 1 - si  # reference ordering (networks.py:807)
+        layers = []
+        for li in range(n_l + 2):
+            name = f"scale{ref_scale}_layer{li}.0"
+            layer = {"conv": _conv2d(sd, name)}
+            if f"{name.rsplit('.', 1)[0]}.1.running_mean" in sd:
+                layer["bn"] = _batchnorm(sd, f"scale{ref_scale}_layer{li}.1")
+            layers.append(layer)
+        new_scales.append({"layers": layers})
+    params = dict(params, scales=new_scales)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 32, 32, input_nc)).astype(np.float32)
+    ours, _ = feature2face.apply_discriminator(params, jnp.asarray(x), training=False)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    assert len(ours) == len(out_ref) == cfg.num_D
+    for si in range(cfg.num_D):
+        assert len(ours[si]) == len(out_ref[si])
+        for li in range(len(ours[si])):
+            np.testing.assert_allclose(
+                np.asarray(ours[si][li]),
+                out_ref[si][li].numpy().transpose(0, 2, 3, 1), atol=3e-5)
