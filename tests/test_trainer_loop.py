@@ -84,3 +84,48 @@ def test_train_then_animate(tmp_path):
     res = animate_mod.animate(cfg, a, m, _sine_audio(0.6), seed=0, render_batch=4)
     assert res.frames.shape[1:] == (64, 64, 3)
     assert np.isfinite(res.landmarks).all()
+
+
+def test_train_cli_real_data_path(tmp_path, monkeypatch):
+    """train.py's real-data branch loads reference-layout clips through
+    data_io and trains."""
+    import sys
+    import jax
+    from scipy.io import wavfile
+
+    pytest_torch = pytest.importorskip("torch")
+    from livespeechportraits_tpu.config import APCConfig
+    from livespeechportraits_tpu.models import apc as apc_model
+    from livespeechportraits_tpu.utils import torch_convert as tc
+
+    # fabricate a reference-layout clip (long enough for the A2F sampler)
+    root = tmp_path / "subject"
+    clip = root / "c1"
+    clip.mkdir(parents=True)
+    T = 600
+    sr = 16000
+    t = np.arange(T * sr // 60) / sr
+    wavfile.write(str(clip / "c1.wav"), sr,
+                  (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+    rng = np.random.default_rng(0)
+    np.savez(str(clip / "3d_fit_data.npz"),
+             pts_3d=rng.normal(size=(T, 73, 3)).astype(np.float32),
+             rot_angles=rng.uniform(-170, 170, (T, 3)).astype(np.float32),
+             trans=rng.normal(size=(T, 3, 1)).astype(np.float32))
+    np.save(str(root / "mean_pts3d.npy"), np.zeros((73, 3), np.float32))
+    apc_ckpt = str(tmp_path / "apc.model")
+    tc.save_state_dict_torch(
+        tc.export_apc(apc_model.init_apc(jax.random.PRNGKey(0), APCConfig())),
+        apc_ckpt)
+
+    import train as train_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--task", "audio2feature", "--dataroot", str(root),
+        "--clip_names", "c1", "--apc_ckpt", apc_ckpt,
+        "--n_epochs", "1", "--n_epochs_decay", "0", "--batch_size", "4",
+        "--sequence_length", "16",
+        "--checkpoints_dir", str(tmp_path / "ck"), "--name", "real_a2f",
+    ])
+    train_cli.main()
+    assert (tmp_path / "ck" / "real_a2f" / "loss_log.txt").exists()

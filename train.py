@@ -44,6 +44,12 @@ def main() -> None:
     p.add_argument("--checkpoints_dir", default="./checkpoints")
     p.add_argument("--synthetic", action="store_true",
                    help="train on fabricated data (smoke/e2e runs)")
+    p.add_argument("--dataroot", default="",
+                   help="subject data root (reference layout: <root>/<clip>/...)")
+    p.add_argument("--clip_names", default="",
+                   help="comma-separated clip directory names under --dataroot")
+    p.add_argument("--apc_ckpt", default="",
+                   help="APC encoder checkpoint (.model) for feature precompute")
     p.add_argument("--n_epochs", type=int, default=2)
     p.add_argument("--n_epochs_decay", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=8)
@@ -107,16 +113,47 @@ def main() -> None:
 
 
 def _load_real_clips(args):
-    raise NotImplementedError(
-        "reference-format data loading requires a subject data directory; "
-        "use --synthetic or provide clips via the library API "
-        "(livespeechportraits_tpu.train.datasets.make_clip)")
+    """Reference-layout audio-visual clips: wav + 3d_fit_data.npz per clip,
+    APC features computed once and cached (train/data_io.prepare_clip)."""
+    import os
+
+    import jax
+
+    from livespeechportraits_tpu.config import APCConfig
+    from livespeechportraits_tpu.models import apc as apc_model
+    from livespeechportraits_tpu.train import data_io
+    from livespeechportraits_tpu.utils import torch_convert
+
+    if not args.dataroot or not args.clip_names:
+        raise SystemExit("real-data training needs --dataroot and --clip_names "
+                         "(or use --synthetic)")
+    apc_cfg = APCConfig()
+    if args.apc_ckpt:
+        sd = torch_convert.load_state_dict_numpy(args.apc_ckpt)
+        apc_params = torch_convert.convert_apc(sd, apc_cfg)
+    else:
+        print("WARNING: no --apc_ckpt; using random-init APC features")
+        apc_params = apc_model.init_apc(jax.random.PRNGKey(0), apc_cfg)
+    clips = []
+    for name in args.clip_names.split(","):
+        clip_root = os.path.join(args.dataroot, name)
+        clips.append(data_io.prepare_clip(clip_root, name, apc_params, apc_cfg))
+    return clips
 
 
 def _load_real_face_data(args):
-    raise NotImplementedError(
-        "reference-format h5 face data loading: use the library API "
-        "(livespeechportraits_tpu.train.datasets.FaceFrameSampler)")
+    """Reference-layout renderer data: h5 jpg store + landmarks + candidates
+    per clip (train/data_io.load_face_clip; first clip only for now)."""
+    import os
+
+    from livespeechportraits_tpu.train import data_io
+
+    if not args.dataroot or not args.clip_names:
+        raise SystemExit("real-data training needs --dataroot and --clip_names "
+                         "(or use --synthetic)")
+    name = args.clip_names.split(",")[0]
+    return data_io.load_face_clip(os.path.join(args.dataroot, name), name,
+                                  load_size=args.image_size)
 
 
 if __name__ == "__main__":
