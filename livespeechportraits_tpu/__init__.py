@@ -26,3 +26,27 @@ from livespeechportraits_tpu.config import (  # noqa: F401
     PipelineConfig,
     load_person_config,
 )
+
+
+def animate(*args, **kwargs):
+    """Top-level convenience re-export of pipeline.animate.animate."""
+    from livespeechportraits_tpu.pipeline.animate import animate as _animate
+
+    return _animate(*args, **kwargs)
+
+
+def __getattr__(name):
+    # lazy heavyweight exports: Predictor, StreamingAnimator, make_synthetic_person
+    if name == "Predictor":
+        from livespeechportraits_tpu.serve import Predictor
+
+        return Predictor
+    if name == "StreamingAnimator":
+        from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
+
+        return StreamingAnimator
+    if name == "make_synthetic_person":
+        from livespeechportraits_tpu.pipeline.assets import make_synthetic_person
+
+        return make_synthetic_person
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
