@@ -129,3 +129,33 @@ def test_train_cli_real_data_path(tmp_path, monkeypatch):
     ])
     train_cli.main()
     assert (tmp_path / "ck" / "real_a2f" / "loss_log.txt").exists()
+
+
+def test_f2f_trainer_loop_resume_and_ttur(tmp_path):
+    """GAN trainer: TTUR optimizers, dual-state checkpointing, resume."""
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(0)
+    H = 32
+    images = rng.integers(0, 255, (66, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (66, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2, gan_mode="hinge")
+    loop = trainer.TrainLoopConfig(
+        n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=2, print_freq=2,
+        checkpoints_dir=str(tmp_path), name="f2f_t", save_epoch_freq=1, ttur=True,
+    )
+    g1, d1 = trainer.train_feature2face(cfg, loop, sampler)
+    assert int(g1.step) > 0 and int(d1.step) > 0
+
+    loop2 = trainer.TrainLoopConfig(
+        n_epochs=2, n_epochs_decay=0, lr=2e-4, batch_size=2, print_freq=2,
+        checkpoints_dir=str(tmp_path), name="f2f_t", continue_train=True, ttur=True,
+    )
+    g2, d2 = trainer.train_feature2face(cfg, loop2, sampler)
+    assert int(g2.step) > int(g1.step)  # resumed, not restarted
