@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import io
 import os
+from collections import OrderedDict
 from typing import Optional
 
 import numpy as np
@@ -82,24 +83,61 @@ def prepare_clip(
     )
 
 
-def load_face_clip(
-    clip_root: str,
-    clip_name: str,
-    load_size: int = 512,
-    frame_jump: int = 1,
-) -> datasets.FaceFrameSampler:
-    """Load a reference-format renderer-training clip (h5 frames).
+class LazyH5Frames:
+    """Per-index lazy decode of an h5-packed jpg frame store.
 
-    Decodes the h5-packed jpgs, applies the clip's resize/crop
-    normalisation (change_paras.npz scale + centre crop, zero-padding when
-    the crop exceeds the frame, face_dataset.py:83-95), normalises and
-    caches candidate images, and returns a FaceFrameSampler.
+    The reference reads h5 bytes and jpg-decodes per `__getitem__`
+    (face_dataset.py:190-193); a real subject clip is ~18k frames of 512^2
+    RGB (~14 GB decoded), far too large to materialise.  This holds only
+    the h5 path + crop normalisation; frames decode on access with a small
+    LRU cache.  `len()`, `[i]` and `.shape` mirror an [N, 512, 512, 3]
+    uint8 ndarray so FaceFrameSampler accepts either form.
     """
-    import h5py
+
+    def __init__(self, h5_path: str, key: str, normalise, cache_frames: int = 64):
+        import h5py
+
+        self._path = h5_path
+        self._key = key
+        self._normalise = normalise
+        self._file = None  # opened lazily (h5 handles don't survive fork)
+        with h5py.File(h5_path, "r") as f:
+            self._n = len(f[key])
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cap = int(cache_frames)
+        self.shape = (self._n, 512, 512, 3)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i) -> np.ndarray:
+        from PIL import Image
+
+        i = int(i)
+        if i < 0:
+            i += self._n
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        if self._file is None:
+            import h5py
+
+            self._file = h5py.File(self._path, "r")
+        raw = np.asarray(Image.open(io.BytesIO(self._file[self._key][i])))
+        img = self._normalise(raw)
+        if self._cap > 0:
+            self._cache[i] = img
+            while len(self._cache) > self._cap:
+                self._cache.popitem(last=False)
+        return img
+
+
+def make_change_paras_normalise(clip_root: str):
+    """The clip's resize/centre-crop normalisation (change_paras.npz scale
+    + 512-crop around (xc, yc), zero-padding when the crop exceeds the
+    frame, face_dataset.py:83-95), as a reusable closure."""
     from PIL import Image
 
-    h5_path = os.path.join(clip_root, clip_name + ".h5")
-    store = h5py.File(h5_path, "r")[clip_name]
     paras = np.load(os.path.join(clip_root, "change_paras.npz"))
     scale, xc, yc = float(paras["scale"]), int(paras["xc"]), int(paras["yc"])
 
@@ -116,10 +154,32 @@ def load_face_clip(
         out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = arr[sy0:sy1, sx0:sx1]
         return out
 
-    images = np.stack([
-        normalise(np.asarray(Image.open(io.BytesIO(store[i]))))
-        for i in range(len(store))
-    ])
+    return normalise
+
+
+def load_face_clip(
+    clip_root: str,
+    clip_name: str,
+    load_size: int = 512,
+    frame_jump: int = 1,
+    eager: bool = False,
+    cache_frames: int = 64,
+) -> datasets.FaceFrameSampler:
+    """Load a reference-format renderer-training clip (h5 frames).
+
+    Frames decode lazily per sampled index (LazyH5Frames) by default,
+    matching the reference's per-item h5 read (face_dataset.py:190-193);
+    `eager=True` materialises the whole clip (only sane for short clips).
+    Candidate images are normalised and cached to disk on first run.
+    """
+    from PIL import Image
+
+    h5_path = os.path.join(clip_root, clip_name + ".h5")
+    normalise = make_change_paras_normalise(clip_root)
+
+    images = LazyH5Frames(h5_path, clip_name, normalise, cache_frames=cache_frames)
+    if eager:
+        images = np.stack([images[i] for i in range(len(images))])
     landmarks = np.load(
         os.path.join(clip_root, "tracked2D_normalized_pts_fix_contour.npy")
     ).astype(np.float32)

@@ -198,7 +198,7 @@ class FaceFrameSampler:
         self.load_size = load_size
         self.frame_jump = frame_jump
         self.crop_jitter = crop_jitter
-        n = images.shape[0]
+        n = len(images)  # ndarray or lazy frame store (data_io.LazyH5Frames)
         self.sample_len = int(np.floor((n - 60) / frame_jump) + 1) if n > 60 else n
 
     def __len__(self) -> int:
@@ -235,7 +235,7 @@ class FaceFrameSampler:
         base = index * jump
         if rng is not None and jump > 1:
             base += int(rng.integers(jump))
-        idx = min(base + 1, self.images.shape[0] - 1)  # target_ind = i+1
+        idx = min(base + 1, len(self.images) - 1)  # target_ind = i+1
 
         lm = self.landmarks[idx].copy()
         sh = (self.shoulders[idx] if self.shoulders.ndim == 3 else self.shoulders).copy()
@@ -286,9 +286,41 @@ class FaceFrameSampler:
 
     def batches(self, batch_size: int, rng: np.random.Generator,
                 shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self))
-        if shuffle:
-            rng.shuffle(order)
-        for lo in range(0, len(self) - batch_size + 1, batch_size):
-            samples = [self.sample(int(i), rng) for i in order[lo : lo + batch_size]]
-            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        yield from _face_batches(self, batch_size, rng, shuffle)
+
+
+def _face_batches(sampler, batch_size: int, rng: np.random.Generator,
+                  shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    order = np.arange(len(sampler))
+    if shuffle:
+        rng.shuffle(order)
+    for lo in range(0, len(sampler) - batch_size + 1, batch_size):
+        samples = [sampler.sample(int(i), rng) for i in order[lo : lo + batch_size]]
+        yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class ConcatFaceSampler:
+    """Multi-clip renderer dataset.
+
+    The reference's FaceDataset spans every clip of a subject with
+    cumulative-length indexing (face_dataset.py:36-77); this concatenates
+    per-clip FaceFrameSamplers behind the same sample()/batches() API so
+    trainers are clip-count agnostic."""
+
+    def __init__(self, samplers: Sequence["FaceFrameSampler"]):
+        self.samplers = list(samplers)
+        if not self.samplers:
+            raise ValueError("ConcatFaceSampler needs at least one clip")
+        self.cum = np.cumsum([len(s) for s in self.samplers])
+
+    def __len__(self) -> int:
+        return int(self.cum[-1])
+
+    def sample(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        k = int(bisect.bisect_right(self.cum, index))
+        base = 0 if k == 0 else int(self.cum[k - 1])
+        return self.samplers[k].sample(index - base, rng)
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        yield from _face_batches(self, batch_size, rng, shuffle)

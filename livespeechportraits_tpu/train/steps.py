@@ -80,6 +80,23 @@ def a2f_validate(cfg: Audio2FeatureConfig):
 # ---------------------------------------------------------------------------
 
 
+def a2h_validate(cfg: Audio2HeadposeConfig):
+    """Validation GMM NLL, eval mode (the reference's A2H model defines no
+    validate_epoch; the A2F cadence of audio2feature_model.py:110-114 is
+    applied uniformly as the intended behaviour)."""
+
+    @jax.jit
+    def validate(params, batch):
+        preds, _ = a2h.apply_audio2headpose(
+            params, cfg, batch["history"], batch["audio"],
+            output_length=batch["target"].shape[1], training=False,
+        )
+        return gmm.gmm_log_loss(preds, batch["target"], cfg.ncenter, cfg.ndim,
+                                cfg.sigma_min)
+
+    return validate
+
+
 def make_a2h_step(cfg: Audio2HeadposeConfig, tx: optax.GradientTransformation,
                   smooth_loss_weight: float = 0.0):
     def loss_fn(params, batch, rng):
@@ -219,6 +236,28 @@ def make_f2f_steps(
         return new_state, metrics
 
     return d_step, g_step
+
+
+def f2f_validate(cfg: Feature2FaceConfig, compute_dtype=None):
+    """Eval-mode generator forward returning the synthesized frame plus
+    fidelity scalars (L1, PSNR over the [-1, 1] range).  Doubles as the
+    epoch image-panel renderer (get_current_visuals parity,
+    feature2face_model.py:228-241 / visualizer.py:61-97)."""
+    size = cfg.size
+
+    @jax.jit
+    def validate(g_net, batch):
+        inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]], axis=-1)
+        fake, _ = f2f.apply_generator({"net": g_net, "size": size}, inp,
+                                      training=False, compute_dtype=compute_dtype)
+        fake = fake.astype(jnp.float32)
+        err = fake - batch["tgt_image"]
+        l1 = jnp.mean(jnp.abs(err))
+        mse = jnp.mean(err ** 2)
+        psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+        return fake, {"val_L1": l1, "val_PSNR": psnr}
+
+    return validate
 
 
 def ttur_learning_rates(lr: float, ttur: bool, beta1: float = 0.5):

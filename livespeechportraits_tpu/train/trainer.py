@@ -29,6 +29,7 @@ from livespeechportraits_tpu.models import (
     feature2face as f2f_model,
 )
 from livespeechportraits_tpu.parallel import mesh as mesh_mod
+from livespeechportraits_tpu.train import prefetch as prefetch_mod
 from livespeechportraits_tpu.train import schedulers, state as state_mod, steps
 from livespeechportraits_tpu.utils import checkpoint as ckpt
 from livespeechportraits_tpu.utils.visualizer import Visualizer
@@ -51,10 +52,26 @@ class TrainLoopConfig:
     smooth_loss: float = 0.0
     ttur: bool = False
     data_parallel: bool = False  # shard batches over a (data,) mesh
+    prefetch: int = 2  # background batch queue depth (0 = synchronous)
+    display_epoch_freq: int = 1  # GAN epoch image-panel cadence (0 = off)
 
 
 def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
     return schedule(epoch) / tx_base_lr if tx_base_lr else 1.0
+
+
+def _batch_iter(sampler, loop: "TrainLoopConfig", rng, mesh):
+    """Epoch batch stream with host sampling + host->device transfer
+    pipelined behind device compute (train/prefetch.py; the transform runs
+    in the worker thread so the transfer overlaps the previous step)."""
+    it = sampler.batches(loop.batch_size, rng)
+    if mesh is not None:
+        transform = lambda b: mesh_mod.shard_batch(mesh, b)  # noqa: E731
+    else:
+        transform = jax.device_put
+    if loop.prefetch > 0:
+        return prefetch_mod.prefetch(it, loop.prefetch, transform)
+    return map(transform, it)
 
 
 def train_audio2feature(
@@ -92,9 +109,7 @@ def train_audio2feature(
         lr_now = schedule(epoch)
         st = _set_lr(st, lr_now)
         t0 = time.time()
-        for batch in sampler.batches(loop.batch_size, rng):
-            if mesh is not None:
-                batch = mesh_mod.shard_batch(mesh, batch)
+        for batch in _batch_iter(sampler, loop, rng, mesh):
             st, metrics = step_fn(st, batch)
             it += 1
             if it % loop.print_freq == 0:
@@ -117,6 +132,7 @@ def train_audio2headpose(
     cfg: Audio2HeadposeConfig,
     loop: TrainLoopConfig,
     sampler,
+    val_sampler=None,
     init_params: Optional[Any] = None,
 ) -> state_mod.TrainState:
     """Audio2Headpose trainer (GMM NLL + optional smooth term)."""
@@ -132,6 +148,7 @@ def train_audio2headpose(
         params = mesh_mod.replicate(mesh, params)
     st = state_mod.create_state(params, tx)
     step_fn = steps.make_a2h_step(cfg, tx, smooth_loss_weight=loop.smooth_loss)
+    validate_fn = steps.a2h_validate(cfg)
     vis = Visualizer(loop.checkpoints_dir, loop.name)
     ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
     start_epoch = 0
@@ -144,9 +161,7 @@ def train_audio2headpose(
     it = 0
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
         st = _set_lr(st, schedule(epoch))
-        for batch in sampler.batches(loop.batch_size, rng):
-            if mesh is not None:
-                batch = mesh_mod.shard_batch(mesh, batch)
+        for batch in _batch_iter(sampler, loop, rng, mesh):
             key, sub = jax.random.split(key)
             st, metrics = step_fn(st, batch, sub)
             it += 1
@@ -154,6 +169,12 @@ def train_audio2headpose(
                 m = {k: float(v) for k, v in metrics.items()}
                 vis.plot_current_errors(m, it)
                 vis.print_current_errors(epoch, it, m)
+        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            v = np.mean([
+                float(validate_fn(st.params, b))
+                for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)
+            ])
+            vis.plot_current_errors({"val_gmm_nll": float(v)}, it)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
     vis.close()
@@ -164,12 +185,18 @@ def train_feature2face(
     cfg: Feature2FaceConfig,
     loop: TrainLoopConfig,
     sampler,
+    val_sampler=None,
     vgg_params: Optional[Any] = None,
     init_g: Optional[Any] = None,
     init_d: Optional[Any] = None,
 ):
     """Feature2Face GAN trainer (D step then G step per iteration,
-    feature2face_model.py:195-222; bf16 compute on TPU)."""
+    feature2face_model.py:195-222; bf16 compute on TPU).
+
+    Per epoch: optional validation (eval L1/PSNR over val_sampler) and a
+    get_current_visuals-style image panel (input feature map | synthesized
+    | target, visualizer.py:61-97 parity) rendered from a fixed batch so
+    progress is visually comparable across epochs."""
     (lr_g, bg), (lr_d, bd) = steps.ttur_learning_rates(loop.lr, loop.ttur)
     schedule_g = schedulers.make_schedule(loop.lr_policy, lr_g, loop.n_epochs,
                                           loop.n_epochs_decay)
@@ -199,6 +226,15 @@ def train_feature2face(
         compute_dtype = jnp.bfloat16
     d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
                                           compute_dtype=compute_dtype)
+    validate_fn = steps.f2f_validate(cfg, compute_dtype=compute_dtype)
+
+    # Fixed panel batch: same frames every epoch so the HTML gallery shows
+    # actual progress, not sampling noise.
+    panel_batch = None
+    if loop.display_epoch_freq > 0:
+        panel_rng = np.random.default_rng(loop.seed + 1)
+        panel_batch = next(iter(sampler.batches(
+            min(loop.batch_size, 2, len(sampler)), panel_rng, shuffle=False)), None)
 
     vis = Visualizer(loop.checkpoints_dir, loop.name)
     ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
@@ -214,9 +250,7 @@ def train_feature2face(
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
         g_state = _set_lr(g_state, schedule_g(epoch))
         d_state = _set_lr(d_state, schedule_d(epoch))
-        for batch in sampler.batches(loop.batch_size, rng):
-            if mesh is not None:
-                batch = mesh_mod.shard_batch(mesh, batch)
+        for batch in _batch_iter(sampler, loop, rng, mesh):
             d_state, d_metrics = d_step(d_state, g_state.params, batch)
             g_state, g_metrics = g_step(g_state, d_state.params, batch)
             it += 1
@@ -224,6 +258,21 @@ def train_feature2face(
                 m = {k: float(v) for k, v in (d_metrics | g_metrics).items()}
                 vis.plot_current_errors(m, it)
                 vis.print_current_errors(epoch, it, m)
+        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            vals = [validate_fn(g_state.params, b)[1]
+                    for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)]
+            if vals:
+                vm = {k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]}
+                vis.plot_current_errors(vm, it)
+                vis.print_current_errors(epoch, it, vm)
+        if panel_batch is not None and (epoch + 1) % loop.display_epoch_freq == 0:
+            fake, _ = validate_fn(g_state.params, panel_batch)
+            fm = np.asarray(panel_batch["feature_map"][0, ..., 0])
+            vis.display_current_results({
+                "input_feature_map": np.repeat((fm * 2.0 - 1.0)[..., None], 3, -1),
+                "synthesized": np.asarray(fake[0]),
+                "target": np.asarray(panel_batch["tgt_image"][0]),
+            }, epoch + 1, it)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, {"G": g_state, "D": d_state}, epoch + 1)
     vis.close()

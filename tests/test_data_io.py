@@ -48,18 +48,16 @@ def test_prepare_clip_caches_apc(clip_dir):
     np.testing.assert_array_equal(clip.audio_features, clip2.audio_features)
 
 
-def test_load_face_clip(tmp_path):
+def _make_face_clip_dir(tmp_path, name="c", N=8, H=64, seed=0):
     import h5py
     from PIL import Image
 
-    root = tmp_path / "face" / "c"
+    root = tmp_path / "face" / name
     (root / "candidates").mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    N, H = 8, 64
-    # jpg-encode frames into an h5 byte store like the reference
-    with h5py.File(str(root / "c.h5"), "w") as f:
+    rng = np.random.default_rng(seed)
+    with h5py.File(str(root / f"{name}.h5"), "w") as f:
         dt = h5py.vlen_dtype(np.dtype("uint8"))
-        ds = f.create_dataset("c", (N,), dtype=dt)
+        ds = f.create_dataset(name, (N,), dtype=dt)
         import io as _io
 
         for i in range(N):
@@ -76,6 +74,12 @@ def test_load_face_clip(tmp_path):
     for j in range(4):
         Image.fromarray(rng.integers(0, 255, (H, H, 3), dtype=np.uint8)).save(
             str(root / "candidates" / f"full_{j}.jpg"))
+    return root
+
+
+def test_load_face_clip(tmp_path):
+    N = 8
+    root = _make_face_clip_dir(tmp_path, N=N)
 
     sampler = data_io.load_face_clip(str(root), "c", load_size=512)
     assert sampler.images.shape == (N, 512, 512, 3)
@@ -84,6 +88,49 @@ def test_load_face_clip(tmp_path):
     assert os.path.exists(root / "candidates" / "normalized_full_0.jpg")
     item = sampler.sample(0)
     assert item["feature_map"].shape == (512, 512, 1)
+
+
+def test_lazy_frames_match_eager_and_bound_memory(tmp_path):
+    """Default (lazy) decode yields identical samples to eager=True without
+    materialising the clip: the LRU holds at most cache_frames decoded
+    frames (face_dataset.py:190-193 reads h5 lazily per item)."""
+    N = 12
+    # two identical clip dirs: loading the same dir twice would compare a
+    # first-run candidate cache against its lossy jpg re-read (by design,
+    # face_dataset.py:119-129)
+    root = _make_face_clip_dir(tmp_path / "a", N=N, seed=3)
+    root2 = _make_face_clip_dir(tmp_path / "b", N=N, seed=3)
+    lazy = data_io.load_face_clip(str(root), "c", load_size=512, cache_frames=2)
+    eager = data_io.load_face_clip(str(root2), "c", load_size=512, eager=True)
+    assert isinstance(lazy.images, data_io.LazyH5Frames)
+    assert len(lazy.images) == N and lazy.images.shape == (N, 512, 512, 3)
+    for i in (0, 5, N - 2):
+        a = lazy.sample(i)
+        b = eager.sample(i)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    assert len(lazy.images._cache) <= 2  # bounded: whole clip never resident
+
+
+def test_concat_face_sampler(tmp_path):
+    from livespeechportraits_tpu.train import datasets
+
+    r1 = _make_face_clip_dir(tmp_path, name="c1", N=7, seed=1)
+    r2 = _make_face_clip_dir(tmp_path, name="c2", N=9, seed=2)
+    s1 = data_io.load_face_clip(str(r1), "c1", load_size=512)
+    s2 = data_io.load_face_clip(str(r2), "c2", load_size=512)
+    cat = datasets.ConcatFaceSampler([s1, s2])
+    assert len(cat) == len(s1) + len(s2)
+    # indices map through the cumulative boundary to the right clip
+    np.testing.assert_array_equal(
+        cat.sample(0)["tgt_image"], s1.sample(0)["tgt_image"])
+    np.testing.assert_array_equal(
+        cat.sample(len(s1))["tgt_image"], s2.sample(0)["tgt_image"])
+    n_batches = 0
+    for b in cat.batches(4, np.random.default_rng(0)):
+        assert b["tgt_image"].shape == (4, 512, 512, 3)
+        n_batches += 1
+    assert n_batches == len(cat) // 4
 
 
 def test_a2f_wavenet_variant():

@@ -143,17 +143,22 @@ def _load_real_clips(args):
 
 def _load_real_face_data(args):
     """Reference-layout renderer data: h5 jpg store + landmarks + candidates
-    per clip (train/data_io.load_face_clip; first clip only for now)."""
+    per clip, decoded lazily per sampled frame and spanning every clip
+    (train/data_io.load_face_clip + datasets.ConcatFaceSampler;
+    face_dataset.py:36-77)."""
     import os
 
-    from livespeechportraits_tpu.train import data_io
+    from livespeechportraits_tpu.train import data_io, datasets
 
     if not args.dataroot or not args.clip_names:
         raise SystemExit("real-data training needs --dataroot and --clip_names "
                          "(or use --synthetic)")
-    name = args.clip_names.split(",")[0]
-    return data_io.load_face_clip(os.path.join(args.dataroot, name), name,
-                                  load_size=args.image_size)
+    samplers = [
+        data_io.load_face_clip(os.path.join(args.dataroot, name), name,
+                               load_size=args.image_size)
+        for name in args.clip_names.split(",")
+    ]
+    return samplers[0] if len(samplers) == 1 else datasets.ConcatFaceSampler(samplers)
 
 
 if __name__ == "__main__":
