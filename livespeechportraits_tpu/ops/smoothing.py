@@ -37,25 +37,35 @@ def _gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
-def gaussian_filter1d(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+def gaussian_filter1d(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
+                      valid_len=None) -> jnp.ndarray:
     """Gaussian smoothing along axis 0 of [T, D] (scipy parity, mode='reflect').
 
     scipy's 'reflect' boundary duplicates the edge sample ([d c b a | a b c d]).
+
+    valid_len (traced int scalar, optional): treat only rows [0, valid_len)
+    as the signal (the rest is bucket padding, serve.py).  The reflect
+    extension is built from the valid rows via the closed-form periodic
+    reflect map, so rows >= valid_len are never read and outputs
+    [0, valid_len) are bit-identical to filtering the unpadded signal -
+    dynamic values, static shapes.
     """
     if sigma <= 0:
         return x
     kernel = jnp.asarray(_gaussian_kernel(sigma, truncate))
     radius = kernel.shape[0] // 2
     T = x.shape[0]
-    # scipy 'reflect' (a.k.a. symmetric): indices reflect including the edge.
-    idx = np.arange(-radius, T + radius)
-    idx = np.where(idx < 0, -idx - 1, idx)
-    idx = np.where(idx >= T, 2 * T - idx - 1, idx)
-    # Repeated reflection for very short signals.
-    while (idx < 0).any() or (idx >= T).any():  # pragma: no cover - tiny T only
-        idx = np.where(idx < 0, -idx - 1, idx)
-        idx = np.where(idx >= T, 2 * T - idx - 1, idx)
-    xp = x[jnp.asarray(idx)]  # [T + 2r, D]
+    i = np.arange(-radius, T + radius)
+    if valid_len is None:
+        # scipy 'reflect' (a.k.a. symmetric): indices reflect at the edges;
+        # closed form of the repeated reflection is a period-2T triangle.
+        m = np.mod(i, 2 * T)
+        idx = jnp.asarray(np.where(m < T, m, 2 * T - 1 - m))
+    else:
+        period = 2 * valid_len
+        m = jnp.mod(jnp.asarray(i), period)
+        idx = jnp.where(m < valid_len, m, period - 1 - m)
+    xp = x[idx]  # [T + 2r, D]
     # Correlate: out[t] = sum_j kernel[j] * xp[t + j]
     out = jax.vmap(
         lambda col: jnp.convolve(col, kernel[::-1], mode="valid"), in_axes=1, out_axes=1
@@ -64,25 +74,29 @@ def gaussian_filter1d(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jn
 
 
 def landmark_smooth_3d(
-    pts3d: jnp.ndarray, smooth_sigma: float = 0.0, area: str = "only_mouth"
+    pts3d: jnp.ndarray, smooth_sigma: float = 0.0, area: str = "only_mouth",
+    valid_len=None,
 ) -> jnp.ndarray:
     """Temporal Gaussian smoothing of [T, 73, 3] landmarks
     (funcs/utils.py:246-263).
 
     'only_mouth' smooths the mouth block independently *before* the global
     pass and then re-inserts it, matching the reference's ordering.
+    valid_len: see gaussian_filter1d (bucket padding exactness).
     """
     if smooth_sigma == 0:
         return pts3d
     T = pts3d.shape[0]
     if area == "all":
-        return gaussian_filter1d(pts3d.reshape(T, -1), smooth_sigma).reshape(pts3d.shape)
+        return gaussian_filter1d(pts3d.reshape(T, -1), smooth_sigma,
+                                 valid_len=valid_len).reshape(pts3d.shape)
     if area != "only_mouth":
         raise ValueError(f"unknown smoothing area {area!r}")
     m0, m1 = MOUTH_RANGE
     mouth = pts3d[:, m0:m1, :].reshape(T, -1)
-    mouth = gaussian_filter1d(mouth, smooth_sigma).reshape(T, m1 - m0, 3)
-    smoothed = gaussian_filter1d(pts3d.reshape(T, -1), smooth_sigma).reshape(pts3d.shape)
+    mouth = gaussian_filter1d(mouth, smooth_sigma, valid_len=valid_len).reshape(T, m1 - m0, 3)
+    smoothed = gaussian_filter1d(pts3d.reshape(T, -1), smooth_sigma,
+                                 valid_len=valid_len).reshape(pts3d.shape)
     return smoothed.at[:, m0:m1, :].set(mouth)
 
 
@@ -143,7 +157,7 @@ def mouth_amp(
 
 
 @jax.jit
-def solve_intersect_mouth(pts3d: jnp.ndarray) -> jnp.ndarray:
+def solve_intersect_mouth(pts3d: jnp.ndarray, valid=None) -> jnp.ndarray:
     """De-intersect flipped lips after aggressive AMP
     (funcs/utils.py:330-357).
 
@@ -151,6 +165,10 @@ def solve_intersect_mouth(pts3d: jnp.ndarray) -> jnp.ndarray:
     inner upper-lip points; affected frames get half the overlap pushed back
     into each lip, outer lips moved by the mean overlap.  Vectorised with a
     per-frame mask (no data-dependent indexing, jit-safe).
+
+    `valid` ([T] bool, optional) excludes padded tail rows from the global
+    flipped-frame statistic so a bucket-padded sequence reproduces the
+    unpadded sequence's outputs exactly (serve length bucketing).
     """
     ui = jnp.asarray(UPPER_INNER_LIP)
     li = jnp.asarray(LOWER_INNER_LIP)
@@ -160,6 +178,8 @@ def solve_intersect_mouth(pts3d: jnp.ndarray) -> jnp.ndarray:
     upper_y = pts3d[:, ui, 1]  # [T, 3]
     lower_y = pts3d[:, li, 1]
     flip = (lower_y > upper_y).sum(axis=1) == 3  # [T]
+    if valid is not None:
+        flip = flip & valid
     diff_half = (lower_y - upper_y) * 0.5  # [T, 3]
 
     # The reference computes the outer-lip shift as the mean over *all*
@@ -176,11 +196,12 @@ def solve_intersect_mouth(pts3d: jnp.ndarray) -> jnp.ndarray:
 
 
 def headpose_smooth(
-    headpose: jnp.ndarray, smooth_sigmas: Tuple[float, float] = (0.0, 0.0)
+    headpose: jnp.ndarray, smooth_sigmas: Tuple[float, float] = (0.0, 0.0),
+    valid_len=None,
 ) -> jnp.ndarray:
     """Smooth [T, 6] headpose: rot with sigma[0], trans with sigma[1]
-    (funcs/utils.py:361-367)."""
+    (funcs/utils.py:361-367).  valid_len: see gaussian_filter1d."""
     rot_sigma, trans_sigma = smooth_sigmas
-    rot = gaussian_filter1d(headpose[:, :3], rot_sigma)
-    trans = gaussian_filter1d(headpose[:, 3:], trans_sigma)
+    rot = gaussian_filter1d(headpose[:, :3], rot_sigma, valid_len=valid_len)
+    trans = gaussian_filter1d(headpose[:, 3:], trans_sigma, valid_len=valid_len)
     return jnp.concatenate([rot, trans], axis=1)

@@ -85,6 +85,7 @@ def compute_motion(
     key: jax.Array,
     stage_ms: Optional[Dict[str, float]] = None,
     profile: bool = False,
+    valid_frames: Optional[int] = None,
 ):
     """Stages 1-5: audio -> (projected landmarks, shoulders, headpose, pts3d).
 
@@ -92,6 +93,16 @@ def compute_motion(
     timings.  With profile=False the stages are dispatched asynchronously
     (fastest); profile=True inserts a device barrier per stage so the
     attribution is truthful.
+
+    valid_frames: the unpadded audio's video-frame count
+    (len(true_audio)/sr*60) when `audio` carries bucket padding (serve.py).
+    Three dynamic-value (never dynamic-shape) adjustments make the result
+    bit-identical to running on the unpadded audio while compiles are
+    shared per bucket: features past the true end are repeat-padded with
+    the last true row (what a2f.generate_sequence's tail handling sees on
+    the unpadded run), the non-causal post stage reflect-remaps its padded
+    tail, and the frame count is trimmed to valid_frames - frame_future.
+    Every other stage is prefix-causal over the padded audio.
     """
     sm = stage_ms if stage_ms is not None else {}
 
@@ -113,6 +124,13 @@ def compute_motion(
         if profile:
             _sync(feats)
     sm["lle"] = (time.perf_counter() - t0) * 1e3
+
+    if valid_frames is not None:
+        # Rows at or past the true end all become the last true row, which
+        # is exactly the repeat-pad the unpadded run's A2F tail sees
+        # (a2f.generate_sequence) - dynamic values, static shape.
+        last = jnp.asarray(2 * valid_frames - 1, jnp.int32)
+        feats = feats[jnp.minimum(jnp.arange(feats.shape[0]), last)]
 
     # ---- 3. mouth landmarks (demo.py:203-205)
     t0 = time.perf_counter()
@@ -139,6 +157,12 @@ def compute_motion(
     t0 = time.perf_counter()
     nframe = int(min(pred_feat.shape[0], pred_head.shape[0]))
     brow_idx = np.arange(nframe) % assets.candidate_eye_brow.shape[0]
+    valid_len = None
+    post_valid = None
+    if valid_frames is not None:
+        post_valid = int(valid_frames) - cfg.audio2headpose.frame_future
+        if post_valid < nframe:
+            valid_len = jnp.asarray(post_valid, jnp.int32)  # dynamic: no recompile per length
     landmarks2d, shoulders2d, head, final = _jit_post(
         cfg,
         pred_feat[:nframe],
@@ -152,7 +176,10 @@ def compute_motion(
         assets.device("shoulder3D"),
         assets.device("ref_trans"),
         assets.scale,
+        valid_len,
     )
+    if post_valid is not None:
+        nframe = min(nframe, post_valid)
     if profile:
         _sync(landmarks2d)
     sm["post"] = (time.perf_counter() - t0) * 1e3
@@ -163,27 +190,41 @@ def compute_motion(
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _jit_post(cfg, pred_feat, pred_head, mean_pts3d, std_mean_pts3d,
               mean_translation, candidate_eye_brow, brow_idx, K, shoulder3D,
-              ref_trans, scale):
+              ref_trans, scale, valid_len=None):
     """Fused stage-5 device program: smoothing, AMP, de-intersection,
     head-pose conditioning, eyebrow cycling, landmark + shoulder projection
-    (demo.py:215-255) in one dispatch."""
+    (demo.py:215-255) in one dispatch.
+
+    valid_len (traced int scalar, optional): true sequence length when the
+    inputs carry bucket padding (serve.py).  Every Gaussian smoothing pass
+    builds its reflect extension from the valid rows only
+    (ops/smoothing.gaussian_filter1d valid_len) and the global lip-flip
+    statistic is masked to the valid rows, so outputs [0, valid_len) are
+    bit-identical to running on the unpadded sequence while the compiled
+    shape stays the bucket's.
+    """
     a2f_cfg = cfg.audio2feature
     a2h_cfg = cfg.audio2headpose
     nframe = pred_feat.shape[0]
+
+    valid = None
+    if valid_len is not None:
+        valid = jnp.arange(nframe) < valid_len
 
     pred_pts3d = jnp.zeros((nframe, 73, 3), jnp.float32)
     mouth = pred_feat.reshape(nframe, 25, 3)
     pred_pts3d = pred_pts3d.at[:, jnp.asarray(np.asarray(MOUTH_INDICES))].set(mouth)
 
-    pred_pts3d = smoothing.landmark_smooth_3d(pred_pts3d, a2f_cfg.smooth_sigma, "only_mouth")
+    pred_pts3d = smoothing.landmark_smooth_3d(pred_pts3d, a2f_cfg.smooth_sigma,
+                                              "only_mouth", valid_len=valid_len)
     pred_pts3d = smoothing.mouth_amp(pred_pts3d, True, a2f_cfg.amp_method, a2f_cfg.amp_params)
     pred_pts3d = pred_pts3d + mean_pts3d
-    pred_pts3d = smoothing.solve_intersect_mouth(pred_pts3d)
+    pred_pts3d = smoothing.solve_intersect_mouth(pred_pts3d, valid)
 
     head = pred_head[:, :6]
     head = head.at[:, :3].multiply(a2h_cfg.rot_amp)
     head = head.at[:, 3:].multiply(a2h_cfg.trans_amp)
-    head = smoothing.headpose_smooth(head, a2h_cfg.smooth_sigmas)
+    head = smoothing.headpose_smooth(head, a2h_cfg.smooth_sigmas, valid_len=valid_len)
     head = head.at[:, 3:].add(mean_translation)
     head = head.at[:, 0].add(180.0)  # x-axis convention flip (demo.py:232)
 
@@ -385,18 +426,26 @@ def animate(
     profile: bool = False,
     mesh=None,
     transfer: str = "rgb",
+    valid_frames: Optional[int] = None,
 ) -> AnimateResult:
     """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS.
 
     mesh: optional jax.sharding.Mesh; rendering (the dominant stage) is
     then frame-sharded over its `data` axis.
     transfer: 'rgb' (exact) or 'yuv420' (half the host-link bytes).
+    valid_frames: the unpadded audio's video-frame count when `audio` is
+    bucket-padded (serve.py); outputs are bit-identical to the unpadded
+    run, trimmed to valid_frames - frame_future, and only the needed
+    render batches are dispatched (see compute_motion).
     """
     stage_ms: Dict[str, float] = {}
     key = jax.random.PRNGKey(seed)
     landmarks2d, shoulders2d, head, final_pts3d, nframe = compute_motion(
-        cfg, assets, models, audio, key, stage_ms, profile=profile
+        cfg, assets, models, audio, key, stage_ms, profile=profile,
+        valid_frames=valid_frames,
     )
+    landmarks2d = landmarks2d[:nframe]
+    shoulders2d = shoulders2d[:nframe]
     frames, fmaps = render_frames(
         cfg, assets, models, landmarks2d, shoulders2d,
         render_batch=render_batch, keep_feature_maps=keep_feature_maps,
@@ -406,8 +455,8 @@ def animate(
         frames=frames,
         feature_maps=fmaps,
         landmarks=np.asarray(landmarks2d),
-        headpose=np.asarray(head),
-        pts3d=np.asarray(final_pts3d),
+        headpose=np.asarray(head)[:nframe],
+        pts3d=np.asarray(final_pts3d)[:nframe],
         nframe=nframe,
         stage_ms=stage_ms,
     )

@@ -40,11 +40,14 @@ class Predictor:
                  bucket_seconds: float = 1.0):
         """bucket_seconds > 0 pads each request's audio up to the next
         bucket so every pipeline program compiles once per bucket instead
-        of once per audio length (XLA shapes are static); outputs are
-        trimmed to the true frame count.  The padding only perturbs the
-        final ~0.6 s of a clip (mouth frame_future lookahead + smoothing
-        tails read zero-padded audio instead of repeat-padding); set 0 for
-        bit-exact offline behaviour."""
+        of once per audio length (XLA shapes are static).  Outputs are
+        bit-identical to the unbucketed run: every stage before
+        post-processing is prefix-causal (causal GRU/LSTM/AR decode over
+        zero-padded audio, position-stable per-frame sample keys), and the
+        non-causal post stage gets the true length as a dynamic scalar so
+        its smoothing sees the exact reflect boundary of the unpadded
+        sequence (animate.compute_motion valid_frames).  bucket_seconds=0
+        compiles per distinct audio length instead."""
         self.max_audio_seconds = max_audio_seconds
         self.bucket_seconds = bucket_seconds
         self.results_dir = results_dir or tempfile.mkdtemp(prefix="lsp_serve_")
@@ -99,17 +102,19 @@ class Predictor:
         true_audio = audio
         true_frames = int(len(true_audio) / 16000 * 60) - \
             self._cfg.audio2headpose.frame_future
+        valid_frames = None
         if self.bucket_seconds > 0:
             bucket = int(self.bucket_seconds * 16000)
             padded = -(-len(audio) // bucket) * bucket
             audio = np.pad(audio, (0, padded - len(audio)))
+            valid_frames = int(len(true_audio) / 16000 * 60)
 
         t0 = time.perf_counter()
         # frames leave the device as packed YUV 4:2:0 by default: half the
         # host-link bytes, and the video encoder consumes 4:2:0 anyway
         result = animate_mod.animate(self._cfg, self._assets, self._models,
                                      audio, seed=seed, render_batch=render_batch,
-                                     transfer=transfer)
+                                     transfer=transfer, valid_frames=valid_frames)
         wall = time.perf_counter() - t0
         frames = result.frames[:true_frames]
         out_path = os.path.join(self.results_dir, f"{name}.avi")

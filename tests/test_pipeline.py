@@ -122,3 +122,24 @@ def test_yuv420_transfer_visually_identical(person):
     from livespeechportraits_tpu.utils.metrics import psnr
 
     assert psnr(yuv.frames, rgb.frames) > 30.0
+
+
+def test_bucket_padded_animate_bit_exact(person):
+    """Bucket padding (serve.py length bucketing) must not change outputs:
+    every pre-post stage is prefix-causal over zero-padded audio, and post
+    reflect-remaps its padded tail (animate._jit_post valid_len), so the
+    padded run trimmed to valid_frames is bit-identical to the exact run."""
+    cfg, a, m = person
+    audio = _sine_audio(0.8)  # not a bucket multiple
+    exact = animate_mod.animate(cfg, a, m, audio, seed=7, render_batch=4)
+
+    bucket = 16000  # 1 s bucket
+    padded_audio = np.pad(audio, (0, bucket - len(audio) % bucket))
+    true_total = int(len(audio) / 16000 * 60)
+    bucketed = animate_mod.animate(cfg, a, m, padded_audio, seed=7,
+                                   render_batch=4, valid_frames=true_total)
+    assert bucketed.nframe == exact.nframe
+    np.testing.assert_array_equal(bucketed.landmarks, exact.landmarks)
+    np.testing.assert_array_equal(bucketed.headpose, exact.headpose)
+    np.testing.assert_array_equal(bucketed.pts3d, exact.pts3d)
+    np.testing.assert_array_equal(bucketed.frames, exact.frames)
