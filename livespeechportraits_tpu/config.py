@@ -69,7 +69,14 @@ class Audio2FeatureConfig:
     lstm_layers: int = 3
     output_dim: int = 75  # A2L_GMM_ndim=25*3 x predict_length=1
     frame_future: int = 18  # base_options_audio2feature.py:57
+    # 'L2' | 'GMM'.  The reference declares a GMM option but it is broken
+    # as shipped (audio2feature_model.py:85 constructs GMMLogLoss with
+    # undefined A2L_GMM_* options); here the intended mode is runnable:
+    # the head widens to (2*output_dim+1)*gmm_ncenter and trains with the
+    # diagonal-GMM NLL (ops/gmm.py), decoding component means at inference.
     loss: str = "L2"
+    gmm_ncenter: int = 1
+    gmm_sigma_min: float = 0.03
     ckpt_path: str = ""
     # post-processing knobs (config/*.yaml Audio2Mouth)
     smooth_sigma: float = 1.5

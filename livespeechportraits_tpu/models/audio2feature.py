@@ -27,6 +27,15 @@ from livespeechportraits_tpu.config import Audio2FeatureConfig, WaveNetConfig
 from livespeechportraits_tpu.models import nn_core, wavenet
 
 
+def head_dim(cfg: Audio2FeatureConfig) -> int:
+    """Output width of the final projection: raw landmarks for L2, the
+    packed [weights | means | -log sigma] GMM parameter block for the
+    intended GMM mode (config.Audio2FeatureConfig.loss)."""
+    if cfg.loss == "GMM":
+        return (2 * cfg.output_dim + 1) * cfg.gmm_ncenter
+    return cfg.output_dim
+
+
 def init_audio2feature(key: jax.Array, cfg: Audio2FeatureConfig) -> Dict[str, Any]:
     H = cfg.apc_hidden_size
     ks = jax.random.split(key, 10)
@@ -43,7 +52,7 @@ def init_audio2feature(key: jax.Array, cfg: Audio2FeatureConfig) -> Dict[str, An
         "fc1_bn": nn_core.batchnorm_init(512),
         "fc2": nn_core.dense_init(ks[6], 512, 512),
         "fc2_bn": nn_core.batchnorm_init(512),
-        "fc3": nn_core.dense_init(ks[7], 512, cfg.output_dim),
+        "fc3": nn_core.dense_init(ks[7], 512, head_dim(cfg)),
     }
     return params
 
@@ -161,6 +170,8 @@ def generate_sequence(
     params: Dict[str, Any],
     audio_feats: jnp.ndarray,
     frame_future: int = 18,
+    cfg: Audio2FeatureConfig | None = None,
+    key: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Whole-utterance inference (audio2feature_model.py:117-154 parity).
 
@@ -170,6 +181,10 @@ def generate_sequence(
             frames ahead; the tail is padded with the final feature and the
             first `frame_future` predictions dropped (audio2feature_model.py
             :133-135, 146-149).
+        cfg: required for a GMM-trained head (cfg.loss == 'GMM'): the raw
+            GMM parameter block is decoded to component means
+            (ops/gmm.sample_gmm, sigma_scale=0; deterministic for
+            gmm_ncenter == 1, `key` picks the component otherwise).
     Returns:
         [T, output_dim] mouth-delta predictions.
     """
@@ -182,6 +197,13 @@ def generate_sequence(
         feats = jnp.concatenate([feats, pad], axis=0)
     infer = _infer_fast if rp.supports_pallas() else _infer
     preds = infer(params, feats[None])[0]
+    if cfg is not None and cfg.loss == "GMM":
+        from livespeechportraits_tpu.ops import gmm
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        preds = gmm.sample_gmm(key, preds, cfg.gmm_ncenter, cfg.output_dim,
+                               sigma_scale=0.0)
     if frame_future > 0:
         preds = preds[frame_future:]
     return preds[:T]

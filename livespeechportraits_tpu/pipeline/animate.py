@@ -135,7 +135,8 @@ def compute_motion(
     # ---- 3. mouth landmarks (demo.py:203-205)
     t0 = time.perf_counter()
     pred_feat = a2f_model.generate_sequence(
-        models.audio2feature, feats, frame_future=cfg.audio2feature.frame_future
+        models.audio2feature, feats, frame_future=cfg.audio2feature.frame_future,
+        cfg=cfg.audio2feature,  # GMM-trained heads decode to component means
     )  # [T, 75]
     if profile:
         _sync(pred_feat)

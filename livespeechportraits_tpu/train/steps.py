@@ -39,16 +39,24 @@ from livespeechportraits_tpu.train.state import TrainState, apply_updates_with_b
 # ---------------------------------------------------------------------------
 
 
-def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation):
+def _a2f_loss(cfg: Audio2FeatureConfig, preds, target):
+    """Frame-future-shifted A2F loss: MSE x 1000 (audio2feature_model.py:
+    88-93) or the intended GMM NLL (the reference's GMM option is broken
+    as shipped, audio2feature_model.py:85; config.py documents the
+    runnable rebuild)."""
     ff = cfg.frame_future
+    if ff > 0:
+        preds, target = preds[:, ff:], target[:, :-ff]
+    if cfg.loss == "GMM":
+        return gmm.gmm_log_loss(preds, target, cfg.gmm_ncenter,
+                                cfg.output_dim, cfg.gmm_sigma_min)
+    return jnp.mean((preds - target) ** 2) * 1000.0
 
+
+def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation):
     def loss_fn(params, batch):
         preds, aux = a2f.apply_audio2feature(params, batch["audio"], training=True)
-        target = batch["target"]
-        if ff > 0:
-            loss = jnp.mean((preds[:, ff:] - target[:, :-ff]) ** 2) * 1000.0
-        else:
-            loss = jnp.mean((preds - target) ** 2) * 1000.0
+        loss = _a2f_loss(cfg, preds, batch["target"])
         return loss, aux
 
     @jax.jit
@@ -61,15 +69,10 @@ def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation):
 
 
 def a2f_validate(cfg: Audio2FeatureConfig):
-    ff = cfg.frame_future
-
     @jax.jit
     def validate(params, batch):
         preds, _ = a2f.apply_audio2feature(params, batch["audio"], training=False)
-        target = batch["target"]
-        if ff > 0:
-            return jnp.mean((preds[:, ff:] - target[:, :-ff]) ** 2) * 1000.0
-        return jnp.mean((preds - target) ** 2) * 1000.0
+        return _a2f_loss(cfg, preds, batch["target"])
 
     return validate
 

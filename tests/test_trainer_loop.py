@@ -159,3 +159,31 @@ def test_f2f_trainer_loop_resume_and_ttur(tmp_path):
     )
     g2, d2 = trainer.train_feature2face(cfg, loop2, sampler)
     assert int(g2.step) > int(g1.step)  # resumed, not restarted
+
+
+def test_train_audio2feature_gmm_mode(tmp_path):
+    """The reference's intended-but-broken GMM option
+    (audio2feature_model.py:85) is runnable here: wider GMM head, NLL
+    loss, and mean decoding back to [T, output_dim] landmarks."""
+    import jax
+    import jax.numpy as jnp
+    from livespeechportraits_tpu.models import audio2feature as a2f
+
+    cfg = Audio2FeatureConfig(apc_hidden_size=8, lstm_hidden_size=8, output_dim=75,
+                              frame_future=2, loss="GMM", gmm_ncenter=2)
+    assert a2f.head_dim(cfg) == (2 * 75 + 1) * 2
+    loop = trainer.TrainLoopConfig(
+        n_epochs=1, n_epochs_decay=0, lr=1e-3, batch_size=4, print_freq=5,
+        checkpoints_dir=str(tmp_path), name="a2f_gmm", save_epoch_freq=1,
+    )
+    sampler = datasets.AudioVisualSampler(_clips(), task="audio2feature",
+                                          seq_len=16, frame_jump_stride=8)
+    st = trainer.train_audio2feature(cfg, loop, sampler, val_sampler=sampler)
+    assert int(st.step) > 0
+
+    # decode: GMM parameters -> component-mean landmarks, pipeline-shaped
+    feats = jnp.asarray(np.random.default_rng(1).normal(size=(40, 8)), jnp.float32)
+    out = a2f.generate_sequence(st.params, feats, frame_future=cfg.frame_future,
+                                cfg=cfg, key=jax.random.PRNGKey(0))
+    assert out.shape == (20, 75)
+    assert np.isfinite(np.asarray(out)).all()

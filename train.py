@@ -58,6 +58,8 @@ def main() -> None:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all devices")
     p.add_argument("--smooth_loss", type=float, default=0.0)
+    p.add_argument("--loss", default="L2", choices=["L2", "GMM"],
+                   help="audio2feature loss: MSE or the intended GMM NLL")
     p.add_argument("--TTUR", action="store_true")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--sequence_length", type=int, default=240)
@@ -80,7 +82,7 @@ def main() -> None:
     )
 
     if args.task == "audio2feature":
-        cfg = Audio2FeatureConfig()
+        cfg = Audio2FeatureConfig(loss=args.loss)
         clips = synthetic_clips(2, 1400) if args.synthetic else _load_real_clips(args)
         sampler = datasets.AudioVisualSampler(
             clips, task="audio2feature", seq_len=args.sequence_length,
