@@ -63,28 +63,70 @@ def main() -> None:
     warm = animate_mod.animate(cfg, person_assets, person_models, audio,
                                seed=0, render_batch=render_batch, profile=True,
                                transfer="yuv420")
-    result = animate_mod.animate(cfg, person_assets, person_models, audio,
-                                 seed=0, render_batch=render_batch, profile=True,
-                                 transfer="yuv420")
+    del warm
 
-    total_ms = sum(result.stage_ms.values())
     # Headline: the full six-stage pipeline with every per-frame compute on
-    # device and frames materialised as uint8 RGB on the chip.  The final
+    # device and frames materialised as uint8 on the chip.  The final
     # "render" entry is the host fetch, which in THIS harness crosses a
     # ~8 MB/s loopback relay (zero-egress container) rather than a real
     # host-DMA link; it is reported separately so the number stays honest.
-    fetch_ms = result.stage_ms.get("render", 0.0)
-    device_ms = total_ms - fetch_ms
-    fps = result.nframe / (device_ms / 1e3)
+    # Three measured runs: relay variance is large, so report the spread.
+    runs = []
+    for i in range(3):
+        result = animate_mod.animate(cfg, person_assets, person_models, audio,
+                                     seed=0, render_batch=render_batch,
+                                     profile=True, transfer="yuv420")
+        total_ms = sum(result.stage_ms.values())
+        fetch_ms = result.stage_ms.get("render", 0.0)
+        device_ms = total_ms - fetch_ms
+        runs.append({
+            "fps": result.nframe / (device_ms / 1e3),
+            "incl_relay_fps": result.nframe / (total_ms / 1e3),
+            "relay_fetch_ms": fetch_ms,
+            "stage_ms": result.stage_ms,
+        })
+    fps_all = sorted(r["fps"] for r in runs)
+    fps = fps_all[1]  # median of 3
+    median = runs[[r["fps"] for r in runs].index(fps)]
+
+    # Achieved FLOP/s vs peak (MFU) for the dominant program (the 512^2
+    # U-Net render step): per-frame FLOPs from XLA's cost model on the
+    # exact compiled executable, peak from the device kind.
+    flops_per_frame = mfu = peak_tflops = None
+    try:
+        import jax.numpy as jnp
+
+        inp = jnp.zeros((render_batch, 512, 512, 13), jnp.float32)
+        lowered = animate_mod._jit_render.lower(
+            person_models.feature2face["net"], "large", inp, jnp.bfloat16)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops_per_frame = float(cost["flops"]) / render_batch
+            kind = jax.devices()[0].device_kind.lower()
+            peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+                     "v5p": 459e12, "v6e": 918e12, "trillium": 918e12}
+            peak = next((v for k, v in peaks.items() if k in kind), None)
+            if peak:
+                peak_tflops = peak / 1e12
+                mfu = fps * flops_per_frame / peak
+    except Exception:
+        pass
+
     out = {
         "metric": "end-to-end fps (audio->512^2 uint8 frame), May-size pipeline, 1 chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-        "incl_relay_fetch_fps": round(result.nframe / (total_ms / 1e3), 2),
-        "relay_fetch_ms": round(fetch_ms, 1),
+        "fps_min_med_max": [round(f, 2) for f in fps_all],
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "render_gflops_per_frame": round(flops_per_frame / 1e9, 2) if flops_per_frame else None,
+        "peak_tflops_bf16": peak_tflops,
+        "incl_relay_fetch_fps": [round(r["incl_relay_fps"], 2) for r in runs],
+        "relay_fetch_ms": [round(r["relay_fetch_ms"], 1) for r in runs],
         "nframe": result.nframe,
-        "stage_ms": {k: round(v, 1) for k, v in result.stage_ms.items()},
+        "stage_ms": {k: round(v, 1) for k, v in median["stage_ms"].items()},
         "device": str(jax.devices()[0]),
         "render_batch": render_batch,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
