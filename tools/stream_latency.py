@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Measure streaming per-chunk latency on the current backend.
+
+Streams synthetic audio through StreamingAnimator at the flagship 512^2
+config and reports per-push wall time (the latency a live caller sees per
+chunk of audio) after a warm-up pass, for several chunk sizes.
+
+    python tools/stream_latency.py [seconds] [image_size]
+
+Prints one JSON line per chunk size.  Note: on this harness every
+dispatch crosses a loopback relay (~30 ms each way), so the numbers are
+upper bounds on real host-attached latency; the dispatch COUNT per chunk
+(also reported) is the harness-independent figure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from livespeechportraits_tpu.config import Feature2FaceConfig, PersonConfig
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
+
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    cfg = PersonConfig(
+        name="StreamBench",
+        feature2face=Feature2FaceConfig(size="large", ngf=64,
+                                        n_downsample=min(8, int(np.log2(H))),
+                                        load_size=H, precision="bfloat16"),
+    )
+    assets, models = assets_mod.make_synthetic_person(
+        cfg, key=jax.random.PRNGKey(0), image_size=H, bank_size=4096)
+
+    t = np.arange(int(seconds * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+    for chunk in (8, 16, 32):
+        # one warm-up stream compiles every chunk program for this size
+        for warm in (True, False):
+            st = StreamingAnimator(cfg, assets, models, seed=0, chunk=chunk,
+                                   render_batch=max(4, chunk // 2))
+            push = int(chunk / 60 * 16000) + 1  # one chunk of audio per push
+            times, frames = [], 0
+            for lo in range(0, len(audio), push):
+                t0 = time.perf_counter()
+                out = st.push_audio(audio[lo : lo + push])
+                frames += len(out)
+                times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            frames += len(st.flush())
+            flush_s = time.perf_counter() - t0
+        times_ms = np.asarray(times[2:]) * 1e3  # skip stream-start ramp
+        print(json.dumps({
+            "metric": f"streaming per-push wall (chunk={chunk} frames, {H}^2)",
+            "chunk_frames": chunk,
+            "push_ms_p50": round(float(np.percentile(times_ms, 50)), 1),
+            "push_ms_p95": round(float(np.percentile(times_ms, 95)), 1),
+            "push_ms_max": round(float(times_ms.max()), 1),
+            "flush_ms": round(flush_s * 1e3, 1),
+            "frames": frames,
+            "realtime_budget_ms": round(chunk / 60 * 1e3, 1),
+            "realtime": bool(np.percentile(times_ms, 95) < chunk / 60 * 1e3),
+            "latency_frames_algorithmic": st.latency_frames,
+            "device": str(jax.devices()[0]),
+        }))
+
+
+if __name__ == "__main__":
+    main()
