@@ -78,6 +78,52 @@ def _mel_chunk(audio_span: jnp.ndarray, offsets: jnp.ndarray, n_frames: int) -> 
     return (log_mel - LOG_MEL_MIN) / -LOG_MEL_MIN
 
 
+@functools.partial(jax.jit, static_argnames=("use_lle", "knear", "percent"))
+def _audio_feats_chunk(layers, audio_span, offsets, h_list, valid, lle_base,
+                       use_lle, knear, percent):
+    """Fused per-chunk feature program: mel framing + APC GRU stack + LLE
+    projection in ONE device dispatch (they were three; per-dispatch
+    latency dominates small chunk programs on a tunnelled backend)."""
+    mels = _mel_chunk(audio_span, offsets, int(offsets.shape[0]))
+    feats, new_h = _gru_chunk_masked(layers, mels, h_list, valid)
+    if use_lle:
+        feats = manifold.lle_project(feats, lle_base, K=knear, percent=percent)
+    return feats, new_h
+
+
+class _RowBuffer:
+    """Append-only row stream with a retired prefix (bounded memory for
+    unbounded live sessions).  Absolute row indices stay valid after
+    retirement; only rows >= base are resident."""
+
+    def __init__(self, shape: Tuple[int, ...], dtype=np.float32):
+        self.base = 0
+        self.buf = np.zeros((0,) + tuple(shape), dtype)
+
+    def __len__(self) -> int:  # total rows ever appended
+        return self.base + self.buf.shape[0]
+
+    @property
+    def resident(self) -> int:
+        return self.buf.shape[0]
+
+    def append(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows)
+        if rows.shape[0]:
+            self.buf = np.concatenate([self.buf, rows])
+
+    def slice(self, a: int, b: int) -> np.ndarray:
+        assert a >= self.base, f"rows [{a}, {b}) retired (base={self.base})"
+        return self.buf[a - self.base : b - self.base]
+
+    def retire(self, upto: int) -> None:
+        """Drop rows < upto (clamped to what exists)."""
+        k = max(0, min(upto, len(self)) - self.base)
+        if k:
+            self.buf = self.buf[k:]
+            self.base += k
+
+
 @jax.jit
 def _gru_chunk_masked(layers, mels, h_list, valid):
     """APC GRU stack over a (padded) chunk with masked carry updates.
@@ -169,6 +215,19 @@ def _decode_chunk_masked(params, cfg, state, prev, f_adds, g_adds, keys, valid,
     return state, prev, samples
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sigma_scale"))
+def _decode_chunk_cond(params, cfg, state, prev, cond_rows, keys, valid,
+                       sigma_scale):
+    """A2H streaming decode with the per-layer conditioning projections
+    computed INSIDE the program (one dispatch instead of projection +
+    decode).  cond_rows: [C, cond_channels]."""
+    proj = wavenet.precompute_cond_projections(params["wavenet"], cond_rows[None])
+    f_adds = jnp.stack([p[0][0] for p in proj], axis=1)  # [C, L, dil]
+    g_adds = jnp.stack([p[1][0] for p in proj], axis=1)
+    return _decode_chunk_masked(params, cfg, state, prev, f_adds, g_adds,
+                                keys, valid, sigma_scale)
+
+
 class _StreamSmoother:
     """Exact streaming equivalent of scipy/our gaussian_filter1d: emits
     output t once inputs through t+radius exist; the left boundary uses the
@@ -188,13 +247,22 @@ class _StreamSmoother:
             self.future = max_radius
         else:
             self.future = self.radius
-        self.buf: List[np.ndarray] = []
+        self.buf: List[np.ndarray] = []  # resident rows [base, total)
+        self.base = 0  # retired prefix length
         self.emitted = 0
 
-    def _window(self, t: int, total: Optional[int] = None) -> np.ndarray:
+    @property
+    def total(self) -> int:
+        """Rows ever pushed (absolute)."""
+        return self.base + len(self.buf)
+
+    def _row(self, src: int) -> np.ndarray:
+        return self.buf[src - self.base]
+
+    def _window(self, t: int) -> np.ndarray:
         if self.kernel is None:
-            return self.buf[t]
-        n = len(self.buf)
+            return self._row(t)
+        n = self.total
         out = 0.0
         for j, kj in enumerate(self.kernel):
             src = t + j - self.radius
@@ -202,22 +270,33 @@ class _StreamSmoother:
                 src = -src - 1  # reflect
             if src >= n:
                 src = 2 * n - src - 1  # right reflect (flush only)
-            out = out + kj * self.buf[src]
+            out = out + kj * self._row(src)
         return out.astype(np.float32)
+
+    def _retire(self) -> None:
+        # Future windows read rows >= emitted - radius (flush's right
+        # reflection also lands there); drop everything older.
+        keep_from = max(self.emitted - self.radius, 0)
+        k = keep_from - self.base
+        if k > 0:
+            del self.buf[:k]
+            self.base = keep_from
 
     def push(self, rows: np.ndarray) -> np.ndarray:
         """rows: [n, ...] new raw values; returns newly determined smoothed
         rows (possibly empty)."""
         self.buf.extend(np.asarray(r) for r in rows)
-        ready_until = len(self.buf) - self.future  # exclusive
+        ready_until = self.total - self.future  # exclusive
         out = [self._window(t) for t in range(self.emitted, max(self.emitted, ready_until))]
         self.emitted = max(self.emitted, ready_until)
+        self._retire()
         return np.stack(out) if out else np.zeros((0,) + np.shape(self.buf[0]), np.float32)
 
     def flush(self) -> np.ndarray:
-        out = [self._window(t) for t in range(self.emitted, len(self.buf))]
-        self.emitted = len(self.buf)
-        return np.stack(out) if out else np.zeros((0,) + np.shape(self.buf[0]) if self.buf else (0,), np.float32)
+        out = [self._window(t) for t in range(self.emitted, self.total)]
+        self.emitted = self.total
+        self._retire()
+        return np.stack(out) if out else np.zeros((0,) + (np.shape(self.buf[0]) if self.buf else ()), np.float32)
 
 
 class StreamingAnimator:
@@ -251,22 +330,26 @@ class StreamingAnimator:
         self._wn_state = None
         self._prev_sample = jnp.zeros((a2h.wavenet.input_channels,))
 
-        # host-side stream buffers
-        self._audio = np.zeros(0, np.float32)
+        # host-side stream buffers.  All are retire-as-consumed so memory
+        # stays bounded over unbounded live sessions (a soak test asserts
+        # this): _RowBuffer keeps absolute indices valid after retirement.
+        self._audio = np.zeros(0, np.float32)  # resident samples [audio_base, total)
+        self._audio_base = 0
         self._total_samples = 0
         self._mel_done = 0  # mel frames computed
-        self._feats: List[np.ndarray] = []  # 120 Hz projected APC features
-        self._a2f_raw: List[np.ndarray] = []  # raw A2F outputs (pre shift)
-        self._head_raw: List[np.ndarray] = []  # raw A2H samples
+        self._feats = _RowBuffer((cfg.apc.hidden_size,))  # 120 Hz projected APC features
+        self._a2f_raw = _RowBuffer((cfg.audio2feature.output_dim,))  # raw A2F outputs (pre shift)
+        self._head_raw = _RowBuffer((a2h.ndim,))  # raw A2H samples
+        self._down_rows = _RowBuffer((a2h.wavenet.cond_channels,))  # A2H audio-downsample cache
         self._decoded = 0
 
         cap = smooth_latency_cap
         self._mouth_smooth = _StreamSmoother(cfg.audio2feature.smooth_sigma, cap)
         self._rot_smooth = _StreamSmoother(a2h.smooth_sigmas[0], cap)
         self._trans_smooth = _StreamSmoother(a2h.smooth_sigmas[1], cap)
-        self._mouth_ready: List[np.ndarray] = []
-        self._rot_ready: List[np.ndarray] = []
-        self._trans_ready: List[np.ndarray] = []
+        self._mouth_ready = _RowBuffer((73, 3))
+        self._rot_ready = _RowBuffer((3,))
+        self._trans_ready = _RowBuffer((3,))
         self._emitted_frames = 0
         self._flushed = False
 
@@ -289,85 +372,97 @@ class StreamingAnimator:
                 b = min(b, total_mel)
                 if b <= a:
                     return
-                need_pad = True
             else:
-                if _mel_sample_end(b - 1) > len(self._audio):
+                if _mel_sample_end(b - 1) > self._total_samples:
                     return
-                need_pad = False
             n = b - a
             start = int(np.floor(a * MEL_STEP))
             end = _mel_sample_end(b - 1)
-            span = self._audio[start:end]
-            if end > len(self._audio):
-                span = np.concatenate([span, np.zeros(end - len(self._audio), np.float32)])
+            span = self._audio[start - self._audio_base : end - self._audio_base]
+            if end > self._total_samples:
+                span = np.concatenate([span, np.zeros(end - self._total_samples, np.float32)])
             offsets = np.asarray(
                 [int(np.floor(i * MEL_STEP)) - start for i in range(a, b)], np.int32
             )
-            # pad the chunk to the fixed size for a single compiled shape
+            # pad the chunk to the fixed size for a single compiled shape;
+            # mel + APC GRU + LLE run as ONE fused dispatch
             C = 2 * self.chunk
             pad = C - n
             offsets_p = np.concatenate([offsets, np.zeros(pad, np.int32)])
             valid = np.arange(C) < n
-            mels = _mel_chunk(jnp.asarray(span), jnp.asarray(offsets_p), C)
-            feats, self._apc_h = _gru_chunk_masked(
-                self.models.apc["layers"], mels, self._apc_h, jnp.asarray(valid))
-            feats = feats[:n]
-            if self.cfg.apc.use_LLE:
-                feats = manifold.lle_project(
-                    feats, jnp.asarray(self.assets.apc_feature_base),
-                    K=self.cfg.apc.Knear, percent=self.cfg.apc.LLE_percent)
-            self._feats.append(np.asarray(feats))
+            feats, self._apc_h = _audio_feats_chunk(
+                self.models.apc["layers"], jnp.asarray(span),
+                jnp.asarray(offsets_p), self._apc_h, jnp.asarray(valid),
+                jnp.asarray(self.assets.apc_feature_base),
+                bool(self.cfg.apc.use_LLE), int(self.cfg.apc.Knear),
+                float(self.cfg.apc.LLE_percent))
+            self._feats.append(np.asarray(feats[:n]))
             self._mel_done = b
+            # retire consumed audio: nothing before the next mel frame's
+            # first sample is ever read again
+            keep_from = int(np.floor(b * MEL_STEP))
+            k = keep_from - self._audio_base
+            if k > 0:
+                self._audio = self._audio[k:]
+                self._audio_base = keep_from
             if flush and total_mel is not None and b >= total_mel:
                 return
 
-    def _feats_cat(self) -> np.ndarray:
-        return (np.concatenate(self._feats) if self._feats
-                else np.zeros((0, self.cfg.apc.hidden_size), np.float32))
-
     def _advance_a2f(self, flush: bool) -> None:
-        feats = self._feats_cat()
-        if flush:
-            # offline pads 2*frame_future repeats of the last feature
-            if feats.shape[0] % 2 == 1:
-                feats = feats[:-1]
-            pad = np.tile(feats[-1:], (2 * self.ff_m, 1)) if feats.shape[0] else feats
-            feats = np.concatenate([feats, pad])
+        """Consume paired feature rows into raw A2F outputs; at flush the
+        tail repeats the final feature (offline parity)."""
         done = len(self._a2f_raw)
-        avail = feats.shape[0] // 2
+        total_rows = len(self._feats)
+        avail = total_rows // 2 + (self.ff_m if flush and total_rows else 0)
         while avail - done >= (1 if flush else self.chunk):
             n = min(self.chunk, avail - done)
-            pairs = feats[2 * done : 2 * (done + n)].reshape(n, -1)
+            lo, hi = 2 * done, 2 * (done + n)
+            even_rows = (total_rows // 2) * 2
+            real_lo, real_hi = min(lo, even_rows), min(hi, even_rows)
+            pairs = self._feats.slice(real_lo, real_hi)
+            tile_rows = (hi - lo) - (real_hi - real_lo)
+            if tile_rows:  # flush tail: repeat the last (even-trimmed)
+                # feature row, matching offline generate_sequence
+                last = self._feats.slice(even_rows - 1, even_rows)
+                pairs = np.concatenate([pairs, np.tile(last, (tile_rows, 1))])
+            pairs = pairs.reshape(n, -1)
             C = self.chunk
             pairs_p = np.concatenate([pairs, np.zeros((C - n, pairs.shape[1]), np.float32)])
             valid = np.arange(C) < n
             out, self._lstm = _lstm_chunk_masked(
                 self.models.audio2feature, jnp.asarray(pairs_p), self._lstm,
                 jnp.asarray(valid))
-            self._a2f_raw.extend(np.asarray(out[:n]))
+            self._a2f_raw.append(np.asarray(out[:n]))
             done += n
+            self._retire_feats()
             if flush and done >= avail:
                 break
 
+    def _retire_feats(self) -> None:
+        """Feature rows are read by A2F (from 2*len(_a2f_raw)) and by the
+        A2H downsample cache (from 2*len(_down_rows)); the flush tail also
+        re-reads the final row, so always keep the last pair."""
+        upto = min(2 * len(self._a2f_raw), 2 * len(self._down_rows),
+                   max(len(self._feats) - 2, 0))
+        self._feats.retire(upto)
+
     def _advance_a2h(self, flush: bool) -> None:
-        feats = self._feats_cat()
-        T = feats.shape[0] // 2
+        T = len(self._feats) // 2
         if T == 0:
             return
         a2h = self.cfg.audio2headpose
         total = max(T - self.ff_h, 0)
-        paired = feats[: 2 * T].reshape(T, -1)
         # The audio_downsample MLP is per-row stateless: extend the cached
         # downsampled rows incrementally (no O(T^2) recompute).
         import livespeechportraits_tpu.models.audio2headpose as a2h_mod
 
-        if not hasattr(self, "_down_rows"):
-            self._down_rows = np.zeros((0, a2h.wavenet.cond_channels), np.float32)
-        if T > self._down_rows.shape[0]:
+        if T > len(self._down_rows):
+            lo = len(self._down_rows)
+            paired = self._feats.slice(2 * lo, 2 * T).reshape(T - lo, -1)
             new_rows, _ = a2h_mod._audio_downsample(
-                self.models.audio2headpose,
-                jnp.asarray(paired[self._down_rows.shape[0] : T][None]), False)
-            self._down_rows = np.concatenate([self._down_rows, np.asarray(new_rows[0])])
+                self.models.audio2headpose, jnp.asarray(paired[None]), False)
+            self._down_rows.append(np.asarray(new_rows[0]))
+            self._retire_feats()
 
         while total - self._decoded >= (1 if flush else self.chunk):
             n = min(self.chunk, total - self._decoded)
@@ -375,58 +470,58 @@ class StreamingAnimator:
             if self._wn_state is None:
                 # prime ring buffers (audio rows clamped at 0)
                 warm_idx = np.maximum(np.arange(-(self.R - 1), 0) + self.ff_h, 0)
-                cond_warm = jnp.asarray(self._down_rows[warm_idx])[None]
+                cond_warm = jnp.asarray(
+                    self._down_rows.buf[warm_idx - self._down_rows.base])[None]
                 x_warm = jnp.broadcast_to(
                     self._prev_sample, (1, self.R - 1, self._prev_sample.shape[-1]))
                 self._wn_state = wavenet.stream_init(
                     self.models.audio2headpose["wavenet"], a2h.wavenet, x_warm, cond_warm)
                 self._wn_state = jax.tree.map(lambda b: b[0], self._wn_state)
 
-            idx = np.arange(i0, i0 + n) + self.ff_h
-            cond_steps = jnp.asarray(self._down_rows[idx])[None]
-            proj = wavenet.precompute_cond_projections(
-                self.models.audio2headpose["wavenet"], cond_steps)
-            f_stack = jnp.stack([p[0][0] for p in proj], axis=1)  # [n, L, C]
-            g_stack = jnp.stack([p[1][0] for p in proj], axis=1)
+            # conditioning rows for this chunk (padded to the fixed shape);
+            # projections happen inside the fused decode program
             C = self.chunk
-            padn = C - n
-            f_p = jnp.concatenate([f_stack, jnp.zeros((padn,) + f_stack.shape[1:])])
-            g_p = jnp.concatenate([g_stack, jnp.zeros((padn,) + g_stack.shape[1:])])
+            cond = self._down_rows.slice(i0 + self.ff_h, i0 + n + self.ff_h)
+            cond_p = np.concatenate(
+                [cond, np.zeros((C - n, cond.shape[1]), np.float32)])
             keys = jnp.stack([jax.random.fold_in(self.key, i) for i in range(i0, i0 + C)])
             valid = jnp.asarray(np.arange(C) < n)
 
             state1 = jax.tree.map(lambda b: b[None], self._wn_state)
-            state1, prev, samples = _decode_chunk_masked(
+            state1, prev, samples = _decode_chunk_cond(
                 self.models.audio2headpose, a2h, state1, self._prev_sample,
-                f_p, g_p, keys, valid, float(a2h.sample_sigma_scale))
+                jnp.asarray(cond_p), keys, valid, float(a2h.sample_sigma_scale))
             self._wn_state = jax.tree.map(lambda b: b[0], state1)
             self._prev_sample = prev
-            self._head_raw.extend(np.asarray(samples[:n]))
+            self._head_raw.append(np.asarray(samples[:n]))
             self._decoded += n
+            self._down_rows.retire(self._decoded + self.ff_h)
 
     def _advance_post(self) -> Tuple[np.ndarray, np.ndarray]:
         """Feed new raw predictions into the smoothers; return newly
         determined (mouth_pts3d [n,73,3-pre-mean], head [n,6])."""
         a2h = self.cfg.audio2headpose
         # mouth: raw output index t+ff is the prediction for frame t
-        new_mouth = []
-        for t in range(len(self._mouth_smooth.buf), len(self._a2f_raw) - self.ff_m):
-            delta = self._a2f_raw[t + self.ff_m].reshape(25, 3)
-            full = np.zeros((73, 3), np.float32)
-            full[np.asarray(MOUTH_INDICES)] = delta
-            new_mouth.append(full)
-        mouth_sm = self._mouth_smooth.push(np.asarray(new_mouth)) if new_mouth else \
-            np.zeros((0, 73, 3), np.float32)
+        lo = self._mouth_smooth.total
+        hi = len(self._a2f_raw) - self.ff_m
+        if hi > lo:
+            delta = self._a2f_raw.slice(lo + self.ff_m, hi + self.ff_m).reshape(-1, 25, 3)
+            full = np.zeros((hi - lo, 73, 3), np.float32)
+            full[:, np.asarray(MOUTH_INDICES)] = delta
+            mouth_sm = self._mouth_smooth.push(full)
+            self._a2f_raw.retire(lo + self.ff_m)  # rows below were consumed
+        else:
+            mouth_sm = np.zeros((0, 73, 3), np.float32)
 
-        new_head = []
-        for t in range(len(self._rot_smooth.buf), len(self._head_raw)):
-            h = self._head_raw[t][:6].copy()
-            h[:3] *= a2h.rot_amp
-            h[3:] *= a2h.trans_amp
-            new_head.append(h)
-        if new_head:
-            rot_sm = self._rot_smooth.push(np.asarray(new_head)[:, :3])
-            trans_sm = self._trans_smooth.push(np.asarray(new_head)[:, 3:])
+        lo = self._rot_smooth.total
+        hi = len(self._head_raw)
+        if hi > lo:
+            h = self._head_raw.slice(lo, hi)[:, :6].copy()
+            h[:, :3] *= a2h.rot_amp
+            h[:, 3:] *= a2h.trans_amp
+            rot_sm = self._rot_smooth.push(h[:, :3])
+            trans_sm = self._trans_smooth.push(h[:, 3:])
+            self._head_raw.retire(hi)
         else:
             rot_sm = np.zeros((0, 3), np.float32)
             trans_sm = np.zeros((0, 3), np.float32)
@@ -451,9 +546,9 @@ class StreamingAnimator:
         rot and trans smoothers have different radii, so they become ready
         at different rates; frames emit once all three streams cover them.
         """
-        self._mouth_ready.extend(mouth_sm)
-        self._rot_ready.extend(rot_sm)
-        self._trans_ready.extend(trans_sm)
+        self._mouth_ready.append(mouth_sm)
+        self._rot_ready.append(rot_sm)
+        self._trans_ready.append(trans_sm)
         n = min(len(self._mouth_ready), len(self._rot_ready),
                 len(self._trans_ready)) - self._emitted_frames
         if n <= 0:
@@ -462,9 +557,9 @@ class StreamingAnimator:
         a2f = self.cfg.audio2feature
         a2h = self.cfg.audio2headpose
         s = self._emitted_frames
-        mouth = np.stack(self._mouth_ready[s : s + n])
+        mouth = self._mouth_ready.slice(s, s + n)
         head = np.concatenate(
-            [np.stack(self._rot_ready[s : s + n]), np.stack(self._trans_ready[s : s + n])],
+            [self._rot_ready.slice(s, s + n), self._trans_ready.slice(s, s + n)],
             axis=1,
         )
 
@@ -497,6 +592,8 @@ class StreamingAnimator:
         frames = _render_ready(self.cfg, self.assets, self.models, lm2d, sh2d,
                                self.render_batch)
         self._emitted_frames += n
+        for buf in (self._mouth_ready, self._rot_ready, self._trans_ready):
+            buf.retire(self._emitted_frames)
         return frames
 
     # -- public API ---------------------------------------------------------
@@ -507,7 +604,7 @@ class StreamingAnimator:
         if self._flushed:
             raise RuntimeError("stream already flushed")
         self._audio = np.concatenate([self._audio, np.asarray(samples, np.float32)])
-        self._total_samples = len(self._audio)
+        self._total_samples += len(samples)
         self._advance_mel_apc(flush=False)
         self._advance_a2f(flush=False)
         self._advance_a2h(flush=False)

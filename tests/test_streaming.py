@@ -98,3 +98,58 @@ def test_streaming_latency_cap(person):
     out = np.concatenate([f for f in frames if len(f)])
     expected = int(len(audio) / 16000 * 60) - cfg.audio2headpose.frame_future
     assert out.shape[0] == expected
+
+
+def test_streaming_memory_bounded_soak():
+    """Unbounded live sessions must not grow host state: every stream
+    buffer retires consumed rows, so resident sizes are independent of
+    stream length (VERDICT r1: _feats/_a2f_raw/_head_raw/_down_rows grew
+    forever)."""
+    from livespeechportraits_tpu.config import (
+        Audio2HeadposeConfig, Feature2FaceConfig, PersonConfig, WaveNetConfig,
+    )
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+
+    wn = WaveNetConfig(residual_layers=3, residual_blocks=2, dilation_channels=16,
+                       residual_channels=16, skip_channels=32, cond_channels=512)
+    cfg = PersonConfig(
+        name="Synthetic",
+        audio2headpose=Audio2HeadposeConfig(wavenet=wn, frame_future=5),
+        feature2face=Feature2FaceConfig(size="normal", ngf=8, n_downsample=5,
+                                        load_size=32),
+    )
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=32, bank_size=64)
+    st = StreamingAnimator(cfg, a, m, seed=1, chunk=8, render_batch=4)
+
+    def residents():
+        return {
+            "audio": len(st._audio),
+            "feats": st._feats.resident,
+            "a2f_raw": st._a2f_raw.resident,
+            "head_raw": st._head_raw.resident,
+            "down_rows": st._down_rows.resident,
+            "mouth_smooth": len(st._mouth_smooth.buf),
+            "rot_smooth": len(st._rot_smooth.buf),
+            "ready": st._mouth_ready.resident + st._rot_ready.resident
+                     + st._trans_ready.resident,
+        }
+
+    audio = _sine_audio(16.0)
+    mid = snapshot = None
+    frames = 0
+    step = 2000
+    for lo in range(0, len(audio), step):
+        frames += len(st.push_audio(audio[lo : lo + step]))
+        if lo == len(audio) // 2 // step * step:
+            mid = residents()
+    end = residents()
+    assert frames > 700  # the stream actually produced frames
+    # steady state: resident sizes at 8 s equal those at 16 s (the raw
+    # audio window oscillates within a chunk-alignment bound, checked below)
+    drop_audio = lambda d: {k: v for k, v in d.items() if k != "audio"}  # noqa: E731
+    assert drop_audio(mid) == drop_audio(end), (mid, end)
+    # and they are small in absolute terms (a few chunks + smoother radii)
+    assert end["feats"] <= 8 * st.chunk
+    assert end["audio"] <= 3 * step
+    assert all(v <= 200 for k, v in end.items() if k != "audio"), end
