@@ -54,6 +54,7 @@ class TrainLoopConfig:
     data_parallel: bool = False  # shard batches over a (data,) mesh
     prefetch: int = 2  # background batch queue depth (0 = synchronous)
     display_epoch_freq: int = 1  # GAN epoch image-panel cadence (0 = off)
+    remat: bool = False  # rematerialise the G forward in backward (512^2 memory lever)
 
 
 def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
@@ -225,7 +226,8 @@ def train_feature2face(
 
         compute_dtype = jnp.bfloat16
     d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          remat=loop.remat)
     validate_fn = steps.f2f_validate(cfg, compute_dtype=compute_dtype)
 
     # Fixed panel batch: same frames every epoch so the HTML gallery shows
@@ -250,6 +252,8 @@ def train_feature2face(
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
         g_state = _set_lr(g_state, schedule_g(epoch))
         d_state = _set_lr(d_state, schedule_d(epoch))
+        t0 = time.time()
+        epoch_it0 = it
         for batch in _batch_iter(sampler, loop, rng, mesh):
             d_state, d_metrics = d_step(d_state, g_state.params, batch)
             g_state, g_metrics = g_step(g_state, d_state.params, batch)
@@ -257,7 +261,8 @@ def train_feature2face(
             if it % loop.print_freq == 0:
                 m = {k: float(v) for k, v in (d_metrics | g_metrics).items()}
                 vis.plot_current_errors(m, it)
-                vis.print_current_errors(epoch, it, m)
+                vis.print_current_errors(epoch, it, m,
+                                         (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
             vals = [validate_fn(g_state.params, b)[1]
                     for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)]

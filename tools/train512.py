@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""512^2 Feature2Face GAN training campaign on the real chip.
+
+Flagship-scale renderer training (512^2 'large' U-Net + multiscale D,
+bf16 compute, optional remat) on the structured synthetic subject
+(train.synthetic_face_data: targets are a deterministic stylisation of
+the landmarks, so falling loss and sharpening epoch panels demonstrate
+actual learning, not noise-fitting).  The reference never shipped a
+trainer; this is the capability proof for feature2face_model.py:195-222
+at production scale.
+
+    python tools/train512.py --steps 400 --batch 4 --vgg random
+    python tools/train512.py --steps 120 --batch 4 --vgg none   # ablation arm
+
+Outputs under --checkpoints_dir/<name>/: scalars.csv, loss_log.txt,
+epoch image panels (web/images), orbax checkpoints.  Ends with a timed
+in-cache step microbenchmark and prints ONE JSON summary line
+(step_time_ms, steps_per_s, train_tflops_per_step, mfu).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--size", default="large", choices=["small", "normal", "large"])
+    p.add_argument("--vgg", default="random", choices=["none", "random"],
+                   help="perceptual/style loss backbone (no pretrained "
+                        "weights exist in this zero-egress image; see README)")
+    p.add_argument("--frames", type=int, default=160)
+    p.add_argument("--name", default="train512")
+    p.add_argument("--checkpoints_dir", default="/tmp/train512_r2")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--no_remat", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.models import losses
+    from livespeechportraits_tpu.train import trainer
+
+    import train as train_cli
+
+    H = args.image_size
+    cfg = Feature2FaceConfig(size=args.size, ngf=64,
+                             n_downsample=min(8, int(np.log2(H))),
+                             load_size=H, precision="bfloat16")
+    sampler = train_cli.synthetic_face_data(args.frames, H)
+    steps_per_epoch = len(sampler) // args.batch
+    n_epochs = max(1, -(-args.steps // steps_per_epoch))
+    loop = trainer.TrainLoopConfig(
+        n_epochs=n_epochs, n_epochs_decay=0, lr=args.lr, batch_size=args.batch,
+        print_freq=10, checkpoints_dir=args.checkpoints_dir, name=args.name,
+        ttur=True, remat=not args.no_remat,
+        save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
+        validate_epoch=max(1, n_epochs // 4),
+    )
+    vgg_params = losses.init_vgg19(0) if args.vgg == "random" else None
+
+    t0 = time.time()
+    g_state, d_state = trainer.train_feature2face(
+        cfg, loop, sampler, val_sampler=sampler, vgg_params=vgg_params)
+    train_wall = time.time() - t0
+
+    # ---- timed in-cache step microbenchmark (compiles already done) ----
+    import jax.numpy as jnp
+    import optax
+
+    from livespeechportraits_tpu.train import steps as steps_mod
+
+    (lr_g, bg), (lr_d, bd) = steps_mod.ttur_learning_rates(args.lr, True)
+    tx_g = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=bg[0], b2=bg[1])
+    )(learning_rate=lr_g)
+    tx_d = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=bd[0], b2=bd[1])
+    )(learning_rate=lr_d)
+    d_step, g_step = steps_mod.make_f2f_steps(
+        cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
+        remat=not args.no_remat)
+    batch = jax.device_put(next(iter(
+        sampler.batches(args.batch, np.random.default_rng(0)))))
+    # warm (hits the trainer's executables via the jit cache); the scalar
+    # fetch is the true barrier on the tunnelled backend
+    d_state, _ = d_step(d_state, g_state.params, batch)
+    g_state, gm = g_step(g_state, d_state.params, batch)
+    _ = float(gm["loss_G"])
+    t0 = time.time()
+    K = 20
+    for _ in range(K):
+        d_state, dm = d_step(d_state, g_state.params, batch)
+        g_state, gm = g_step(g_state, d_state.params, batch)
+    # true barrier on the tunnelled backend: scalar fetch
+    _ = float(gm["loss_G"])
+    step_s = (time.time() - t0) / K
+
+    flops = None
+    try:
+        costs = []
+        for fn, a in ((d_step, (d_state, g_state.params, batch)),
+                      (g_step, (g_state, d_state.params, batch))):
+            c = fn.lower(*a).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            costs.append(float(c["flops"]))
+        flops = sum(costs)
+    except Exception:
+        pass
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12, "v5p": 459e12,
+             "v6e": 918e12, "trillium": 918e12}
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+
+    print(json.dumps({
+        "metric": "512^2 GAN train step (D+G), 1 chip",
+        "size": args.size, "batch": args.batch, "vgg": args.vgg,
+        "remat": not args.no_remat,
+        "steps_trained": int(g_state.step), "train_wall_s": round(train_wall, 1),
+        "step_time_ms": round(step_s * 1e3, 1),
+        "steps_per_s": round(1.0 / step_s, 3),
+        "pixels_per_s": int(args.batch * H * H / step_s),
+        "train_tflops_per_step": round(flops / 1e12, 2) if flops else None,
+        "mfu": round(flops / step_s / peak, 4) if flops and peak else None,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,66 @@ def synthetic_clips(n_clips: int, frames: int, feat_dim: int = 512):
     return clips
 
 
+def synthetic_face_data(n_frames: int, H: int, seed: int = 0):
+    """Structured synthetic renderer data with a real learning signal.
+
+    Landmarks follow smooth head sway + mouth open/close over a plausible
+    73-point face; the target frame is a deterministic stylised rendering
+    of those same landmarks (edge glow over a vignette), so the GAN must
+    actually learn the feature-map -> image mapping and the epoch panels
+    show it happening (pure-noise targets can only converge to grey).
+    """
+    from livespeechportraits_tpu.config import MOUTH_INDICES
+    from livespeechportraits_tpu.ops import rasterize
+    from livespeechportraits_tpu.pipeline.assets import _synthetic_face_landmarks
+    from livespeechportraits_tpu.train import datasets
+
+    pts = _synthetic_face_landmarks()  # [73, 3], ~0.2 units, origin-centred
+    f = H * 2.4
+    t = np.arange(n_frames, dtype=np.float32)
+    sway = np.stack(
+        [0.02 * np.sin(t / 11.0), 0.015 * np.cos(t / 17.0), np.zeros_like(t)], axis=1)
+    mouth_open = 0.5 + 0.5 * np.sin(t / 3.0)  # [0, 1]
+    mouth = np.asarray(MOUTH_INDICES)
+
+    xs = np.linspace(H * 0.2, H * 0.8, 9, dtype=np.float32)
+    shoulders = np.concatenate([
+        np.stack([xs, np.full(9, H * 0.8)], 1),
+        np.stack([xs, np.full(9, H * 0.8 + 14)], 1),
+    ]).astype(np.float32)
+
+    try:
+        import cv2
+        blur = lambda e: cv2.GaussianBlur(e, (0, 0), 3)  # noqa: E731
+    except ImportError:  # pragma: no cover
+        blur = lambda e: e  # noqa: E731
+    yy, xx = np.mgrid[0:H, 0:H].astype(np.float32)
+    r = np.hypot(xx - H / 2, yy - H / 2) / H
+    vign = np.clip(1.2 - 1.4 * r, 0.0, 1.0) * 70.0 + 30.0
+
+    lms, imgs = [], []
+    for i in range(n_frames):
+        p = pts + sway[i]
+        p[mouth, 1] = -0.05 + (pts[mouth, 1] + 0.05) * (1.0 + 1.5 * mouth_open[i]) + sway[i, 1]
+        X = p + np.array([0.0, 0.05, 1.0], np.float32)
+        lm = np.stack([f * X[:, 0] / X[:, 2] + H / 2,
+                       f * X[:, 1] / X[:, 2] + H / 2], axis=1).astype(np.float32)
+        e = rasterize.rasterize_feature_map_host(lm, shoulders, (H, H)).astype(np.float32)
+        g = blur(e)
+        img = np.stack([
+            np.clip(vign + 0.7 * g, 0, 255),
+            np.clip(0.8 * vign + 0.9 * e, 0, 255),
+            np.clip(0.6 * vign + 0.5 * g, 0, 255),
+        ], axis=-1).astype(np.uint8)
+        lms.append(lm)
+        imgs.append(img)
+
+    images = np.stack(imgs)
+    cand = np.repeat(((images[0].astype(np.float32) / 255.0 - 0.5) / 0.5)[None], 4, 0)
+    return datasets.FaceFrameSampler(images, np.stack(lms), shoulders, cand,
+                                     load_size=H)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--task", required=True,
@@ -101,13 +161,7 @@ def main() -> None:
         cfg = Feature2FaceConfig(load_size=args.image_size,
                                  n_downsample=min(8, int(np.log2(args.image_size))))
         if args.synthetic:
-            rng = np.random.default_rng(0)
-            H = args.image_size
-            images = rng.integers(0, 255, (80, H, H, 3), dtype=np.uint8)
-            lms = rng.uniform(H * 0.2, H * 0.8, (80, 73, 2)).astype(np.float32)
-            sh = rng.uniform(H * 0.2, H * 0.8, (18, 2)).astype(np.float32)
-            cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
-            sampler = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=H)
+            sampler = synthetic_face_data(80, args.image_size)
         else:
             sampler = _load_real_face_data(args)
         trainer.train_feature2face(cfg, loop, sampler)
