@@ -55,3 +55,34 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def shard_host_batch(mesh, batch):
+    """Assemble a global data-sharded batch from this host's local rows.
+
+    Each host samples only its `local_batch_slice` of the global batch;
+    `jax.make_array_from_process_local_data` stitches the per-host rows
+    into one global jax.Array laid out by the mesh's `data` axis - the
+    multi-host replacement for mesh.shard_batch (which device_puts a full
+    local copy).  Works unchanged single-process, where local == global
+    (tested on the 8-device virtual mesh; tests/test_parallel.py).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _place(x):
+        sh = NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1))))
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(_place, batch)
+
+
+def global_batch_iter(sampler, global_batch: int, rng, mesh):
+    """Multi-host training batch stream: every host draws the SAME index
+    order (same rng seed on every process), keeps only its own rows, and
+    assembles the global array.  Single-process this degrades to plain
+    data-parallel sharding."""
+    sl = local_batch_slice(global_batch)
+    for batch in sampler.batches(global_batch, rng):
+        local = jax.tree.map(lambda x: x[sl], batch)
+        yield shard_host_batch(mesh, local)

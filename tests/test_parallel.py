@@ -132,3 +132,40 @@ def test_multichip_inference_rendering_matches_single_device():
 
     with pytest.raises(ValueError):
         animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=3, mesh=mesh)
+
+
+def test_multihost_shard_host_batch_single_process():
+    """shard_host_batch assembles the same global data-sharded array as
+    mesh.shard_batch when local == global (single process), and a train
+    step over it matches the plain path bit-for-bit."""
+    import optax
+    from livespeechportraits_tpu.parallel import multihost
+
+    mesh = mesh_mod.make_mesh(1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": rng.normal(size=(8, 20, 8)).astype(np.float32),
+        "target": rng.normal(size=(8, 10, 6)).astype(np.float32),
+    }
+    a = mesh_mod.shard_batch(mesh, batch)
+    b = multihost.shard_host_batch(mesh, batch)
+    for k in batch:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    tx = optax.adam(1e-3)
+    params = audio2feature.init_audio2feature(jax.random.PRNGKey(0), A2F_CFG)
+    step = steps.make_a2f_step(A2F_CFG, tx)
+    s1, m1 = step(state_mod.create_state(mesh_mod.replicate(mesh, params), tx), a)
+    s2, m2 = step(state_mod.create_state(mesh_mod.replicate(mesh, params), tx), b)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+    # the batch iterator degrades to plain DP sharding single-process
+    class _S:
+        def batches(self, bs, rng, **kw):
+            yield batch
+
+    it = multihost.global_batch_iter(_S(), 8, rng, mesh)
+    g = next(it)
+    np.testing.assert_array_equal(np.asarray(g["audio"]), batch["audio"])
+    assert multihost.is_primary()
