@@ -40,6 +40,7 @@ def main() -> None:
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    split_cand = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -62,7 +63,7 @@ def main() -> None:
     # tests/test_pipeline.py::test_yuv420_transfer_visually_identical).
     warm = animate_mod.animate(cfg, person_assets, person_models, audio,
                                seed=0, render_batch=render_batch, profile=True,
-                               transfer="yuv420")
+                               transfer="yuv420", split_cand=split_cand)
     del warm
 
     # Headline: the full six-stage pipeline with every per-frame compute on
@@ -75,7 +76,8 @@ def main() -> None:
     for i in range(3):
         result = animate_mod.animate(cfg, person_assets, person_models, audio,
                                      seed=0, render_batch=render_batch,
-                                     profile=True, transfer="yuv420")
+                                     profile=True, transfer="yuv420",
+                                     split_cand=split_cand)
         total_ms = sum(result.stage_ms.values())
         fetch_ms = result.stage_ms.get("render", 0.0)
         device_ms = total_ms - fetch_ms
@@ -129,6 +131,7 @@ def main() -> None:
         "stage_ms": {k: round(v, 1) for k, v in median["stage_ms"].items()},
         "device": str(jax.devices()[0]),
         "render_batch": render_batch,
+        "split_cand": split_cand,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
     }
     print(json.dumps(out))

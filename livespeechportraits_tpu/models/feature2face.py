@@ -91,15 +91,16 @@ def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[in
     return p
 
 
-def _resunet_stage(p: Params, sub_apply, x, training: bool):
+def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     """Returns (cat(x, out) or out if outermost, updated params).
 
     Stage kind is implicit in the param structure: the outermost stage has
-    no up_bn; the innermost has no submodule.
+    no up_bn; the innermost has no submodule.  y_down overrides the down
+    conv's output (the split-candidate inference path).
     """
     outermost = "up_bn" not in p
     new_p = dict(p)
-    y = nn_core.conv2d(p["down"], x, stride=2, padding=1)
+    y = y_down if y_down is not None else nn_core.conv2d(p["down"], x, stride=2, padding=1)
     if "down_bn" in p:
         y, new_p["down_bn"] = nn_core.batchnorm(p["down_bn"], y, training)
     y = jax.nn.relu(y)
@@ -182,13 +183,16 @@ def _unet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[int],
     return p
 
 
-def _unet_stage(p: Params, sub_apply, x, training: bool):
+def _unet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     outermost = "up_bn" not in p
     new_p = dict(p)
-    y = x
-    if not outermost:
-        y = nn_core.leaky_relu(y, 0.2)
-    y = nn_core.conv2d(p["down"], y, stride=2, padding=1)
+    if y_down is not None:
+        y = y_down
+    else:
+        y = x
+        if not outermost:
+            y = nn_core.leaky_relu(y, 0.2)
+        y = nn_core.conv2d(p["down"], y, stride=2, padding=1)
     if "down_bn" in p:
         y, new_p["down_bn"] = nn_core.batchnorm(p["down_bn"], y, training)
 
@@ -274,6 +278,65 @@ def apply_generator(params: Params, x: jnp.ndarray, training: bool = False,
             params["net"], new_net,
         )
     return y, dict(params, net=new_net)
+
+
+def _cast_net(net: Params, compute_dtype):
+    return jax.tree.map(
+        lambda a: a.astype(compute_dtype)
+        if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        net,
+    )
+
+
+def precompute_cand_down(params: Params, cand_stack: jnp.ndarray,
+                         compute_dtype=None) -> jnp.ndarray:
+    """Per-subject constant contribution of the candidate channels to the
+    outermost down conv.
+
+    12 of the 13 generator input channels are the subject's candidate
+    images, identical for every rendered frame (the reference concatenates
+    them per forward, feature2face_G.py:8-34).  The outermost down conv is
+    linear and bias-free, so conv(concat(edge, cand)) splits exactly into
+    conv_edge(edge) + conv_cand(cand); this computes the candidate half
+    once per subject.  cand_stack: [H, W, 12] -> [1, H/2, W/2, inner_nc].
+    """
+    net = params["net"]
+    if compute_dtype is not None:
+        net = _cast_net(net, compute_dtype)
+        cand_stack = cand_stack.astype(compute_dtype)
+    w_cand = net["down"]["w"][:, :, 1:, :]
+    return jax.lax.conv_general_dilated(
+        cand_stack[None], w_cand, window_strides=(2, 2),
+        padding=[(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def apply_generator_edge(params: Params, edge: jnp.ndarray,
+                         cand_down: jnp.ndarray, training: bool = False,
+                         compute_dtype=None) -> jnp.ndarray:
+    """Inference forward on the edge channel only ([B, H, W, 1]), with the
+    candidate half of the outermost down conv precomputed per subject
+    (precompute_cand_down).  Mathematically the same program as
+    apply_generator on concat(edge, cand) up to float summation order;
+    skips re-reading + re-convolving 12 static channels per frame."""
+    size = params["size"]
+    net = params["net"]
+    if compute_dtype is not None:
+        edge = edge.astype(compute_dtype)
+        cand_down = cand_down.astype(compute_dtype)
+        net = _cast_net(net, compute_dtype)
+    w_edge = net["down"]["w"][:, :, :1, :]
+    y_down = jax.lax.conv_general_dilated(
+        edge, w_edge, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + cand_down
+    if size == "small":
+        sub = (lambda y: _unet_apply(net["sub"], y, training)) if "sub" in net else None
+        y, _ = _unet_stage(net, sub, edge, training, y_down=y_down)
+    else:
+        sub = (lambda y: _resunet_apply(net["sub"], y, training)) if "sub" in net else None
+        y, _ = _resunet_stage(net, sub, edge, training, y_down=y_down)
+    return jnp.tanh(y.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

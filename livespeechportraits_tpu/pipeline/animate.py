@@ -252,6 +252,7 @@ def render_frames(
     stage_ms: Optional[Dict[str, float]] = None,
     mesh=None,
     transfer: str = "rgb",
+    split_cand: bool = False,
 ):
     """Stage 6 (demo.py:258-272): rasterise + U-Net, batched over frames.
 
@@ -290,6 +291,12 @@ def render_frames(
     compute_dtype = (
         jnp.bfloat16 if cfg.feature2face.precision == "bfloat16" else None
     )
+    cand_down = None
+    if split_cand:
+        # the static candidate channels' outermost-conv contribution,
+        # computed once per call instead of per frame
+        cand_down = f2f_model.precompute_cand_down(
+            models.feature2face, cand_stack, compute_dtype=compute_dtype)
 
     pad_to = -(-nframe // render_batch) * render_batch
     lm = jnp.concatenate(
@@ -319,18 +326,23 @@ def render_frames(
             lm_b = jax.device_put(lm_b, batch_sh)
             sh_b = jax.device_put(sh_b, batch_sh)
         edge = rasterize_fn(lm_b, sh_b, (H, W))  # [B, H, W]
-        inp = jnp.concatenate(
-            [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
-            axis=-1,
-        )
-        if transfer == "yuv420":
-            fake_u8 = _jit_render_yuv420(
-                models.feature2face["net"], models.feature2face["size"], inp,
-                compute_dtype)
+        if split_cand:
+            fn = _jit_render_yuv420_edge if transfer == "yuv420" else _jit_render_edge
+            fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
+                         edge[..., None], cand_down, compute_dtype)
         else:
-            fake_u8 = _jit_render(
-                models.feature2face["net"], models.feature2face["size"], inp,
-                compute_dtype)
+            inp = jnp.concatenate(
+                [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
+                axis=-1,
+            )
+            if transfer == "yuv420":
+                fake_u8 = _jit_render_yuv420(
+                    models.feature2face["net"], models.feature2face["size"], inp,
+                    compute_dtype)
+            else:
+                fake_u8 = _jit_render(
+                    models.feature2face["net"], models.feature2face["size"], inp,
+                    compute_dtype)
         pending.append(fake_u8)
         if keep_feature_maps:
             maps_pending.append(edge)
@@ -351,6 +363,28 @@ def render_frames(
         fmap_u8 = (np.concatenate([np.asarray(m) for m in maps_pending])[:nframe] * 255).astype(np.uint8)
     return frames_u8, fmap_u8
 
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_edge(net, size, edge, cand_down, compute_dtype):
+    """Split-candidate render: per-frame input is the edge channel only;
+    the 12 static candidate channels enter as a precomputed conv output
+    (f2f_model.precompute_cand_down) instead of being broadcast, re-read
+    and re-convolved every frame."""
+    y = f2f_model.apply_generator_edge(
+        {"net": net, "size": size}, edge, cand_down, training=False,
+        compute_dtype=compute_dtype,
+    )
+    return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_yuv420_edge(net, size, edge, cand_down, compute_dtype):
+    y = f2f_model.apply_generator_edge(
+        {"net": net, "size": size}, edge, cand_down, training=False,
+        compute_dtype=compute_dtype,
+    )
+    return _rgb_to_yuv420_packed(y)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
@@ -375,6 +409,11 @@ def _jit_render_yuv420(net, size, inp, compute_dtype):
     img, _ = f2f_model.apply_generator(
         {"net": net, "size": size}, inp, training=False, compute_dtype=compute_dtype
     )
+    return _rgb_to_yuv420_packed(img)
+
+
+def _rgb_to_yuv420_packed(img: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] in [-1, 1] -> packed planar YUV 4:2:0 uint8."""
     rgb = (img + 1.0) * 127.5  # float [0, 255]
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -428,6 +467,7 @@ def animate(
     mesh=None,
     transfer: str = "rgb",
     valid_frames: Optional[int] = None,
+    split_cand: bool = False,
 ) -> AnimateResult:
     """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS.
 
@@ -450,7 +490,7 @@ def animate(
     frames, fmaps = render_frames(
         cfg, assets, models, landmarks2d, shoulders2d,
         render_batch=render_batch, keep_feature_maps=keep_feature_maps,
-        stage_ms=stage_ms, mesh=mesh, transfer=transfer,
+        stage_ms=stage_ms, mesh=mesh, transfer=transfer, split_cand=split_cand,
     )
     return AnimateResult(
         frames=frames,

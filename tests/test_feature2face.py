@@ -90,3 +90,31 @@ def test_generator_matches_reference_torch(size):
             pass  # Unet variant applies tanh inside the outermost block
         out_ref = out.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), out_ref, atol=5e-4)
+
+
+def test_split_candidate_conv_matches_fused():
+    """apply_generator_edge (per-subject cached candidate contribution)
+    must match apply_generator on concat(edge, cand) up to float summation
+    order, for all three generator sizes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.models import feature2face as f2f
+
+    rng = np.random.default_rng(0)
+    for size, in_nc in (("small", 23), ("normal", 13), ("large", 13)):
+        cfg = Feature2FaceConfig(size=size, ngf=8, n_downsample=5, load_size=32)
+        assert cfg.input_nc == in_nc
+        params = f2f.init_generator(jax.random.PRNGKey(1), cfg)
+        edge = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+        cand = jnp.asarray(rng.uniform(-1, 1, (32, 32, in_nc - 1)), jnp.float32)
+
+        fused_in = jnp.concatenate(
+            [edge, jnp.broadcast_to(cand, (2,) + cand.shape)], axis=-1)
+        ref, _ = f2f.apply_generator(params, fused_in, training=False)
+
+        cand_down = f2f.precompute_cand_down(params, cand)
+        out = f2f.apply_generator_edge(params, edge, cand_down, training=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=0)
