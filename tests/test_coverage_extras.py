@@ -93,3 +93,54 @@ def test_streaming_chunk_size_invariance():
     assert outs[0].shape == outs[1].shape
     diff = np.abs(outs[0].astype(int) - outs[1].astype(int))
     assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+
+def test_export_vgg19_state_dict_oracle(tmp_path):
+    """tools/export_vgg19 converts a torch(vision)-layout features state
+    dict into our npz; the imported extractor must match the torch
+    features pipeline at every tap (conv indices 0,2,5,...,34 of VGG19)."""
+    import torch
+    import torch.nn as nn
+
+    from livespeechportraits_tpu.models import losses as L
+    from tools.export_vgg19 import export
+
+    torch.manual_seed(0)
+    plan = L._VGG19_PLAN
+    layers, sd = [], {}
+    li = 0
+    in_ch = 3
+    for spec in plan:
+        if spec == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+            li += 1
+            continue
+        conv = nn.Conv2d(in_ch, int(spec), 3, padding=1)
+        sd[f"{li}.weight"] = conv.weight.detach()
+        sd[f"{li}.bias"] = conv.bias.detach()
+        layers.extend([conv, nn.ReLU(inplace=False)])
+        li += 2
+        in_ch = int(spec)
+    torch_feats = nn.Sequential(*layers).eval()
+
+    path = str(tmp_path / "vgg19.npz")
+    n = export(path, state_dict=sd)
+    assert n == 16
+    params = L.load_vgg19_npz(path)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    ours = L.vgg19_features(params, jnp.asarray(x), from_tanh_range=False)
+
+    with torch.no_grad():
+        h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        taps = []
+        # relu layer indices after conv1_1, 2_1, 3_1, 4_1, 5_1 (losses.py:246-255)
+        tap_idx = {1, 6, 11, 20, 29}
+        for i, layer in enumerate(torch_feats):
+            h = layer(h)
+            if i in tap_idx:
+                taps.append(h.numpy().transpose(0, 2, 3, 1))
+    assert len(taps) == 5
+    for a, b in zip(ours, taps):
+        np.testing.assert_allclose(np.asarray(a), b, atol=2e-4)
