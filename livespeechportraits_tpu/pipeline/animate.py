@@ -86,6 +86,7 @@ def compute_motion(
     stage_ms: Optional[Dict[str, float]] = None,
     profile: bool = False,
     valid_frames: Optional[int] = None,
+    fused: bool = False,
 ):
     """Stages 1-5: audio -> (projected landmarks, shoulders, headpose, pts3d).
 
@@ -93,6 +94,10 @@ def compute_motion(
     timings.  With profile=False the stages are dispatched asynchronously
     (fastest); profile=True inserts a device barrier per stage so the
     attribution is truthful.
+
+    fused=True runs stages 1-5 as ONE device program (_jit_motion) -
+    identical math, ~6x fewer dispatches; per-stage timings collapse to a
+    single 'motion' entry, so it is skipped when profile=True.
 
     valid_frames: the unpadded audio's video-frame count
     (len(true_audio)/sr*60) when `audio` carries bucket padding (serve.py).
@@ -105,6 +110,29 @@ def compute_motion(
     Every other stage is prefix-causal over the padded audio.
     """
     sm = stage_ms if stage_ms is not None else {}
+
+    if fused and not profile:
+        t0 = time.perf_counter()
+        n_mel = 2 * int(np.asarray(audio).shape[0] / 16000 * 60)
+        t_frames = n_mel // 2
+        nframe = t_frames - cfg.audio2headpose.frame_future
+        post_valid = None
+        valid_len = None
+        if valid_frames is not None:
+            post_valid = int(valid_frames) - cfg.audio2headpose.frame_future
+            if post_valid < nframe:
+                valid_len = jnp.asarray(post_valid, jnp.int32)
+        aa = {k: assets.device(k) for k in _MOTION_ASSET_KEYS}
+        aa["scale"] = assets.scale
+        brow_idx = jnp.asarray(
+            np.arange(nframe) % assets.candidate_eye_brow.shape[0])
+        landmarks2d, shoulders2d, head, final = _jit_motion(
+            cfg, models.apc, models.audio2feature, models.audio2headpose,
+            aa, jnp.asarray(audio), key, n_mel, brow_idx, valid_len)
+        sm["motion"] = (time.perf_counter() - t0) * 1e3
+        if post_valid is not None:
+            nframe = min(nframe, post_valid)
+        return landmarks2d, shoulders2d, head, final, nframe
 
     # ---- 1. deep audio features (demo.py:183-192)
     t0 = time.perf_counter()
@@ -186,6 +214,49 @@ def compute_motion(
     sm["post"] = (time.perf_counter() - t0) * 1e3
 
     return landmarks2d, shoulders2d, head, final, nframe
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_mel"))
+def _jit_motion(cfg, apc_p, a2f_p, a2h_p, aa, audio, key, n_mel, brow_idx,
+                valid_len=None):
+    """Stages 1-5 as ONE device program (serving fast path).
+
+    The staged path (compute_motion with profile semantics) dispatches
+    >= 6 programs per request; each dispatch costs a host round-trip
+    (~30 ms over this harness's relay).  This fuses mel -> APC -> LLE ->
+    A2F -> A2H decode -> post into a single executable with identical
+    math.  `aa` is the dict of subject asset arrays; valid_len is the
+    dynamic bucket-padding length (see compute_motion).
+    """
+    mel80 = mel._mel_sequence_impl(audio, n_mel)
+    feats = apc_model.encode(apc_p, mel80[None])[0]
+    if cfg.apc.use_LLE:
+        feats = manifold.lle_project(
+            feats, aa["apc_feature_base"], K=cfg.apc.Knear,
+            percent=cfg.apc.LLE_percent)
+    if valid_len is not None:
+        last = 2 * valid_len - 1
+        feats = feats[jnp.minimum(jnp.arange(feats.shape[0]), last)]
+    pred_feat = a2f_model.generate_sequence(
+        a2f_p, feats, frame_future=cfg.audio2feature.frame_future,
+        cfg=cfg.audio2feature)
+    a2h_cfg = cfg.audio2headpose
+    pre_headpose = jnp.zeros(a2h_cfg.wavenet.input_channels, jnp.float32)
+    pred_head = a2h_model.generate_sequence(
+        a2h_p, a2h_cfg, feats, pre_headpose, key,
+        sigma_scale=a2h_cfg.sample_sigma_scale)
+    nframe = int(min(pred_feat.shape[0], pred_head.shape[0]))
+    return _jit_post(
+        cfg, pred_feat[:nframe], pred_head[:nframe], aa["mean_pts3d"],
+        aa["std_mean_pts3d"], aa["mean_translation"], aa["candidate_eye_brow"],
+        brow_idx, aa["camera_intrinsic"], aa["shoulder3D"], aa["ref_trans"],
+        aa["scale"], valid_len,
+    )
+
+
+_MOTION_ASSET_KEYS = ("apc_feature_base", "mean_pts3d", "std_mean_pts3d",
+                      "mean_translation", "candidate_eye_brow",
+                      "camera_intrinsic", "shoulder3D", "ref_trans")
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -468,6 +539,7 @@ def animate(
     transfer: str = "rgb",
     valid_frames: Optional[int] = None,
     split_cand: bool = False,
+    fused: bool = False,
 ) -> AnimateResult:
     """audio [-1,1] float32 @16 kHz -> photorealistic frames @60 FPS.
 
@@ -483,7 +555,7 @@ def animate(
     key = jax.random.PRNGKey(seed)
     landmarks2d, shoulders2d, head, final_pts3d, nframe = compute_motion(
         cfg, assets, models, audio, key, stage_ms, profile=profile,
-        valid_frames=valid_frames,
+        valid_frames=valid_frames, fused=fused,
     )
     landmarks2d = landmarks2d[:nframe]
     shoulders2d = shoulders2d[:nframe]

@@ -110,11 +110,14 @@ class Predictor:
             valid_frames = int(len(true_audio) / 16000 * 60)
 
         t0 = time.perf_counter()
-        # frames leave the device as packed YUV 4:2:0 by default: half the
-        # host-link bytes, and the video encoder consumes 4:2:0 anyway
+        # frames leave the device as packed YUV 4:2:0 by default (half the
+        # host-link bytes; the video encoder consumes 4:2:0 anyway), and
+        # the whole motion half runs as ONE device program (fused=True:
+        # ~6x fewer dispatch round-trips per request)
         result = animate_mod.animate(self._cfg, self._assets, self._models,
                                      audio, seed=seed, render_batch=render_batch,
-                                     transfer=transfer, valid_frames=valid_frames)
+                                     transfer=transfer, valid_frames=valid_frames,
+                                     fused=True)
         wall = time.perf_counter() - t0
         frames = result.frames[:true_frames]
         out_path = os.path.join(self.results_dir, f"{name}.avi")

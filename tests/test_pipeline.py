@@ -143,3 +143,31 @@ def test_bucket_padded_animate_bit_exact(person):
     np.testing.assert_array_equal(bucketed.headpose, exact.headpose)
     np.testing.assert_array_equal(bucketed.pts3d, exact.pts3d)
     np.testing.assert_array_equal(bucketed.frames, exact.frames)
+
+
+def test_fused_motion_matches_staged(person):
+    """The one-dispatch motion program (serving fast path) must match the
+    staged pipeline."""
+    cfg, a, m = person
+    audio = _sine_audio(0.9)
+    staged = animate_mod.animate(cfg, a, m, audio, seed=11, render_batch=4)
+    fused = animate_mod.animate(cfg, a, m, audio, seed=11, render_batch=4,
+                                fused=True)
+    assert fused.nframe == staged.nframe
+    np.testing.assert_allclose(fused.landmarks, staged.landmarks,
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(fused.headpose, staged.headpose,
+                               atol=1e-4, rtol=0)
+    # frames may differ by float summation order inside the fused program;
+    # require near-identity
+    diff = np.abs(fused.frames.astype(np.int16) - staged.frames.astype(np.int16))
+    assert diff.max() <= 1
+    assert "motion" in fused.stage_ms
+
+    # fused + bucket padding still reproduces the exact run
+    padded = np.pad(audio, (0, 16000 - len(audio) % 16000))
+    true_total = int(len(audio) / 16000 * 60)
+    fb = animate_mod.animate(cfg, a, m, padded, seed=11, render_batch=4,
+                             fused=True, valid_frames=true_total)
+    np.testing.assert_allclose(fb.landmarks, fused.landmarks, atol=1e-4, rtol=0)
+    assert fb.nframe == fused.nframe
