@@ -40,6 +40,16 @@ def main() -> None:
     parser.add_argument("--streaming", action="store_true",
                         help="drive the live streaming pipeline (audio pushed "
                              "in 100ms chunks, frames emitted incrementally)")
+    parser.add_argument("--bucket_seconds", type=float, default=0.0,
+                        help="pad audio up to the next multiple of this many "
+                             "seconds so every pipeline program compiles once "
+                             "per bucket instead of once per clip length; "
+                             "outputs are bit-identical to the unpadded run "
+                             "(serve.py semantics). 0 = exact-length compile")
+    parser.add_argument("--fused", action="store_true",
+                        help="run the motion half (mel->APC->LLE->mouth->"
+                             "head-pose->post) as ONE device program (fewer "
+                             "dispatch round-trips; merged stage timing)")
     args = parser.parse_args()
 
     from livespeechportraits_tpu.config import (
@@ -116,23 +126,32 @@ def main() -> None:
         print(f"wrote {out_path}")
         return
 
+    true_audio = audio
+    valid_frames = None
+    if args.bucket_seconds > 0:
+        bucket = int(args.bucket_seconds * 16000)
+        padded = -(-len(audio) // bucket) * bucket
+        audio = np.pad(audio, (0, padded - len(audio)))
+        valid_frames = int(len(true_audio) / 16000 * 60)
+
     result = animate_mod.animate(
         cfg, person_assets, person_models, audio,
         seed=args.seed, render_batch=args.render_batch,
         keep_feature_maps=bool(cfg.feature2face.save_input),
-        transfer=args.transfer,
+        transfer=args.transfer, valid_frames=valid_frames, fused=args.fused,
     )
     wall = time.perf_counter() - t0
     print(f"stages (ms): {json.dumps({k: round(v, 1) for k, v in result.stage_ms.items()})}")
     print(f"{result.nframe} frames in {wall:.2f}s -> {result.nframe / wall:.1f} fps end-to-end")
 
     out_path = join(save_root, audio_name + ".avi")
-    video_mod.write_video(result.frames, out_path, audio)
+    video_mod.write_video(result.frames, out_path, true_audio)
     print(f"wrote {out_path}")
     if result.feature_maps is not None:
         fmap_path = join(save_root, audio_name + "_feature_maps.avi")
         video_mod.write_video(
-            np.repeat(result.feature_maps[..., None], 3, axis=-1), fmap_path, audio)
+            np.repeat(result.feature_maps[..., None], 3, axis=-1), fmap_path,
+            true_audio)
         print(f"wrote {fmap_path}")
     if args.save_intermediates:
         video_mod.save_frames(result.frames, save_root, "pred_")

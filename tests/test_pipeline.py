@@ -171,3 +171,35 @@ def test_fused_motion_matches_staged(person):
                              fused=True, valid_frames=true_total)
     np.testing.assert_allclose(fb.landmarks, fused.landmarks, atol=1e-4, rtol=0)
     assert fb.nframe == fused.nframe
+
+
+def test_demo_cli_bucketed_fused(tmp_path, monkeypatch):
+    """demo.py CLI surface with --bucket_seconds/--fused: the bucketed+fused
+    run writes a video with the same frame count as the exact-length rule
+    (demo.py:180 of the reference).  Model sizes are pinned to the test
+    scale by patching PersonConfig (the reference YAML carries no
+    architecture knobs to shrink)."""
+    import sys
+
+    import demo as demo_cli
+    from livespeechportraits_tpu import config as config_mod
+
+    monkeypatch.setattr(config_mod, "PersonConfig",
+                        lambda name="Synthetic", **kw: tiny_person())
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--id", "Synthetic", "--driving_audio", "missing.wav",
+        "--duration", "0.7", "--render_batch", "4",
+        "--bucket_seconds", "1", "--fused",
+        "--results_dir", str(tmp_path / "results"),
+    ])
+    demo_cli.main()
+    out = tmp_path / "results" / "Synthetic" / "missing" / "missing.avi"
+    assert out.exists() and out.stat().st_size > 1000
+    import cv2
+
+    cap = cv2.VideoCapture(str(out))
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    cfg = tiny_person()
+    assert n == int(0.7 * 60) - cfg.audio2headpose.frame_future
