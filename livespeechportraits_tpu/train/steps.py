@@ -241,6 +241,124 @@ def make_f2f_steps(
     return d_step, g_step
 
 
+def make_f2f_fused_step(
+    cfg: Feature2FaceConfig,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    vgg_params: Optional[Any] = None,
+    compute_dtype=None,
+    remat: bool = False,
+):
+    """One-program GAN step updating D and G together, sharing every
+    forward tower via explicit `jax.vjp` pullbacks.
+
+    The alternating `make_f2f_steps` pair runs the 512^2 generator forward
+    twice per iteration (once inside d_step to produce the fake, once
+    inside g_step) and the multiscale discriminator four times; the
+    reference itself computes `self.fake_pred` ONCE in train mode and
+    reuses it for both backward_D and backward_G
+    (feature2face_model.py:120-124, 160-190).  This step restores that
+    one-forward structure under jit: primal cost per iteration is
+    1x G forward + 2x D forward (real/fake pairs), with the D-fake tower
+    pulled back twice (toward d_params for the D loss, toward its input
+    for the G loss) - exactly the backward count of the alternating pair.
+
+    Intended divergences (documented, matching the reference more closely
+    than the alternating pair in the first two):
+    - the shared forwards run training=True, so the G-side GAN/FM terms
+      see batch-stat BN features (the reference keeps netD in train mode
+      for backward_G too);
+    - G's gradient sees the PRE-update discriminator (simultaneous
+      gradient descent) instead of the just-stepped one;
+    - like d_step, BN running stats for D are taken from the real-pair
+      forward only.
+    """
+    gan_mode = cfg.gan_mode
+    size = cfg.size
+
+    def g_fwd(g_net, inp):
+        fake, aux = f2f.apply_generator({"net": g_net, "size": size}, inp,
+                                        training=True,
+                                        compute_dtype=compute_dtype)
+        return fake, aux["net"]
+
+    if remat:
+        g_fwd = jax.checkpoint(g_fwd)
+
+    def _tree_add(a, b):
+        return jax.tree_util.tree_map(jnp.add, a, b)
+
+    @jax.jit
+    def gan_step(g_state: TrainState, d_state: TrainState, batch):
+        inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]],
+                              axis=-1)
+        tgt = batch["tgt_image"]
+
+        # --- shared primal towers (linearised once each) ---
+        fake, g_pull, aux_g = jax.vjp(lambda gn: g_fwd(gn, inp),
+                                      g_state.params, has_aux=True)
+        real_pair = jnp.concatenate([inp, tgt], axis=-1)
+        fake_pair = jnp.concatenate([inp, fake], axis=-1)
+
+        def d_apply(dp, x):
+            feats, new_p = f2f.apply_discriminator(dp, x, training=True)
+            return feats, new_p
+
+        pred_real, real_pull, aux_d = jax.vjp(
+            lambda dp: d_apply(dp, real_pair), d_state.params, has_aux=True)
+        pred_fake, fake_pull, _ = jax.vjp(d_apply, d_state.params, fake_pair,
+                                          has_aux=True)
+
+        # --- D loss: cotangents on the two prediction pytrees, pulled back
+        # toward d_params only (feature2face_model.py:160-178 semantics,
+        # real x2 weighting) ---
+        def d_loss_of(pr, pf):
+            loss_real = losses.gan_loss(pr, True, gan_mode) * 2.0
+            loss_fake = losses.gan_loss(pf, False, gan_mode)
+            loss = (loss_real + loss_fake) * 0.5
+            return loss, (loss_real, loss_fake)
+
+        (loss_d, (d_real, d_fake)), (c_pr, c_pf_d) = jax.value_and_grad(
+            d_loss_of, argnums=(0, 1), has_aux=True)(pred_real, pred_fake)
+        d_grads = _tree_add(real_pull(c_pr)[0], fake_pull(c_pf_d)[0])
+
+        # --- G loss: cotangents w.r.t. (fake, pred_fake); the pred_fake
+        # cotangent flows back through the D-fake tower into its INPUT
+        # (the d_params half of that pullback is discarded, as jax.grad
+        # w.r.t. g_net alone would), then joins the direct fake cotangent
+        # before the single generator pullback ---
+        def g_loss_of(fake_, pf):
+            loss_gan = losses.gan_loss(pf, True, gan_mode,
+                                       for_discriminator=False)
+            loss_l1 = jnp.mean(jnp.abs(fake_ - tgt)) * cfg.lambda_L1
+            if vgg_params is not None:
+                p_loss, s_loss = losses.vgg_style_loss(vgg_params, fake_, tgt)
+                loss_vgg = p_loss * cfg.lambda_feat
+                loss_style = s_loss * cfg.lambda_feat
+            else:
+                loss_vgg = jnp.zeros(())
+                loss_style = jnp.zeros(())
+            loss_fm = losses.feature_matching_loss(
+                pf, pred_real, cfg.num_D, cfg.n_layers_D, cfg.lambda_feat)
+            loss = loss_gan + loss_l1 + loss_vgg + loss_style + loss_fm
+            return loss, {"loss_G_GAN": loss_gan, "L1": loss_l1,
+                          "VGG": loss_vgg, "Style": loss_style,
+                          "loss_G_FM": loss_fm, "loss_G": loss}
+
+        (_, g_metrics), (c_fake, c_pf_g) = jax.value_and_grad(
+            g_loss_of, argnums=(0, 1), has_aux=True)(fake, pred_fake)
+        c_fake_pair = fake_pull(c_pf_g)[1]
+        n_in = inp.shape[-1]
+        g_grads = g_pull(c_fake + c_fake_pair[..., n_in:])[0]
+
+        new_d = apply_updates_with_bn(d_state, d_grads, aux_d, tx_d)
+        new_g = apply_updates_with_bn(g_state, g_grads, aux_g, tx_g)
+        metrics = dict(g_metrics, D_real=d_real, D_fake=d_fake, loss_D=loss_d)
+        return new_g, new_d, metrics
+
+    return gan_step
+
+
 def f2f_validate(cfg: Feature2FaceConfig, compute_dtype=None):
     """Eval-mode generator forward returning the synthesized frame plus
     fidelity scalars (L1, PSNR over the [-1, 1] range).  Doubles as the

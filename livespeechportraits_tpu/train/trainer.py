@@ -55,6 +55,7 @@ class TrainLoopConfig:
     prefetch: int = 2  # background batch queue depth (0 = synchronous)
     display_epoch_freq: int = 1  # GAN epoch image-panel cadence (0 = off)
     remat: bool = False  # rematerialise the G forward in backward (512^2 memory lever)
+    fused_step: bool = False  # one-program GAN step (shared forward towers)
 
 
 def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
@@ -225,9 +226,14 @@ def train_feature2face(
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
-    d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
-                                          compute_dtype=compute_dtype,
-                                          remat=loop.remat)
+    if loop.fused_step:
+        gan_step = steps.make_f2f_fused_step(cfg, tx_g, tx_d, vgg_params,
+                                             compute_dtype=compute_dtype,
+                                             remat=loop.remat)
+    else:
+        d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
+                                              compute_dtype=compute_dtype,
+                                              remat=loop.remat)
     validate_fn = steps.f2f_validate(cfg, compute_dtype=compute_dtype)
 
     # Fixed panel batch: same frames every epoch so the HTML gallery shows
@@ -255,8 +261,12 @@ def train_feature2face(
         t0 = time.time()
         epoch_it0 = it
         for batch in _batch_iter(sampler, loop, rng, mesh):
-            d_state, d_metrics = d_step(d_state, g_state.params, batch)
-            g_state, g_metrics = g_step(g_state, d_state.params, batch)
+            if loop.fused_step:
+                g_state, d_state, g_metrics = gan_step(g_state, d_state, batch)
+                d_metrics = {}
+            else:
+                d_state, d_metrics = d_step(d_state, g_state.params, batch)
+                g_state, g_metrics = g_step(g_state, d_state.params, batch)
             it += 1
             if it % loop.print_freq == 0:
                 m = {k: float(v) for k, v in (d_metrics | g_metrics).items()}

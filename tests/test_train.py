@@ -281,3 +281,119 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_f2f_fused_step_grads_match_oracle():
+    """The manual-vjp fused GAN step must produce EXACTLY the gradients of
+    its declared semantics: d_grads = grad of the D loss and g_grads =
+    grad of the G loss, both evaluated at the pre-update params with
+    training=True shared forwards (feature2face_model.py:120-190's
+    compute-fake-once structure)."""
+    from livespeechportraits_tpu.models import losses as losses_mod
+    from livespeechportraits_tpu.train.state import merge_bn_stats
+
+    import optax
+
+    cfg = F2F_CFG
+    kg, kd = jax.random.split(jax.random.PRNGKey(5))
+    g = feature2face.init_generator(kg, cfg)
+    d = feature2face.init_discriminator(kd, cfg)
+    # SGD makes the post-step params LINEAR in the gradients, so the
+    # comparison tolerances are meaningful (Adam's first step is
+    # ~sign(grad)*lr, which amplifies float-reordering noise wherever a
+    # gradient entry is near zero).
+    tx = optax.sgd(1e-2)
+    g_state = state_mod.create_state(g["net"], tx)
+    d_state = state_mod.create_state(d, tx)
+
+    rng = np.random.default_rng(5)
+    B, H = 2, 32
+    batch = {
+        "feature_map": jnp.asarray(rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32)),
+        "cand_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32)),
+        "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
+    }
+    inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]], axis=-1)
+    tgt = batch["tgt_image"]
+
+    def fake_of(g_net):
+        out, _ = feature2face.apply_generator({"net": g_net, "size": cfg.size},
+                                              inp, training=True)
+        return out
+
+    def d_loss(d_params, g_net):
+        fake = jax.lax.stop_gradient(fake_of(g_net))
+        pr, _ = feature2face.apply_discriminator(
+            d_params, jnp.concatenate([inp, tgt], -1), training=True)
+        pf, _ = feature2face.apply_discriminator(
+            d_params, jnp.concatenate([inp, fake], -1), training=True)
+        return (losses_mod.gan_loss(pr, True, cfg.gan_mode) * 2.0
+                + losses_mod.gan_loss(pf, False, cfg.gan_mode)) * 0.5
+
+    def g_loss(g_net, d_params):
+        fake = fake_of(g_net)
+        pr, _ = feature2face.apply_discriminator(
+            d_params, jnp.concatenate([inp, tgt], -1), training=True)
+        pf, _ = feature2face.apply_discriminator(
+            d_params, jnp.concatenate([inp, fake], -1), training=True)
+        return (losses_mod.gan_loss(pf, True, cfg.gan_mode, for_discriminator=False)
+                + jnp.mean(jnp.abs(fake - tgt)) * cfg.lambda_L1
+                + losses_mod.feature_matching_loss(pf, pr, cfg.num_D,
+                                                   cfg.n_layers_D, cfg.lambda_feat))
+
+    d_grads_oracle = jax.grad(d_loss)(d_state.params, g_state.params)
+    g_grads_oracle = jax.grad(g_loss)(g_state.params, d_state.params)
+
+    # oracle updates from the same optimizer at the same (pre-update) params
+    du, _ = tx.update(d_grads_oracle, d_state.opt_state, d_state.params)
+    gu, _ = tx.update(g_grads_oracle, g_state.opt_state, g_state.params)
+    d_expect = optax.apply_updates(d_state.params, du)
+    g_expect = optax.apply_updates(g_state.params, gu)
+
+    gan_step = steps.make_f2f_fused_step(cfg, tx, tx, vgg_params=None)
+    new_g, new_d, metrics = gan_step(g_state, d_state, batch)
+
+    for k in ["loss_D", "D_real", "D_fake", "loss_G", "loss_G_GAN", "L1",
+              "loss_G_FM"]:
+        assert np.isfinite(float(metrics[k])), k
+
+    # compare every non-BN-stat leaf (BN running stats are merged from the
+    # aux, which the oracle above does not model)
+    def strip_bn(tree, ref):
+        return merge_bn_stats(tree, ref)
+
+    got_d = strip_bn(new_d.params, d_expect)
+    got_g = strip_bn(new_g.params, g_expect)
+    for a, b in zip(jax.tree.leaves(got_d), jax.tree.leaves(d_expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(g_expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+
+
+def test_f2f_fused_step_remat_matches_plain():
+    cfg = F2F_CFG
+    kg, kd = jax.random.split(jax.random.PRNGKey(6))
+    g = feature2face.init_generator(kg, cfg)
+    d = feature2face.init_discriminator(kd, cfg)
+    tx = state_mod.adam(1e-3)
+    rng = np.random.default_rng(6)
+    B, H = 2, 32
+    batch = {
+        "feature_map": jnp.asarray(rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32)),
+        "cand_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32)),
+        "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
+    }
+    outs = []
+    for remat in (False, True):
+        g_state = state_mod.create_state(g["net"], tx)
+        d_state = state_mod.create_state(d, tx)
+        step = steps.make_f2f_fused_step(cfg, tx, tx, remat=remat)
+        new_g, new_d, m = step(g_state, d_state, batch)
+        outs.append((new_g.params, float(m["loss_G"]), float(m["loss_D"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[0][0]), jax.tree.leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

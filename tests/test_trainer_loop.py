@@ -187,3 +187,30 @@ def test_train_audio2feature_gmm_mode(tmp_path):
                                 cfg=cfg, key=jax.random.PRNGKey(0))
     assert out.shape == (20, 75)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_f2f_trainer_fused_step_loop(tmp_path):
+    """train_feature2face(fused_step=True) drives the one-program GAN step
+    through the same loop machinery (metrics logged, checkpoints saved)."""
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(1)
+    H = 32
+    images = rng.integers(0, 255, (40, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (40, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=2, print_freq=2,
+        checkpoints_dir=str(tmp_path), name="f2f_fused", save_epoch_freq=1,
+        ttur=True, fused_step=True,
+    )
+    g1, d1 = trainer.train_feature2face(cfg, loop, sampler)
+    assert int(g1.step) > 0 and int(d1.step) > 0
+    log = (tmp_path / "f2f_fused" / "loss_log.txt").read_text()
+    assert "loss_G" in log and "loss_D" in log

@@ -45,6 +45,12 @@ def main() -> None:
     p.add_argument("--checkpoints_dir", default="/tmp/train512_r2")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--fused_step", action="store_true",
+                   help="one-program GAN step sharing the G/D forward "
+                        "towers (steps.make_f2f_fused_step)")
+    p.add_argument("--bench_only", action="store_true",
+                   help="skip the training campaign; just compile the step "
+                        "on fresh params and run the timed microbenchmark")
     args = p.parse_args()
 
     import jax
@@ -71,16 +77,10 @@ def main() -> None:
         print_freq=10, checkpoints_dir=args.checkpoints_dir, name=args.name,
         ttur=True, remat=not args.no_remat,
         save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
-        validate_epoch=max(1, n_epochs // 4),
+        validate_epoch=max(1, n_epochs // 4), fused_step=args.fused_step,
     )
     vgg_params = losses.init_vgg19(0) if args.vgg == "random" else None
 
-    t0 = time.time()
-    g_state, d_state = trainer.train_feature2face(
-        cfg, loop, sampler, val_sampler=sampler, vgg_params=vgg_params)
-    train_wall = time.time() - t0
-
-    # ---- timed in-cache step microbenchmark (compiles already done) ----
     import jax.numpy as jnp
     import optax
 
@@ -93,30 +93,61 @@ def main() -> None:
     tx_d = optax.inject_hyperparams(
         lambda learning_rate: optax.adam(learning_rate, b1=bd[0], b2=bd[1])
     )(learning_rate=lr_d)
-    d_step, g_step = steps_mod.make_f2f_steps(
-        cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-        remat=not args.no_remat)
+
+    if args.bench_only:
+        from livespeechportraits_tpu.models import feature2face as f2f_model
+        from livespeechportraits_tpu.train import state as state_mod
+
+        kg, kd = jax.random.split(jax.random.PRNGKey(loop.seed))
+        g_state = state_mod.create_state(
+            f2f_model.init_generator(kg, cfg)["net"], tx_g)
+        d_state = state_mod.create_state(
+            f2f_model.init_discriminator(kd, cfg), tx_d)
+        train_wall = 0.0
+    else:
+        t0 = time.time()
+        g_state, d_state = trainer.train_feature2face(
+            cfg, loop, sampler, val_sampler=sampler, vgg_params=vgg_params)
+        train_wall = time.time() - t0
+
+    # ---- timed in-cache step microbenchmark ----
     batch = jax.device_put(next(iter(
         sampler.batches(args.batch, np.random.default_rng(0)))))
-    # warm (hits the trainer's executables via the jit cache); the scalar
-    # fetch is the true barrier on the tunnelled backend
-    d_state, _ = d_step(d_state, g_state.params, batch)
-    g_state, gm = g_step(g_state, d_state.params, batch)
-    _ = float(gm["loss_G"])
-    t0 = time.time()
     K = 20
-    for _ in range(K):
-        d_state, dm = d_step(d_state, g_state.params, batch)
+    if args.fused_step:
+        gan_step = steps_mod.make_f2f_fused_step(
+            cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
+            remat=not args.no_remat)
+        g_state, d_state, gm = gan_step(g_state, d_state, batch)
+        _ = float(gm["loss_G"])
+        t0 = time.time()
+        for _ in range(K):
+            g_state, d_state, gm = gan_step(g_state, d_state, batch)
+        _ = float(gm["loss_G"])  # true barrier on the tunnelled backend
+        step_s = (time.time() - t0) / K
+        step_fns = ((gan_step, (g_state, d_state, batch)),)
+    else:
+        d_step, g_step = steps_mod.make_f2f_steps(
+            cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
+            remat=not args.no_remat)
+        # warm (hits the trainer's executables via the jit cache); the
+        # scalar fetch is the true barrier on the tunnelled backend
+        d_state, _ = d_step(d_state, g_state.params, batch)
         g_state, gm = g_step(g_state, d_state.params, batch)
-    # true barrier on the tunnelled backend: scalar fetch
-    _ = float(gm["loss_G"])
-    step_s = (time.time() - t0) / K
+        _ = float(gm["loss_G"])
+        t0 = time.time()
+        for _ in range(K):
+            d_state, dm = d_step(d_state, g_state.params, batch)
+            g_state, gm = g_step(g_state, d_state.params, batch)
+        _ = float(gm["loss_G"])
+        step_s = (time.time() - t0) / K
+        step_fns = ((d_step, (d_state, g_state.params, batch)),
+                    (g_step, (g_state, d_state.params, batch)))
 
     flops = None
     try:
         costs = []
-        for fn, a in ((d_step, (d_state, g_state.params, batch)),
-                      (g_step, (g_state, d_state.params, batch))):
+        for fn, a in step_fns:
             c = fn.lower(*a).compile().cost_analysis()
             if isinstance(c, (list, tuple)):
                 c = c[0]
@@ -132,7 +163,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "512^2 GAN train step (D+G), 1 chip",
         "size": args.size, "batch": args.batch, "vgg": args.vgg,
-        "remat": not args.no_remat,
+        "remat": not args.no_remat, "fused_step": args.fused_step,
         "steps_trained": int(g_state.step), "train_wall_s": round(train_wall, 1),
         "step_time_ms": round(step_s * 1e3, 1),
         "steps_per_s": round(1.0 / step_s, 3),
