@@ -169,3 +169,46 @@ def test_multihost_shard_host_batch_single_process():
     g = next(it)
     np.testing.assert_array_equal(np.asarray(g["audio"]), batch["audio"])
     assert multihost.is_primary()
+
+
+def test_fused_gan_step_data_parallel_matches_single_device():
+    """The fused one-program GAN step under an 8-way data-sharded batch
+    must match the unsharded run (the DataParallel equivalence extended
+    to the shared-tower step: gradient all-reduces are inserted by XLA
+    from the sharding layout alone)."""
+    import optax
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5,
+                             load_size=32, num_D=2, n_layers_D=2)
+    kg, kd = jax.random.split(jax.random.PRNGKey(9))
+    g = feature2face.init_generator(kg, cfg)
+    d = feature2face.init_discriminator(kd, cfg)
+    tx = optax.sgd(1e-2)
+    gan_step = steps.make_f2f_fused_step(cfg, tx, tx)
+
+    rng = np.random.default_rng(9)
+    B, H = 8, 32
+    batch_np = {
+        "feature_map": rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32),
+        "cand_image": rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32),
+        "tgt_image": rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32),
+    }
+
+    g0 = state_mod.create_state(g["net"], tx)
+    d0 = state_mod.create_state(d, tx)
+    g1, d1, m1 = gan_step(g0, d0, {k: jnp.asarray(v)
+                                   for k, v in batch_np.items()})
+
+    mesh = mesh_mod.make_mesh(1)
+    gp = state_mod.create_state(mesh_mod.replicate(mesh, g["net"]), tx)
+    dp = state_mod.create_state(mesh_mod.replicate(mesh, d), tx)
+    g2, d2, m2 = gan_step(gp, dp, mesh_mod.shard_batch(mesh, batch_np))
+
+    assert float(m1["loss_G"]) == pytest.approx(float(m2["loss_G"]), rel=1e-4)
+    assert float(m1["loss_D"]) == pytest.approx(float(m2["loss_D"]), rel=1e-4)
+    # sync-BN batch stats + cross-device reduction reordering: tolerate
+    # small absolute noise, as in the A2F DP test above
+    for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(d1.params), jax.tree.leaves(d2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
