@@ -121,6 +121,13 @@ def main() -> None:
     p.add_argument("--loss", default="L2", choices=["L2", "GMM"],
                    help="audio2feature loss: MSE or the intended GMM NLL")
     p.add_argument("--TTUR", action="store_true")
+    p.add_argument("--fused_step", action="store_true",
+                   help="feature2face: one-program GAN step sharing the "
+                        "G/D forward towers (faster; G sees the pre-update "
+                        "D - see steps.make_f2f_fused_step)")
+    p.add_argument("--remat", action="store_true",
+                   help="feature2face: rematerialise the G forward in the "
+                        "backward pass (memory lever for larger batches)")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--sequence_length", type=int, default=240)
     p.add_argument("--time_frame_length", type=int, default=240)
@@ -139,6 +146,7 @@ def main() -> None:
         continue_train=args.continue_train,
         smooth_loss=args.smooth_loss, ttur=args.TTUR,
         data_parallel=args.data_parallel,
+        fused_step=args.fused_step, remat=args.remat,
     )
 
     if args.task == "audio2feature":
