@@ -41,6 +41,7 @@ def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     split_cand = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    quantize = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -49,6 +50,10 @@ def main() -> None:
     )
     person_assets, person_models = assets_mod.make_synthetic_person(
         cfg, key=jax.random.PRNGKey(0), image_size=512, bank_size=4096)
+    if quantize:
+        # int8 renderer (per-channel weights + dynamic activation scales;
+        # fidelity-tested vs the float forward in test_feature2face.py)
+        person_models = assets_mod.quantize_person_models(person_models)
 
     t = np.arange(int(seconds * 16000)) / 16000
     audio = (0.3 * np.sin(2 * np.pi * 220 * t)
@@ -132,6 +137,7 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "render_batch": render_batch,
         "split_cand": split_cand,
+        "quantize_int8": quantize,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
     }
     print(json.dumps(out))

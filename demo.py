@@ -46,6 +46,10 @@ def main() -> None:
                              "per bucket instead of once per clip length; "
                              "outputs are bit-identical to the unpadded run "
                              "(serve.py semantics). 0 = exact-length compile")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8-quantize the renderer for inference "
+                             "(2x int8 MXU peak on v5e; fidelity-tested "
+                             "vs the float forward)")
     parser.add_argument("--fused", action="store_true",
                         help="run the motion half (mel->APC->LLE->mouth->"
                              "head-pose->post) as ONE device program (fewer "
@@ -90,6 +94,8 @@ def main() -> None:
     else:
         person_assets = assets_mod.load_person(cfg)
         person_models = assets_mod.load_person_models(cfg)
+    if args.quantize:
+        person_models = assets_mod.quantize_person_models(person_models)
 
     min_seconds = (cfg.audio2headpose.frame_future + 1) / 60.0
     if len(audio) < int(min_seconds * 16000) + 16000 // 60:

@@ -280,6 +280,50 @@ def apply_generator(params: Params, x: jnp.ndarray, training: bool = False,
     return y, dict(params, net=new_net)
 
 
+def quantize_generator(params: Params) -> Params:
+    """int8 post-training quantization of a ResUNet generator for
+    inference (TPU-native: v5e's int8 MXU path is 2x bf16 peak).
+
+    Every interior conv (stage down/up convs and all residual-block
+    convs) becomes a per-output-channel int8 layer with dynamic
+    per-tensor activation quantization (nn_core.quantize_conv /
+    conv2d dispatch).  The outermost stage's first conv (reading the
+    1+12-channel edge/candidate input) and final to-RGB conv stay full
+    precision - the quality-critical ends of the network, and keeping
+    the first conv intact preserves the split-candidate fast path
+    (precompute_cand_down).  Inference-only: BN uses running stats and
+    the quantized tree is not trainable.
+
+    The reference has no quantized path (fp16 autocast is its only
+    reduced precision, feature2face_model.py:59-60); this is a
+    TPU-capability extension, guarded by tests for fidelity vs the
+    float forward."""
+    size = params["size"]
+    if size == "small":
+        raise NotImplementedError(
+            "int8 quantization targets the ResUNet variants ('normal'/"
+            "'large'); the legacy pix2pix 'small' U-Net upsamples with "
+            "ConvTranspose layers that keep the float path")
+
+    def _q_res(r: Params) -> Params:
+        return dict(r, conv1=nn_core.quantize_conv(r["conv1"]),
+                    conv2=nn_core.quantize_conv(r["conv2"]))
+
+    def _q_stage(p: Params, outermost: bool) -> Params:
+        q = dict(p)
+        if not outermost:
+            q["down"] = nn_core.quantize_conv(p["down"])
+            q["up"] = nn_core.quantize_conv(p["up"])
+        q["res_down"] = [_q_res(r) for r in p["res_down"]]
+        if "res_up" in p:
+            q["res_up"] = [_q_res(r) for r in p["res_up"]]
+        if "sub" in p:
+            q["sub"] = _q_stage(p["sub"], outermost=False)
+        return q
+
+    return dict(params, net=_q_stage(params["net"], outermost=True))
+
+
 def _cast_net(net: Params, compute_dtype):
     return jax.tree.map(
         lambda a: a.astype(compute_dtype)

@@ -142,12 +142,54 @@ def conv2d_init(key, in_ch: int, out_ch: int, kernel: int = 3, init: str = "norm
 
 def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
            padding: int = 0) -> jnp.ndarray:
-    """x: [N, H, W, C] -> [N, H', W', C']; integer symmetric padding."""
+    """x: [N, H, W, C] -> [N, H', W', C']; integer symmetric padding.
+
+    Dispatches on the param format: a quantized layer (`quantize_conv`)
+    runs s8xs8->s32 on the MXU's int8 path (2x bf16 peak on v5e)."""
+    if "w_q" in params:
+        return _conv2d_q8(params, x, stride, padding)
     y = jax.lax.conv_general_dilated(
         x, params["w"], window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def quantize_conv(params: Params) -> Params:
+    """Per-output-channel symmetric int8 weight quantization of a conv2d
+    layer: w = w_q * w_scale[c], w_q in [-127, 127]."""
+    w = jnp.asarray(params["w"], jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    q: Params = {"w_q": w_q, "w_scale": s}
+    if "b" in params:
+        q["b"] = params["b"]
+    return q
+
+
+def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
+               padding: int) -> jnp.ndarray:
+    """int8 convolution with dynamic per-tensor activation quantization.
+
+    y = conv_s8(round(x/s_x), w_q) * (s_x * w_scale[c]) + b, accumulated
+    in int32 on the MXU.  The quantize/rescale arithmetic runs in the
+    activation dtype (bf16 in the inference path; integers <= 127 are
+    exact in bf16, and the mul/round rounding is the same order as the
+    int8 quantization noise itself)."""
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
+                   ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, params["w_q"], window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(dt) * (params["w_scale"].astype(jnp.float32) * s_x).astype(dt)
     if "b" in params:
         y = y + params["b"]
     return y

@@ -106,6 +106,19 @@ def load_person(cfg: PersonConfig, data_root: Optional[str] = None) -> PersonAss
     )
 
 
+def quantize_person_models(models: PersonModels) -> PersonModels:
+    """Return a copy with the renderer int8-quantized for inference
+    (models.feature2face.quantize_generator; 'normal'/'large' only).
+    The motion-stage models are unchanged - their cost is negligible
+    next to the 512^2 U-Net."""
+    from dataclasses import replace as _replace
+
+    from livespeechportraits_tpu.models import feature2face as _f2f
+
+    return _replace(models,
+                    feature2face=_f2f.quantize_generator(models.feature2face))
+
+
 def load_person_models(cfg: PersonConfig) -> PersonModels:
     """Convert the subject's reference .pkl checkpoints (demo.py:144-171)."""
     sd_apc = torch_convert.load_state_dict_numpy(cfg.apc.ckpt_path)

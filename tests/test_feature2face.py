@@ -118,3 +118,64 @@ def test_split_candidate_conv_matches_fused():
         out = f2f.apply_generator_edge(params, edge, cand_down, training=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=0)
+
+
+def test_quantized_conv_close_to_float():
+    """nn_core.quantize_conv + conv2d dispatch: the int8 layer reproduces
+    the float conv within combined weight+activation quantization noise
+    (~1/127 per operand)."""
+    from livespeechportraits_tpu.models import nn_core
+
+    key = jax.random.PRNGKey(0)
+    p = nn_core.conv2d_init(key, 32, 48, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 32))
+    y = nn_core.conv2d(p, x, padding=1)
+    yq = nn_core.conv2d(nn_core.quantize_conv(p), x, padding=1)
+    ref = float(jnp.sqrt(jnp.mean(y ** 2)))
+    err = float(jnp.sqrt(jnp.mean((y - yq) ** 2)))
+    assert err < 0.03 * ref, (err, ref)
+
+
+def test_quantized_generator_fidelity():
+    """int8 renderer vs float renderer: high-PSNR agreement on the tanh
+    output, and the quantized tree really is int8 in the interior while
+    the outermost down/up convs stay float (split-candidate fast path
+    must keep working)."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    y, _ = feature2face.apply_generator(params, x)
+
+    qparams = feature2face.quantize_generator(params)
+    assert qparams["net"]["sub"]["down"]["w_q"].dtype == jnp.int8
+    assert "w" in qparams["net"]["down"] and "w" in qparams["net"]["up"]
+    yq, _ = feature2face.apply_generator(qparams, x)
+
+    mse = float(jnp.mean((y - yq) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1, 1] range
+    assert psnr > 28.0, psnr
+    assert mse > 0  # actually quantized, not a pass-through
+
+    # bf16 activation path runs too
+    yqb, _ = feature2face.apply_generator(qparams, x, compute_dtype=jnp.bfloat16)
+    assert np.isfinite(np.asarray(yqb)).all()
+
+    # split-candidate fast path on the quantized tree (per-subject
+    # constant candidates, [H, W, 12])
+    edge = x[..., :1]
+    cand = x[0, ..., 1:]
+    x_shared = jnp.concatenate(
+        [edge, jnp.broadcast_to(cand, (2,) + cand.shape)], axis=-1)
+    yq_shared, _ = feature2face.apply_generator(qparams, x_shared)
+    cand_down = feature2face.precompute_cand_down(qparams, cand)
+    ye = feature2face.apply_generator_edge(qparams, edge, cand_down)
+    mse_e = float(jnp.mean((ye - yq_shared) ** 2))
+    assert 10 * np.log10(4.0 / max(mse_e, 1e-12)) > 40.0
+
+    with pytest.raises(NotImplementedError):
+        feature2face.quantize_generator(
+            feature2face.init_generator(
+                jax.random.PRNGKey(2),
+                Feature2FaceConfig(size="small", ngf=4, n_downsample=5,
+                                   load_size=32)))

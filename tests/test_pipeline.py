@@ -203,3 +203,21 @@ def test_demo_cli_bucketed_fused(tmp_path, monkeypatch):
     cap.release()
     cfg = tiny_person()
     assert n == int(0.7 * 60) - cfg.audio2headpose.frame_future
+
+
+def test_quantized_renderer_end_to_end(person):
+    """animate() with an int8-quantized renderer: same motion outputs,
+    visually-equivalent frames (high PSNR vs the float pipeline)."""
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from livespeechportraits_tpu.utils.metrics import psnr
+
+    cfg, a, m = person
+    audio = _sine_audio(0.8)
+    ref = animate_mod.animate(cfg, a, m, audio, seed=3, render_batch=4)
+    mq = assets_mod.quantize_person_models(m)
+    out = animate_mod.animate(cfg, a, mq, audio, seed=3, render_batch=4)
+    np.testing.assert_array_equal(out.landmarks, ref.landmarks)
+    assert out.frames.shape == ref.frames.shape
+    p = psnr(out.frames, ref.frames)
+    assert p > 30.0, p
+    assert np.any(out.frames != ref.frames)  # actually quantized
