@@ -153,3 +153,26 @@ def test_streaming_memory_bounded_soak():
     assert end["feats"] <= 8 * st.chunk
     assert end["audio"] <= 3 * step
     assert all(v <= 200 for k, v in end.items() if k != "audio"), end
+
+
+def test_streaming_with_quantized_renderer(person):
+    """The live path accepts an int8-quantized renderer (the conv2d
+    dispatch is format-driven): streamed quantized frames match the
+    offline quantized pipeline."""
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+
+    cfg, a, m = person
+    mq = assets_mod.quantize_person_models(m)
+    audio = _sine_audio(1.0)
+    offline = animate_mod.animate(cfg, a, mq, audio, seed=2, render_batch=4)
+
+    stream = StreamingAnimator(cfg, a, mq, seed=2, chunk=16, render_batch=4)
+    frames = [out for lo in range(0, len(audio), 2400)
+              if len(out := stream.push_audio(audio[lo:lo + 2400]))]
+    tail = stream.flush()
+    if len(tail):
+        frames.append(tail)
+    streamed = np.concatenate(frames)
+    assert streamed.shape == offline.frames.shape
+    diff = np.abs(streamed.astype(int) - offline.frames.astype(int))
+    assert diff.max() <= 1
