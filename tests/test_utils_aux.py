@@ -195,3 +195,52 @@ def test_serve_predictor_quantized(tmp_path):
     import os
 
     assert os.path.exists(r.video_path) and r.nframe > 0
+
+
+def test_get_data_offline(tmp_path, monkeypatch):
+    """GetData (reference util/get_data.py parity) exercised fully offline:
+    index parsing, non-interactive selection, download, checksum, extract."""
+    import hashlib
+    import io
+    import urllib.request
+    import zipfile
+
+    from livespeechportraits_tpu.utils import get_data
+
+    # fake index + a tiny zip archive served through mocked urlopen
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mini/a.txt", "hello")
+    payload = buf.getvalue()
+    html = ('<html><a href="x/mini.zip">mini.zip</a>'
+            '<a href="notes.txt">notes.txt</a>'
+            '<a href="y/big.tar.gz">big.tar.gz</a></html>')
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url):
+        if url.endswith("mini.zip"):
+            return _Resp(payload)
+        return _Resp(html.encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    assert get_data.parse_archive_options(html) == ["mini.zip", "big.tar.gz"]
+
+    gd = get_data.GetData(technique="pix2pix", verbose=False)
+    assert gd.options() == ["mini.zip", "big.tar.gz"]
+    out = gd.get(str(tmp_path / "ds"), choice=0,
+                 sha256=hashlib.sha256(payload).hexdigest())
+    assert out == str(tmp_path / "ds" / "mini")
+    assert (tmp_path / "ds" / "mini" / "a.txt").read_text() == "hello"
+    assert not (tmp_path / "ds" / "mini.zip").exists()  # archive cleaned
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gd.get(str(tmp_path / "ds2"), dataset="mini.zip", sha256="0" * 64)
