@@ -324,6 +324,60 @@ def quantize_generator(params: Params) -> Params:
     return dict(params, net=_q_stage(params["net"], outermost=True))
 
 
+def fold_bn_generator(params: Params, eps: float = 1e-5) -> Params:
+    """Inference-only transform: fold every conv->BN pair's running stats
+    into the conv itself (classic deployment folding; the reference has
+    no inference-optimised path at all).
+
+    For k = scale/sqrt(var+eps): w' = w*k (per out channel), b' = bias -
+    mean*k, and the BN params become an exact algebraic identity
+    (scale=1, bias=0, mean=0, var=1-eps so rsqrt(var+eps)=1), which XLA
+    constant-folds away.  Works on float and int8-quantized trees (for a
+    quantized conv the fold lands on w_scale instead of the int8 weights,
+    so the stored quantization is untouched).  Eval mode only - training
+    normalises with batch stats.
+    """
+    def _fold_pair(conv: Params, bn: Params):
+        k = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+        b = bn["bias"] - bn["mean"] * k
+        new_conv = dict(conv)
+        if "w_q" in conv:
+            new_conv["w_scale"] = conv["w_scale"] * k
+        else:
+            new_conv["w"] = conv["w"] * k
+        new_conv["b"] = conv.get("b", 0.0) * k + b
+        ident = {"scale": jnp.ones_like(k), "bias": jnp.zeros_like(b),
+                 "mean": jnp.zeros_like(b),
+                 "var": jnp.full_like(k, 1.0 - eps)}
+        return new_conv, ident
+
+    def _fold_res(r: Params) -> Params:
+        q = dict(r)
+        q["conv1"], q["bn1"] = _fold_pair(r["conv1"], r["bn1"])
+        q["conv2"], q["bn2"] = _fold_pair(r["conv2"], r["bn2"])
+        return q
+
+    def _fold_stage(p: Params) -> Params:
+        q = dict(p)
+        if "down_bn" in p:
+            q["down"], q["down_bn"] = _fold_pair(p["down"], p["down_bn"])
+        if "up_bn" in p:
+            q["up"], q["up_bn"] = _fold_pair(p["up"], p["up_bn"])
+        if "res_down" in p:
+            q["res_down"] = [_fold_res(r) for r in p["res_down"]]
+        if "res_up" in p:
+            q["res_up"] = [_fold_res(r) for r in p["res_up"]]
+        if "sub" in p:
+            q["sub"] = _fold_stage(p["sub"])
+        return q
+
+    if params["size"] == "small":
+        raise NotImplementedError(
+            "BN folding targets the ResUNet variants; the 'small' U-Net "
+            "applies BN after ConvTranspose upsampling, left unfolded")
+    return dict(params, net=_fold_stage(params["net"]))
+
+
 def _cast_net(net: Params, compute_dtype):
     return jax.tree.map(
         lambda a: a.astype(compute_dtype)

@@ -106,17 +106,22 @@ def load_person(cfg: PersonConfig, data_root: Optional[str] = None) -> PersonAss
     )
 
 
-def quantize_person_models(models: PersonModels) -> PersonModels:
+def quantize_person_models(models: PersonModels,
+                           fold_bn: bool = True) -> PersonModels:
     """Return a copy with the renderer int8-quantized for inference
     (models.feature2face.quantize_generator; 'normal'/'large' only).
     The motion-stage models are unchanged - their cost is negligible
-    next to the 512^2 U-Net."""
+    next to the 512^2 U-Net.  fold_bn additionally folds the BN running
+    stats into the conv scales (exact algebraic rewrite, eval-only -
+    feature2face.fold_bn_generator)."""
     from dataclasses import replace as _replace
 
     from livespeechportraits_tpu.models import feature2face as _f2f
 
-    return _replace(models,
-                    feature2face=_f2f.quantize_generator(models.feature2face))
+    f2f_params = _f2f.quantize_generator(models.feature2face)
+    if fold_bn:
+        f2f_params = _f2f.fold_bn_generator(f2f_params)
+    return _replace(models, feature2face=f2f_params)
 
 
 def load_person_models(cfg: PersonConfig) -> PersonModels:

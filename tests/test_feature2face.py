@@ -179,3 +179,41 @@ def test_quantized_generator_fidelity():
                 jax.random.PRNGKey(2),
                 Feature2FaceConfig(size="small", ngf=4, n_downsample=5,
                                    load_size=32)))
+
+
+def test_fold_bn_generator_matches_unfolded():
+    """BN folding must be an exact algebraic rewrite of the eval-mode
+    forward, for the float tree and the int8-quantized tree alike."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(3), cfg)
+    # make the running stats non-trivial so folding has real work to do
+    import jax as _jax
+
+    def _noise(p, i=[0]):
+        def walk(d):
+            if isinstance(d, dict):
+                if "mean" in d and "var" in d:
+                    i[0] += 1
+                    k = _jax.random.PRNGKey(i[0])
+                    d = dict(d,
+                             mean=0.3 * _jax.random.normal(k, d["mean"].shape),
+                             var=jnp.exp(0.5 * _jax.random.normal(k, d["var"].shape)))
+                    return d
+                return {k2: walk(v) for k2, v in d.items()}
+            if isinstance(d, list):
+                return [walk(v) for v in d]
+            return d
+        return walk(p)
+
+    params = _noise(params)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+
+    y, _ = feature2face.apply_generator(params, x)
+    yf, _ = feature2face.apply_generator(feature2face.fold_bn_generator(params), x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y), atol=2e-5)
+
+    qp = feature2face.quantize_generator(params)
+    yq, _ = feature2face.apply_generator(qp, x)
+    yqf, _ = feature2face.apply_generator(feature2face.fold_bn_generator(qp), x)
+    np.testing.assert_allclose(np.asarray(yqf), np.asarray(yq), atol=2e-5)
