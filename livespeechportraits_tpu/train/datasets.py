@@ -190,6 +190,7 @@ class FaceFrameSampler:
         load_size: int = 512,
         frame_jump: int = 1,
         crop_jitter: float = 0.0,
+        device_rasterize: bool = False,
     ):
         self.images = images
         self.landmarks = landmarks.astype(np.float32)
@@ -198,6 +199,13 @@ class FaceFrameSampler:
         self.load_size = load_size
         self.frame_jump = frame_jump
         self.crop_jitter = crop_jitter
+        # device_rasterize: emit raw landmark/shoulder coords instead of a
+        # host-cv2 feature map; the trainer rasterises the whole batch ON
+        # DEVICE (same kernel as the inference pipeline) - removes the
+        # most expensive host step from the GAN input path AND makes
+        # train-time edge maps pixel-identical to inference-time ones
+        # (the host cv2 and device rasterisers agree only to IoU ~0.95).
+        self.device_rasterize = device_rasterize
         n = len(images)  # ndarray or lazy frame store (data_io.LazyH5Frames)
         self.sample_len = int(np.floor((n - 60) / frame_jump) + 1) if n > 60 else n
 
@@ -268,7 +276,6 @@ class FaceFrameSampler:
 
             img = cv2.resize(img, (W, H))
 
-        fmap = rasterize.rasterize_feature_map_host(lm, sh, (W, H)).astype(np.float32) / 255.0
         mask = rasterize.facial_weight_mask(lm, H, W)
         cand = np.concatenate([self._to_float(c) for c in self.candidates], axis=-1)
         if cand.shape[0] != H:
@@ -277,12 +284,19 @@ class FaceFrameSampler:
             cand = cv2.resize(cand, (W, H))
         if mask.ndim == 2:
             mask = mask[..., None]
-        return {
-            "feature_map": fmap[..., None],
+        out = {
             "cand_image": cand,
             "tgt_image": img,
             "weight_mask": mask[..., :1],
         }
+        if self.device_rasterize:
+            out["landmarks"] = lm.astype(np.float32)
+            out["shoulders"] = sh.astype(np.float32)
+        else:
+            fmap = rasterize.rasterize_feature_map_host(
+                lm, sh, (W, H)).astype(np.float32) / 255.0
+            out["feature_map"] = fmap[..., None]
+        return out
 
     def batches(self, batch_size: int, rng: np.random.Generator,
                 shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:

@@ -62,15 +62,49 @@ def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
     return schedule(epoch) / tx_base_lr if tx_base_lr else 1.0
 
 
+def _device_rasterize_batch(batch):
+    """Materialise the feature_map on DEVICE from raw landmark/shoulder
+    coords (FaceFrameSampler(device_rasterize=True)): the whole batch is
+    rasterised with the same kernel the inference pipeline uses, so the
+    host never draws a 512^2 edge map and train-time inputs are
+    pixel-identical to serve-time ones."""
+    from livespeechportraits_tpu.ops import rasterize, rasterize_pallas
+
+    if "landmarks" not in batch:
+        return batch
+    batch = dict(batch)
+    lm = batch.pop("landmarks")
+    sh = batch.pop("shoulders")
+    H, W = batch["tgt_image"].shape[1:3]
+    fn = (rasterize_pallas.rasterize_feature_maps_pallas
+          if rasterize_pallas.supports_pallas()
+          else rasterize.rasterize_feature_maps)
+    batch["feature_map"] = _jit_rasterize(fn, lm, sh, (H, W))
+    return batch
+
+
+def _jit_rasterize(fn, lm, sh, size):
+    key = (fn, size)
+    cached = _jit_rasterize._cache.get(key)
+    if cached is None:
+        cached = jax.jit(lambda a, b: fn(a, b, size)[..., None])
+        _jit_rasterize._cache[key] = cached
+    return cached(lm, sh)
+
+
+_jit_rasterize._cache = {}
+
+
 def _batch_iter(sampler, loop: "TrainLoopConfig", rng, mesh):
     """Epoch batch stream with host sampling + host->device transfer
     pipelined behind device compute (train/prefetch.py; the transform runs
     in the worker thread so the transfer overlaps the previous step)."""
     it = sampler.batches(loop.batch_size, rng)
     if mesh is not None:
-        transform = lambda b: mesh_mod.shard_batch(mesh, b)  # noqa: E731
+        place = lambda b: mesh_mod.shard_batch(mesh, b)  # noqa: E731
     else:
-        transform = jax.device_put
+        place = jax.device_put
+    transform = lambda b: _device_rasterize_batch(place(b))  # noqa: E731
     if loop.prefetch > 0:
         return prefetch_mod.prefetch(it, loop.prefetch, transform)
     return map(transform, it)
@@ -243,6 +277,8 @@ def train_feature2face(
         panel_rng = np.random.default_rng(loop.seed + 1)
         panel_batch = next(iter(sampler.batches(
             min(loop.batch_size, 2, len(sampler)), panel_rng, shuffle=False)), None)
+        if panel_batch is not None:
+            panel_batch = _device_rasterize_batch(jax.device_put(panel_batch))
 
     vis = Visualizer(loop.checkpoints_dir, loop.name)
     ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
@@ -274,7 +310,8 @@ def train_feature2face(
                 vis.print_current_errors(epoch, it, m,
                                          (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            vals = [validate_fn(g_state.params, b)[1]
+            vals = [validate_fn(g_state.params,
+                                _device_rasterize_batch(jax.device_put(b)))[1]
                     for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)]
             if vals:
                 vm = {k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]}

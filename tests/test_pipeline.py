@@ -179,9 +179,16 @@ def test_demo_cli_bucketed_fused(tmp_path, monkeypatch):
     (demo.py:180 of the reference).  Model sizes are pinned to the test
     scale by patching PersonConfig (the reference YAML carries no
     architecture knobs to shrink)."""
+    import importlib.util
     import sys
 
-    import demo as demo_cli
+    # load OUR demo.py by explicit path: earlier oracle tests leave
+    # /root/reference on sys.path, where a different demo.py shadows it
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "lsp_demo_cli", os.path.join(repo, "demo.py"))
+    demo_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo_cli)
     from livespeechportraits_tpu import config as config_mod
 
     monkeypatch.setattr(config_mod, "PersonConfig",

@@ -214,3 +214,48 @@ def test_f2f_trainer_fused_step_loop(tmp_path):
     assert int(g1.step) > 0 and int(d1.step) > 0
     log = (tmp_path / "f2f_fused" / "loss_log.txt").read_text()
     assert "loss_G" in log and "loss_D" in log
+
+
+def test_f2f_trainer_device_rasterize(tmp_path):
+    """FaceFrameSampler(device_rasterize=True): the host never draws the
+    edge map - the trainer rasterises the batch on device with the same
+    kernel the inference pipeline uses, and the resulting feature_map
+    matches ops.rasterize on the raw coords."""
+    import jax
+    import jax.numpy as jnp
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.ops import rasterize
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+    from livespeechportraits_tpu.train.trainer import _device_rasterize_batch
+
+    rng = np.random.default_rng(3)
+    H = 32
+    images = rng.integers(0, 255, (40, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (40, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H,
+                               device_rasterize=True)
+
+    s = sampler.sample(0)
+    assert "feature_map" not in s and s["landmarks"].shape == (73, 2)
+
+    batch = next(iter(sampler.batches(2, rng)))
+    placed = _device_rasterize_batch(jax.device_put(batch))
+    assert placed["feature_map"].shape == (2, H, H, 1)
+    ref = rasterize.rasterize_feature_maps(
+        jnp.asarray(batch["landmarks"]), jnp.asarray(batch["shoulders"]),
+        (H, H))[..., None]
+    np.testing.assert_allclose(np.asarray(placed["feature_map"]),
+                               np.asarray(ref), atol=1e-6)
+
+    # full GAN trainer loop runs end to end on device-rasterised inputs
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=2, print_freq=4,
+        checkpoints_dir=str(tmp_path), name="f2f_devrast", save_epoch_freq=1,
+        fused_step=True,
+    )
+    g1, d1 = trainer.train_feature2face(cfg, loop, sampler, val_sampler=sampler)
+    assert int(g1.step) > 0

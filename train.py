@@ -36,7 +36,8 @@ def synthetic_clips(n_clips: int, frames: int, feat_dim: int = 512):
     return clips
 
 
-def synthetic_face_data(n_frames: int, H: int, seed: int = 0):
+def synthetic_face_data(n_frames: int, H: int, seed: int = 0,
+                        device_rasterize: bool = False):
     """Structured synthetic renderer data with a real learning signal.
 
     Landmarks follow smooth head sway + mouth open/close over a plausible
@@ -93,7 +94,8 @@ def synthetic_face_data(n_frames: int, H: int, seed: int = 0):
     images = np.stack(imgs)
     cand = np.repeat(((images[0].astype(np.float32) / 255.0 - 0.5) / 0.5)[None], 4, 0)
     return datasets.FaceFrameSampler(images, np.stack(lms), shoulders, cand,
-                                     load_size=H)
+                                     load_size=H,
+                                     device_rasterize=device_rasterize)
 
 
 def main() -> None:
@@ -128,6 +130,10 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="feature2face: rematerialise the G forward in the "
                         "backward pass (memory lever for larger batches)")
+    p.add_argument("--device_rasterize", action="store_true",
+                   help="feature2face: rasterise edge maps on DEVICE per "
+                        "batch instead of per-frame host cv2 (same kernel "
+                        "as inference)")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--sequence_length", type=int, default=240)
     p.add_argument("--time_frame_length", type=int, default=240)
@@ -169,9 +175,12 @@ def main() -> None:
         cfg = Feature2FaceConfig(load_size=args.image_size,
                                  n_downsample=min(8, int(np.log2(args.image_size))))
         if args.synthetic:
-            sampler = synthetic_face_data(80, args.image_size)
+            sampler = synthetic_face_data(
+                80, args.image_size, device_rasterize=args.device_rasterize)
         else:
             sampler = _load_real_face_data(args)
+            for s in getattr(sampler, "samplers", [sampler]):
+                s.device_rasterize = args.device_rasterize
         trainer.train_feature2face(cfg, loop, sampler)
     print("training done")
 
