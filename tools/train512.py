@@ -51,6 +51,9 @@ def main() -> None:
     p.add_argument("--bench_only", action="store_true",
                    help="skip the training campaign; just compile the step "
                         "on fresh params and run the timed microbenchmark")
+    p.add_argument("--device_rasterize", action="store_true",
+                   help="rasterise training edge maps on device per batch "
+                        "(drops the per-frame host cv2 draw)")
     args = p.parse_args()
 
     import jax
@@ -69,7 +72,8 @@ def main() -> None:
     cfg = Feature2FaceConfig(size=args.size, ngf=64,
                              n_downsample=min(8, int(np.log2(H))),
                              load_size=H, precision="bfloat16")
-    sampler = train_cli.synthetic_face_data(args.frames, H)
+    sampler = train_cli.synthetic_face_data(
+        args.frames, H, device_rasterize=args.device_rasterize)
     steps_per_epoch = len(sampler) // args.batch
     n_epochs = max(1, -(-args.steps // steps_per_epoch))
     loop = trainer.TrainLoopConfig(
@@ -111,8 +115,8 @@ def main() -> None:
         train_wall = time.time() - t0
 
     # ---- timed in-cache step microbenchmark ----
-    batch = jax.device_put(next(iter(
-        sampler.batches(args.batch, np.random.default_rng(0)))))
+    batch = trainer._device_rasterize_batch(jax.device_put(next(iter(
+        sampler.batches(args.batch, np.random.default_rng(0))))))
     K = 20
     if args.fused_step:
         gan_step = steps_mod.make_f2f_fused_step(
