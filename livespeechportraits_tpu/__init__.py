@@ -49,4 +49,8 @@ def __getattr__(name):
         from livespeechportraits_tpu.pipeline.assets import make_synthetic_person
 
         return make_synthetic_person
+    if name == "quantize_person_models":
+        from livespeechportraits_tpu.pipeline.assets import quantize_person_models
+
+        return quantize_person_models
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
