@@ -45,6 +45,10 @@ def main() -> None:
     # float frames, tests/test_pipeline.py) - the deployment serving mode.
     # A bf16 exact-path run is reported alongside as bf16_fps.
     quantize = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
+    # Static (calibrated) activation scales for the int8 renderer: the
+    # per-conv dynamic amax reductions disappear and XLA fuses the
+    # quantize into the producer (feature2face.calibrate_generator).
+    static_int8 = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -54,14 +58,27 @@ def main() -> None:
     person_assets, person_models = assets_mod.make_synthetic_person(
         cfg, key=jax.random.PRNGKey(0), image_size=512, bank_size=4096)
     float_models = person_models
-    if quantize:
-        # int8 renderer (per-channel weights + dynamic activation scales;
-        # fidelity-tested vs the float forward in test_feature2face.py)
-        person_models = assets_mod.quantize_person_models(person_models)
 
     t = np.arange(int(seconds * 16000)) / 16000
     audio = (0.3 * np.sin(2 * np.pi * 220 * t)
              * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+    if quantize:
+        # int8 renderer (per-channel weights; fidelity-tested vs the float
+        # forward in test_feature2face.py).  static_int8 calibrates
+        # per-conv activation scales on real rasterised renderer inputs so
+        # serving skips every dynamic amax reduction.
+        calib = None
+        if static_int8:
+            import jax.numpy as _jnp
+
+            calib = animate_mod.build_render_inputs(
+                cfg, person_assets, float_models, audio, seed=0,
+                max_frames=render_batch)
+            calib_dtype = _jnp.bfloat16
+        person_models = assets_mod.quantize_person_models(
+            float_models, calibrate_inputs=calib,
+            calibrate_dtype=(calib_dtype if calib is not None else None))
 
     # Warm-up on the SAME shapes compiles every stage exactly once; the
     # measured run reuses the executables.  profile=True inserts a device
@@ -162,6 +179,7 @@ def main() -> None:
         "render_batch": render_batch,
         "split_cand": split_cand,
         "quantize_int8": quantize,
+        "static_int8_scales": bool(quantize and static_int8),
         "bf16_fps": round(bf16_fps, 2) if bf16_fps else None,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
     }

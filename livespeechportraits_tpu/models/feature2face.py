@@ -324,6 +324,88 @@ def quantize_generator(params: Params) -> Params:
     return dict(params, net=_q_stage(params["net"], outermost=True))
 
 
+def calibrate_generator(params: Params, inputs, compute_dtype=None,
+                        margin: float = 1.0) -> Params:
+    """Bake static per-conv activation scales into an int8-quantized
+    ResUNet (activation-static quantization).
+
+    Runs the forward on representative `inputs` (one [B, H, W, input_nc]
+    batch or a sequence of them), records every quantized conv's input
+    amax in call order, and stores `x_scale = max-over-batches(amax) *
+    margin / 127` on each quantized conv.  Inference then skips the
+    per-conv dynamic amax reduction (a full HBM read of every activation
+    tensor, ~77 of them in the 'large' net) and XLA fuses the quantize
+    into the producing op.
+
+    On the calibration inputs themselves, static and dynamic
+    quantization see the same scales, so (at margin=1, compute_dtype
+    None) the forwards are bit-identical - the ordering guarantee is
+    tested, not assumed.  The reference has no quantized path at all
+    (fp16 autocast only, feature2face_model.py:59-60)."""
+    if params["size"] == "small":
+        raise NotImplementedError(
+            "int8 calibration targets the ResUNet variants; quantize the "
+            "generator first (quantize_generator)")
+
+    net, size = params["net"], params["size"]
+
+    def _amaxes(net_in, x):
+        nn_core.begin_calibration()
+        try:
+            apply_generator({"net": net_in, "size": size}, x,
+                            training=False, compute_dtype=compute_dtype)
+            rec = nn_core.end_calibration()
+        finally:
+            nn_core.end_calibration()
+        return jnp.stack(rec)
+
+    batches = inputs if isinstance(inputs, (list, tuple)) else [inputs]
+    fn = jax.jit(_amaxes)
+    amax = None
+    for b in batches:
+        a = fn(net, b)
+        amax = a if amax is None else jnp.maximum(amax, a)
+    import numpy as _np
+    amax = _np.asarray(jax.device_get(amax), _np.float32)
+    scales = iter(_np.maximum(amax * margin, 1e-12) / 127.0)
+
+    # Assignment walk in the exact order _resunet_stage consumes convs:
+    # down, res_down (conv1, conv2 each), submodule, up, res_up.
+    def _assign_conv(c: Params) -> Params:
+        if "w_q" in c:
+            try:
+                s = next(scales)
+            except StopIteration:
+                raise RuntimeError(
+                    "parameter walk visited more quantized convs than the "
+                    "forward recorded - forward/walk order mismatch") from None
+            return dict(c, x_scale=jnp.asarray(s, jnp.float32))
+        return c
+
+    def _assign_res(r: Params) -> Params:
+        return dict(r, conv1=_assign_conv(r["conv1"]),
+                    conv2=_assign_conv(r["conv2"]))
+
+    def _assign_stage(p: Params) -> Params:
+        q = dict(p)
+        q["down"] = _assign_conv(p["down"])
+        q["res_down"] = [_assign_res(r) for r in p["res_down"]]
+        if "sub" in p:
+            q["sub"] = _assign_stage(p["sub"])
+        q["up"] = _assign_conv(p["up"])
+        if "res_up" in p:
+            q["res_up"] = [_assign_res(r) for r in p["res_up"]]
+        return q
+
+    new_net = _assign_stage(net)
+    leftovers = sum(1 for _ in scales)
+    if leftovers:
+        raise RuntimeError(
+            f"calibration recorded {leftovers} more conv activations than "
+            "the parameter walk visited - forward/walk order mismatch")
+    return dict(params, net=new_net)
+
+
 def fold_bn_generator(params: Params, eps: float = 1e-5) -> Params:
     """Inference-only transform: fold every conv->BN pair's running stats
     into the conv itself (classic deployment folding; the reference has

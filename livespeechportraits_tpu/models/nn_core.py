@@ -170,17 +170,47 @@ def quantize_conv(params: Params) -> Params:
     return q
 
 
+# Trace-time activation-amax collector for static-scale calibration
+# (feature2face.calibrate_generator).  When active, every quantized conv
+# appends its input's |x| max (a tracer under jit) in call order; the
+# caller returns them as jit outputs and bakes x_scale into the params.
+_CALIB_AMAX: Optional[list] = None
+
+
+def begin_calibration() -> None:
+    global _CALIB_AMAX
+    _CALIB_AMAX = []
+
+
+def end_calibration() -> list:
+    global _CALIB_AMAX
+    out, _CALIB_AMAX = _CALIB_AMAX, None
+    return out if out is not None else []
+
+
 def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
                padding: int) -> jnp.ndarray:
-    """int8 convolution with dynamic per-tensor activation quantization.
+    """int8 convolution with per-tensor activation quantization.
 
     y = conv_s8(round(x/s_x), w_q) * (s_x * w_scale[c]) + b, accumulated
     in int32 on the MXU.  The quantize/rescale arithmetic runs in the
     activation dtype (bf16 in the inference path; integers <= 127 are
     exact in bf16, and the mul/round rounding is the same order as the
-    int8 quantization noise itself)."""
+    int8 quantization noise itself).
+
+    The activation scale s_x is the layer's calibrated `x_scale` when
+    present (static quantization: no reduction over x, and XLA fuses the
+    quantize into the producing op); otherwise it is computed dynamically
+    as amax(|x|)/127 - one full read of x per conv."""
     dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    if _CALIB_AMAX is not None:
+        amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        _CALIB_AMAX.append(amax)
+        s_x = jnp.maximum(amax, 1e-12) / 127.0
+    elif "x_scale" in params:
+        s_x = params["x_scale"].astype(jnp.float32)
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
                    ).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(

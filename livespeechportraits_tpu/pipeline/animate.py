@@ -436,6 +436,43 @@ def render_frames(
 
 
 
+def build_render_inputs(
+    cfg: PersonConfig,
+    assets: PersonAssets,
+    models: PersonModels,
+    audio: np.ndarray,
+    seed: int = 0,
+    max_frames: int = 16,
+) -> jnp.ndarray:
+    """Run the motion stages on `audio` and return the first `max_frames`
+    renderer input frames [N, H, W, 13] (edge channel + candidate stack),
+    exactly as render_frames would feed the U-Net.
+
+    Purpose: representative batches for int8 activation calibration
+    (assets.quantize_person_models(calibrate_inputs=...)) - the scales
+    must be measured on real rasterised edges + the subject's candidate
+    images, not synthetic noise."""
+    key = jax.random.PRNGKey(seed)
+    landmarks2d, shoulders2d, _, _, nframe = compute_motion(
+        cfg, assets, models, audio, key)
+    n = min(nframe, max_frames)
+    landmarks2d, shoulders2d = landmarks2d[:n], shoulders2d[:n]
+    H = W = cfg.feature2face.load_size
+    if assets.image_pad is not None:
+        top, bottom, left, right = assets.image_pad
+        shoulders2d = shoulders2d + jnp.asarray(
+            [right - left, top - bottom], jnp.float32)
+    rasterize_fn = (rasterize_pallas.rasterize_feature_maps_pallas
+                    if rasterize_pallas.supports_pallas()
+                    else rasterize.rasterize_feature_maps)
+    edge = rasterize_fn(landmarks2d, shoulders2d, (H, W))
+    cand = assets.device("candidate_images")
+    cand_stack = jnp.concatenate(list(cand), axis=-1)
+    return jnp.concatenate(
+        [edge[..., None], jnp.broadcast_to(cand_stack, (n, H, W, 12))],
+        axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
 def _jit_render_edge(net, size, edge, cand_down, compute_dtype):
     """Split-candidate render: per-frame input is the edge channel only;

@@ -107,13 +107,22 @@ def load_person(cfg: PersonConfig, data_root: Optional[str] = None) -> PersonAss
 
 
 def quantize_person_models(models: PersonModels,
-                           fold_bn: bool = True) -> PersonModels:
+                           fold_bn: bool = True,
+                           calibrate_inputs=None,
+                           calibrate_dtype=None,
+                           calibrate_margin: float = 1.0) -> PersonModels:
     """Return a copy with the renderer int8-quantized for inference
     (models.feature2face.quantize_generator; 'normal'/'large' only).
     The motion-stage models are unchanged - their cost is negligible
     next to the 512^2 U-Net.  fold_bn additionally folds the BN running
     stats into the conv scales (exact algebraic rewrite, eval-only -
-    feature2face.fold_bn_generator)."""
+    feature2face.fold_bn_generator).
+
+    calibrate_inputs (a [B, H, W, input_nc] renderer batch or a list of
+    them, e.g. animate.build_render_inputs) switches the activations to
+    STATIC quantization: per-conv scales recorded once here, so serving
+    skips every dynamic amax reduction (feature2face.calibrate_generator).
+    calibrate_dtype should match the serving compute dtype (bf16)."""
     from dataclasses import replace as _replace
 
     from livespeechportraits_tpu.models import feature2face as _f2f
@@ -121,6 +130,10 @@ def quantize_person_models(models: PersonModels,
     f2f_params = _f2f.quantize_generator(models.feature2face)
     if fold_bn:
         f2f_params = _f2f.fold_bn_generator(f2f_params)
+    if calibrate_inputs is not None:
+        f2f_params = _f2f.calibrate_generator(
+            f2f_params, calibrate_inputs, compute_dtype=calibrate_dtype,
+            margin=calibrate_margin)
     return _replace(models, feature2face=f2f_params)
 
 

@@ -217,3 +217,63 @@ def test_fold_bn_generator_matches_unfolded():
     yq, _ = feature2face.apply_generator(qp, x)
     yqf, _ = feature2face.apply_generator(feature2face.fold_bn_generator(qp), x)
     np.testing.assert_allclose(np.asarray(yqf), np.asarray(yq), atol=2e-5)
+
+
+def test_calibrated_static_int8_matches_dynamic_on_calib_batch():
+    """Activation-static int8: calibrating on batch X and then running the
+    static forward on X must reproduce the dynamic-quantization forward
+    bit-for-bit (the scales are by construction the same numbers), which
+    also proves the calibration walk visits convs in exact forward order."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(10), cfg)
+    qp = feature2face.quantize_generator(params)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    y_dyn, _ = feature2face.apply_generator(qp, x)
+
+    cp = feature2face.calibrate_generator(qp, x)
+    # every interior conv carries a static scale; the float outermost pair
+    # does not
+    assert "x_scale" in cp["net"]["sub"]["down"]
+    assert "x_scale" in cp["net"]["res_down"][0]["conv1"]
+    assert "x_scale" not in cp["net"]["down"]
+    y_sta, _ = feature2face.apply_generator(cp, x)
+    np.testing.assert_array_equal(np.asarray(y_sta), np.asarray(y_dyn))
+
+
+def test_calibrated_static_int8_generalizes():
+    """Scales calibrated on one batch keep fidelity on unseen inputs (the
+    serving situation), in f32 and bf16, and on the split-candidate edge
+    path; works on a BN-folded tree too (the deployment composition)."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(12), cfg)
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    calib = jax.random.uniform(jax.random.PRNGKey(13), (4, 32, 32, cfg.input_nc),
+                               minval=-1, maxval=1)
+    cp = feature2face.calibrate_generator(qp, calib, compute_dtype=jnp.bfloat16)
+
+    x = jax.random.uniform(jax.random.PRNGKey(14), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    y_float, _ = feature2face.apply_generator(params, x)
+    y_sta, _ = feature2face.apply_generator(cp, x)
+    mse = float(jnp.mean((y_float - y_sta) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 26.0, mse
+
+    y_bf16, _ = feature2face.apply_generator(cp, x, compute_dtype=jnp.bfloat16)
+    assert np.isfinite(np.asarray(y_bf16)).all()
+
+    # split-candidate edge path shares the interior convs and scales
+    edge, cand = x[..., :1], x[0, ..., 1:]
+    x_shared = jnp.concatenate(
+        [edge, jnp.broadcast_to(cand, (2,) + cand.shape)], axis=-1)
+    y_shared, _ = feature2face.apply_generator(cp, x_shared)
+    cand_down = feature2face.precompute_cand_down(cp, cand)
+    y_edge = feature2face.apply_generator_edge(cp, edge, cand_down)
+    mse_e = float(jnp.mean((y_edge - y_shared) ** 2))
+    assert 10 * np.log10(4.0 / max(mse_e, 1e-12)) > 40.0, mse_e
+
+    # multi-batch calibration takes the elementwise max over batches
+    cp2 = feature2face.calibrate_generator(qp, [calib, x])
+    s1 = cp["net"]["sub"]["down"]["x_scale"]
+    s2 = cp2["net"]["sub"]["down"]["x_scale"]
+    assert float(s2) >= 0 and np.isfinite(float(s1))

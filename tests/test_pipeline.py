@@ -228,3 +228,28 @@ def test_quantized_renderer_end_to_end(person):
     p = psnr(out.frames, ref.frames)
     assert p > 30.0, p
     assert np.any(out.frames != ref.frames)  # actually quantized
+
+
+def test_calibrated_quantized_renderer_end_to_end(person):
+    """Static-scale int8 serving path: calibrate on real rasterised
+    renderer inputs (animate.build_render_inputs), then animate() stays
+    visually equivalent to the float pipeline and near-identical to the
+    dynamic-int8 pipeline."""
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from livespeechportraits_tpu.utils.metrics import psnr
+
+    cfg, a, m = person
+    audio = _sine_audio(0.8)
+    ref = animate_mod.animate(cfg, a, m, audio, seed=3, render_batch=4)
+
+    calib = animate_mod.build_render_inputs(cfg, a, m, audio, seed=3,
+                                            max_frames=8)
+    assert calib.shape[0] == 8 and calib.shape[-1] == cfg.feature2face.input_nc
+    mq = assets_mod.quantize_person_models(m, calibrate_inputs=calib)
+    # the quantized interior carries static activation scales
+    assert "x_scale" in mq.feature2face["net"]["sub"]["down"]
+    out = animate_mod.animate(cfg, a, mq, audio, seed=3, render_batch=4)
+    np.testing.assert_array_equal(out.landmarks, ref.landmarks)
+    p = psnr(out.frames, ref.frames)
+    assert p > 30.0, p
+    assert np.any(out.frames != ref.frames)
