@@ -305,11 +305,20 @@ class StreamingAnimator:
     def __init__(self, cfg: PersonConfig, assets: PersonAssets,
                  models: PersonModels, seed: int = 0, chunk: int = 32,
                  render_batch: int = 4,
-                 smooth_latency_cap: Optional[int] = None):
+                 smooth_latency_cap: Optional[int] = None,
+                 pipeline_depth: int = 0):
         """smooth_latency_cap (frames) truncates the smoothers' look-ahead
         for lower live latency (the offline pipeline's head-pose smoothing
         alone looks 40 frames = 0.67 s into the future); None keeps
-        offline-exact output."""
+        offline-exact output.
+
+        pipeline_depth > 0 double-buffers the renderer: push_audio()
+        dispatches this push's render but returns frames from up to
+        `pipeline_depth` pushes ago, so the host fetch of chunk k overlaps
+        the device compute of chunk k+1's motion and render (the device
+        queue is in-order; only the host<->device transfer is moved off
+        the critical path).  Frames are identical, just handed back one
+        push later; flush() always drains."""
         self.cfg = cfg
         self.assets = assets
         self.models = models
@@ -352,6 +361,8 @@ class StreamingAnimator:
         self._trans_ready = _RowBuffer((3,))
         self._emitted_frames = 0
         self._flushed = False
+        self.pipeline_depth = pipeline_depth
+        self._render_inflight: List[Tuple[List, int]] = []
 
     # -- latency ----------------------------------------------------------
 
@@ -540,20 +551,23 @@ class StreamingAnimator:
         return mouth_sm, rot, trans
 
     def _finalize_frames(self, mouth_sm: np.ndarray, rot_sm: np.ndarray,
-                         trans_sm: np.ndarray) -> np.ndarray:
+                         trans_sm: np.ndarray, drain: bool = False) -> np.ndarray:
         """Per-frame tail of stage 5 + stage 6 for ready frames.
 
         rot and trans smoothers have different radii, so they become ready
         at different rates; frames emit once all three streams cover them.
+        With pipeline_depth > 0, rendered batches park in _render_inflight
+        and are fetched `pipeline_depth` pushes later (drain=True fetches
+        everything).
         """
+        H = W = self.cfg.feature2face.load_size
         self._mouth_ready.append(mouth_sm)
         self._rot_ready.append(rot_sm)
         self._trans_ready.append(trans_sm)
         n = min(len(self._mouth_ready), len(self._rot_ready),
                 len(self._trans_ready)) - self._emitted_frames
         if n <= 0:
-            return np.zeros((0, self.cfg.feature2face.load_size,
-                             self.cfg.feature2face.load_size, 3), np.uint8)
+            return self._drain_inflight(0 if drain else self.pipeline_depth)
         a2f = self.cfg.audio2feature
         a2h = self.cfg.audio2headpose
         s = self._emitted_frames
@@ -589,12 +603,24 @@ class StreamingAnimator:
             K, jnp.asarray(self.assets.shoulder3D), hd[:, 3:],
             jnp.asarray(self.assets.ref_trans), a2h.shoulder_amp)
 
-        frames = _render_ready(self.cfg, self.assets, self.models, lm2d, sh2d,
-                               self.render_batch)
+        outs, k = _dispatch_render(self.cfg, self.assets, self.models,
+                                   lm2d, sh2d, self.render_batch)
+        self._render_inflight.append((outs, k))
         self._emitted_frames += n
         for buf in (self._mouth_ready, self._rot_ready, self._trans_ready):
             buf.retire(self._emitted_frames)
-        return frames
+        return self._drain_inflight(0 if drain else self.pipeline_depth)
+
+    def _drain_inflight(self, keep: int) -> np.ndarray:
+        """Fetch all but the newest `keep` dispatched render batches."""
+        H = W = self.cfg.feature2face.load_size
+        ready = []
+        while len(self._render_inflight) > keep:
+            o, k = self._render_inflight.pop(0)
+            ready.append(_fetch_render(o, k, H, W))
+        if not ready:
+            return np.zeros((0, H, W, 3), np.uint8)
+        return np.concatenate(ready)
 
     # -- public API ---------------------------------------------------------
 
@@ -622,7 +648,7 @@ class StreamingAnimator:
         mouth = np.concatenate([m1, m2]) if len(m2) else m1
         rot = np.concatenate([r1, r2]) if len(r2) else r1
         trans = np.concatenate([t1, t2]) if len(t2) else t1
-        return self._finalize_frames(mouth, rot, trans)
+        return self._finalize_frames(mouth, rot, trans, drain=True)
 
 
 @jax.jit
@@ -647,8 +673,10 @@ def _deintersect_per_frame(pts3d: jnp.ndarray) -> jnp.ndarray:
     return pts3d
 
 
-def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch) -> np.ndarray:
-    """Render a variable number of ready frames in fixed-size batches."""
+def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch):
+    """Dispatch rasterise+render for a variable number of ready frames in
+    fixed-size batches; returns (device batches, n) WITHOUT fetching -
+    the device queue runs on while the host moves on."""
     n = lm2d.shape[0]
     H = W = cfg.feature2face.load_size
     if assets.image_pad is not None:
@@ -664,7 +692,7 @@ def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch) -> np.ndarray:
 
     pad_to = -(-n // render_batch) * render_batch if n else 0
     if pad_to == 0:
-        return np.zeros((0, H, W, 3), np.uint8)
+        return [], 0
     lm = jnp.concatenate([lm2d, jnp.broadcast_to(lm2d[-1:], (pad_to - n, 73, 2))])
     sh = jnp.concatenate([sh2d, jnp.broadcast_to(sh2d[-1:], (pad_to - n,) + sh2d.shape[1:])])
     outs = []
@@ -675,4 +703,17 @@ def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch) -> np.ndarray:
             axis=-1)
         outs.append(_jit_render(models.feature2face["net"],
                                 models.feature2face["size"], inp, compute_dtype))
+    return outs, n
+
+
+def _fetch_render(outs, n, H, W) -> np.ndarray:
+    if not outs:
+        return np.zeros((0, H, W, 3), np.uint8)
     return np.concatenate([np.asarray(o) for o in outs])[:n]
+
+
+def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch) -> np.ndarray:
+    """Render a variable number of ready frames in fixed-size batches."""
+    outs, n = _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch)
+    H = W = cfg.feature2face.load_size
+    return _fetch_render(outs, n, H, W)

@@ -176,3 +176,36 @@ def test_streaming_with_quantized_renderer(person):
     assert streamed.shape == offline.frames.shape
     diff = np.abs(streamed.astype(int) - offline.frames.astype(int))
     assert diff.max() <= 1
+
+
+def test_streaming_pipelined_render_identical(person):
+    """pipeline_depth=1 (double-buffered render fetch) must emit the exact
+    same frame stream, with at least one frame held back mid-stream and
+    everything drained at flush."""
+    cfg, a, m = person
+    audio = _sine_audio(1.2)
+
+    def run(depth):
+        st = StreamingAnimator(cfg, a, m, seed=7, chunk=16, render_batch=4,
+                               pipeline_depth=depth)
+        outs, per_push = [], []
+        for lo in range(0, len(audio), 4000):
+            o = st.push_audio(audio[lo : lo + 4000])
+            per_push.append(len(o))
+            if len(o):
+                outs.append(o)
+        o = st.flush()
+        per_push.append(len(o))
+        if len(o):
+            outs.append(o)
+        assert not st._render_inflight  # nothing left undelivered
+        return np.concatenate(outs), per_push
+
+    ref, ref_counts = run(0)
+    out, counts = run(1)
+    np.testing.assert_array_equal(out, ref)
+    # the pipelined run really delays delivery relative to the eager run
+    first_ref = next(i for i, c in enumerate(ref_counts) if c)
+    first_pipe = next(i for i, c in enumerate(counts) if c)
+    assert first_pipe >= first_ref
+    assert counts != ref_counts or ref_counts[-1] == sum(ref_counts)

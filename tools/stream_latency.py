@@ -38,6 +38,9 @@ def main() -> None:
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    quantize = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    chunks = ([int(c) for c in sys.argv[4].split(",")] if len(sys.argv) > 4
+              else [8, 16, 32])
     cfg = PersonConfig(
         name="StreamBench",
         feature2face=Feature2FaceConfig(size="large", ngf=64,
@@ -51,35 +54,48 @@ def main() -> None:
     audio = (0.3 * np.sin(2 * np.pi * 220 * t)
              * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
 
-    for chunk in (8, 16, 32):
-        # one warm-up stream compiles every chunk program for this size
-        for warm in (True, False):
-            st = StreamingAnimator(cfg, assets, models, seed=0, chunk=chunk,
-                                   render_batch=max(4, chunk // 2))
-            push = int(chunk / 60 * 16000) + 1  # one chunk of audio per push
-            times, frames = [], 0
-            for lo in range(0, len(audio), push):
+    if quantize:
+        from livespeechportraits_tpu.pipeline import animate as animate_mod
+        import jax.numpy as jnp
+
+        calib = animate_mod.build_render_inputs(cfg, assets, models, audio,
+                                                seed=0, max_frames=8)
+        models = assets_mod.quantize_person_models(
+            models, calibrate_inputs=calib, calibrate_dtype=jnp.bfloat16)
+
+    for chunk in chunks:
+        for depth in (0, 1):
+            # one warm-up stream compiles every chunk program for this size
+            for warm in (True, False):
+                st = StreamingAnimator(cfg, assets, models, seed=0, chunk=chunk,
+                                       render_batch=max(4, chunk // 2),
+                                       pipeline_depth=depth)
+                push = int(chunk / 60 * 16000) + 1  # one chunk of audio per push
+                times, frames = [], 0
+                for lo in range(0, len(audio), push):
+                    t0 = time.perf_counter()
+                    out = st.push_audio(audio[lo : lo + push])
+                    frames += len(out)
+                    times.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                out = st.push_audio(audio[lo : lo + push])
-                frames += len(out)
-                times.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            frames += len(st.flush())
-            flush_s = time.perf_counter() - t0
-        times_ms = np.asarray(times[2:]) * 1e3  # skip stream-start ramp
-        print(json.dumps({
-            "metric": f"streaming per-push wall (chunk={chunk} frames, {H}^2)",
-            "chunk_frames": chunk,
-            "push_ms_p50": round(float(np.percentile(times_ms, 50)), 1),
-            "push_ms_p95": round(float(np.percentile(times_ms, 95)), 1),
-            "push_ms_max": round(float(times_ms.max()), 1),
-            "flush_ms": round(flush_s * 1e3, 1),
-            "frames": frames,
-            "realtime_budget_ms": round(chunk / 60 * 1e3, 1),
-            "realtime": bool(np.percentile(times_ms, 95) < chunk / 60 * 1e3),
-            "latency_frames_algorithmic": st.latency_frames,
-            "device": str(jax.devices()[0]),
-        }))
+                frames += len(st.flush())
+                flush_s = time.perf_counter() - t0
+            times_ms = np.asarray(times[2:]) * 1e3  # skip stream-start ramp
+            print(json.dumps({
+                "metric": f"streaming per-push wall (chunk={chunk} frames, {H}^2)",
+                "chunk_frames": chunk,
+                "pipeline_depth": depth,
+                "quantize_int8": quantize,
+                "push_ms_p50": round(float(np.percentile(times_ms, 50)), 1),
+                "push_ms_p95": round(float(np.percentile(times_ms, 95)), 1),
+                "push_ms_max": round(float(times_ms.max()), 1),
+                "flush_ms": round(flush_s * 1e3, 1),
+                "frames": frames,
+                "realtime_budget_ms": round(chunk / 60 * 1e3, 1),
+                "realtime": bool(np.percentile(times_ms, 95) < chunk / 60 * 1e3),
+                "latency_frames_algorithmic": st.latency_frames,
+                "device": str(jax.devices()[0]),
+            }))
 
 
 if __name__ == "__main__":
