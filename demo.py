@@ -50,6 +50,12 @@ def main() -> None:
                         help="int8-quantize the renderer for inference "
                              "(2x int8 MXU peak on v5e; fidelity-tested "
                              "vs the float forward)")
+    parser.add_argument("--no_calibrate", action="store_true",
+                        help="with --quantize: keep dynamic per-conv "
+                             "activation scales instead of calibrating "
+                             "static scales on this clip's first frames "
+                             "(static skips ~77 amax reductions per "
+                             "forward; 257 -> 275 fps at 512^2)")
     parser.add_argument("--fused", action="store_true",
                         help="run the motion half (mel->APC->LLE->mouth->"
                              "head-pose->post) as ONE device program (fewer "
@@ -94,9 +100,6 @@ def main() -> None:
     else:
         person_assets = assets_mod.load_person(cfg)
         person_models = assets_mod.load_person_models(cfg)
-    if args.quantize:
-        person_models = assets_mod.quantize_person_models(person_models)
-
     min_seconds = (cfg.audio2headpose.frame_future + 1) / 60.0
     if len(audio) < int(min_seconds * 16000) + 16000 // 60:
         raise SystemExit(
@@ -105,13 +108,28 @@ def main() -> None:
             f"needs > {min_seconds:.2f}s of audio"
         )
 
+    if args.quantize:
+        calib = None
+        calib_dtype = None
+        if not args.no_calibrate:
+            import jax.numpy as jnp
+
+            calib = animate_mod.build_render_inputs(
+                cfg, person_assets, person_models, audio, seed=args.seed,
+                max_frames=max(args.render_batch, 8))
+            if cfg.feature2face.precision == "bfloat16":
+                calib_dtype = jnp.bfloat16
+        person_models = assets_mod.quantize_person_models(
+            person_models, calibrate_inputs=calib, calibrate_dtype=calib_dtype)
+
     print(f"Animating {len(audio)/16000:.2f}s of audio for '{args.id}' ...")
     t0 = time.perf_counter()
     if args.streaming:
         from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
 
         stream = StreamingAnimator(cfg, person_assets, person_models,
-                                   seed=args.seed, render_batch=args.render_batch)
+                                   seed=args.seed, render_batch=args.render_batch,
+                                   transfer=args.transfer)
         chunks, first_frame_at = [], None
         for lo in range(0, len(audio), 1600):  # 100 ms pushes
             out = stream.push_audio(audio[lo : lo + 1600])

@@ -49,7 +49,12 @@ from livespeechportraits_tpu.ops.mel import (
     mel_filterbank,
 )
 from livespeechportraits_tpu.ops.smoothing import _gaussian_kernel
-from livespeechportraits_tpu.pipeline.animate import _jit_render
+from livespeechportraits_tpu.pipeline.animate import (
+    _jit_render,
+    _jit_render_yuv420,
+    yuv420_to_rgb,
+    yuv420_unpack,
+)
 from livespeechportraits_tpu.pipeline.assets import PersonAssets, PersonModels
 
 MEL_STEP = SAMPLE_RATE * 0.5 / FPS  # 133.33 samples per 120 Hz frame
@@ -306,7 +311,8 @@ class StreamingAnimator:
                  models: PersonModels, seed: int = 0, chunk: int = 32,
                  render_batch: int = 4,
                  smooth_latency_cap: Optional[int] = None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0,
+                 transfer: str = "rgb"):
         """smooth_latency_cap (frames) truncates the smoothers' look-ahead
         for lower live latency (the offline pipeline's head-pose smoothing
         alone looks 40 frames = 0.67 s into the future); None keeps
@@ -318,7 +324,12 @@ class StreamingAnimator:
         the device compute of chunk k+1's motion and render (the device
         queue is in-order; only the host<->device transfer is moved off
         the critical path).  Frames are identical, just handed back one
-        push later; flush() always drains."""
+        push later; flush() always drains.
+
+        transfer='yuv420' ships each frame across the host link as planar
+        4:2:0 (half the bytes of uint8 RGB; chroma subsampled exactly as
+        any video encoder would) and reassembles RGB on the host - same
+        option and math as the offline pipeline's animate(transfer=...)."""
         self.cfg = cfg
         self.assets = assets
         self.models = models
@@ -362,6 +373,7 @@ class StreamingAnimator:
         self._emitted_frames = 0
         self._flushed = False
         self.pipeline_depth = pipeline_depth
+        self.transfer = transfer
         self._render_inflight: List[Tuple[List, int]] = []
 
     # -- latency ----------------------------------------------------------
@@ -604,7 +616,8 @@ class StreamingAnimator:
             jnp.asarray(self.assets.ref_trans), a2h.shoulder_amp)
 
         outs, k = _dispatch_render(self.cfg, self.assets, self.models,
-                                   lm2d, sh2d, self.render_batch)
+                                   lm2d, sh2d, self.render_batch,
+                                   self.transfer)
         self._render_inflight.append((outs, k))
         self._emitted_frames += n
         for buf in (self._mouth_ready, self._rot_ready, self._trans_ready):
@@ -617,7 +630,7 @@ class StreamingAnimator:
         ready = []
         while len(self._render_inflight) > keep:
             o, k = self._render_inflight.pop(0)
-            ready.append(_fetch_render(o, k, H, W))
+            ready.append(_fetch_render(o, k, H, W, self.transfer))
         if not ready:
             return np.zeros((0, H, W, 3), np.uint8)
         return np.concatenate(ready)
@@ -673,7 +686,8 @@ def _deintersect_per_frame(pts3d: jnp.ndarray) -> jnp.ndarray:
     return pts3d
 
 
-def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch):
+def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
+                     transfer: str = "rgb"):
     """Dispatch rasterise+render for a variable number of ready frames in
     fixed-size batches; returns (device batches, n) WITHOUT fetching -
     the device queue runs on while the host moves on."""
@@ -701,19 +715,26 @@ def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch):
         inp = jnp.concatenate(
             [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
             axis=-1)
-        outs.append(_jit_render(models.feature2face["net"],
-                                models.feature2face["size"], inp, compute_dtype))
+        fn = _jit_render_yuv420 if transfer == "yuv420" else _jit_render
+        outs.append(fn(models.feature2face["net"],
+                       models.feature2face["size"], inp, compute_dtype))
     return outs, n
 
 
-def _fetch_render(outs, n, H, W) -> np.ndarray:
+def _fetch_render(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
     if not outs:
         return np.zeros((0, H, W, 3), np.uint8)
+    if transfer == "yuv420":
+        return np.concatenate([
+            yuv420_to_rgb(*yuv420_unpack(np.asarray(o), H, W)) for o in outs
+        ])[:n]
     return np.concatenate([np.asarray(o) for o in outs])[:n]
 
 
-def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch) -> np.ndarray:
+def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch,
+                  transfer: str = "rgb") -> np.ndarray:
     """Render a variable number of ready frames in fixed-size batches."""
-    outs, n = _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch)
+    outs, n = _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
+                               transfer)
     H = W = cfg.feature2face.load_size
-    return _fetch_render(outs, n, H, W)
+    return _fetch_render(outs, n, H, W, transfer)

@@ -58,12 +58,16 @@ class Predictor:
 
     def setup(self, person_id: str = "Synthetic",
               config_dir: str = "./config", image_size: int = 512,
-              quantize: bool = False) -> None:
+              quantize: bool = False, calibrate: bool = True) -> None:
         """Load the subject's config, assets and checkpoints once.
 
-        quantize=True int8-quantizes the renderer for inference (+~18%
-        fps at 512^2 on v5e, frames within PSNR>30 dB of the float path
-        - see assets.quantize_person_models); default stays exact."""
+        quantize=True int8-quantizes the renderer for inference (frames
+        within PSNR>30 dB of the float path - see
+        assets.quantize_person_models); default stays exact.  calibrate
+        (with quantize) additionally bakes STATIC activation scales,
+        measured on renderer inputs generated from a one-second test
+        sweep for this subject, so every request skips the per-conv
+        dynamic amax reductions (257 -> 275 fps at 512^2 on v5e)."""
         cfg_path = os.path.join(config_dir, person_id + ".yaml")
         if os.path.exists(cfg_path):
             cfg = load_person_config(cfg_path, name=person_id)
@@ -83,7 +87,21 @@ class Predictor:
             self._assets = assets_mod.load_person(cfg)
             self._models = assets_mod.load_person_models(cfg)
         if quantize:
-            self._models = assets_mod.quantize_person_models(self._models)
+            calib = None
+            calib_dtype = None
+            if calibrate:
+                import jax.numpy as jnp
+
+                t = np.arange(16000) / 16000.0  # 1 s amplitude-modulated sweep
+                tone = (0.3 * np.sin(2 * np.pi * 220 * t)
+                        * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+                calib = animate_mod.build_render_inputs(
+                    cfg, self._assets, self._models, tone, max_frames=16)
+                if cfg.feature2face.precision == "bfloat16":
+                    calib_dtype = jnp.bfloat16
+            self._models = assets_mod.quantize_person_models(
+                self._models, calibrate_inputs=calib,
+                calibrate_dtype=calib_dtype)
         self._cfg = cfg
         self._person = person_id
 

@@ -71,3 +71,21 @@ def test_bad_requests(server_port):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(f"http://127.0.0.1:{server_port}/nope", timeout=60)
     assert exc.value.code == 404
+
+
+def test_predictor_quantize_calibrates_static_scales(tmp_path):
+    """Predictor.setup(quantize=True) self-calibrates static int8
+    activation scales on a synthetic sweep and still serves requests."""
+    predictor = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "q"))
+    predictor.setup("Synthetic", image_size=64, quantize=True)
+    f2f = predictor._models.feature2face
+    assert "w_q" in f2f["net"]["sub"]["down"]
+    assert "x_scale" in f2f["net"]["sub"]["down"]
+
+    t = np.arange(int(0.6 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    res = predictor.predict(audio, render_batch=4)
+    assert res.nframe == int(0.6 * 60) - 15
+    import os
+
+    assert os.path.exists(res.video_path)

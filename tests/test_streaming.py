@@ -209,3 +209,26 @@ def test_streaming_pipelined_render_identical(person):
     first_pipe = next(i for i, c in enumerate(counts) if c)
     assert first_pipe >= first_ref
     assert counts != ref_counts or ref_counts[-1] == sum(ref_counts)
+
+
+def test_streaming_yuv420_transfer(person):
+    """transfer='yuv420' (half the host-link bytes) stays visually
+    identical to the RGB streaming path."""
+    from livespeechportraits_tpu.utils.metrics import psnr
+
+    cfg, a, m = person
+    audio = _sine_audio(1.0)
+
+    def run(transfer):
+        st = StreamingAnimator(cfg, a, m, seed=4, chunk=16, render_batch=4,
+                               transfer=transfer, pipeline_depth=1)
+        outs = [st.push_audio(audio[lo : lo + 4000])
+                for lo in range(0, len(audio), 4000)]
+        outs.append(st.flush())
+        return np.concatenate([o for o in outs if len(o)])
+
+    rgb = run("rgb")
+    yuv = run("yuv420")
+    assert yuv.shape == rgb.shape
+    p = psnr(yuv, rgb)
+    assert p > 30.0, p

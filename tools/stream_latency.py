@@ -41,6 +41,7 @@ def main() -> None:
     quantize = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     chunks = ([int(c) for c in sys.argv[4].split(",")] if len(sys.argv) > 4
               else [8, 16, 32])
+    transfer = sys.argv[5] if len(sys.argv) > 5 else "rgb"
     cfg = PersonConfig(
         name="StreamBench",
         feature2face=Feature2FaceConfig(size="large", ngf=64,
@@ -69,7 +70,7 @@ def main() -> None:
             for warm in (True, False):
                 st = StreamingAnimator(cfg, assets, models, seed=0, chunk=chunk,
                                        render_batch=max(4, chunk // 2),
-                                       pipeline_depth=depth)
+                                       pipeline_depth=depth, transfer=transfer)
                 push = int(chunk / 60 * 16000) + 1  # one chunk of audio per push
                 times, frames = [], 0
                 for lo in range(0, len(audio), push):
@@ -86,6 +87,7 @@ def main() -> None:
                 "chunk_frames": chunk,
                 "pipeline_depth": depth,
                 "quantize_int8": quantize,
+                "transfer": transfer,
                 "push_ms_p50": round(float(np.percentile(times_ms, 50)), 1),
                 "push_ms_p95": round(float(np.percentile(times_ms, 95)), 1),
                 "push_ms_max": round(float(times_ms.max()), 1),
