@@ -212,3 +212,27 @@ def test_fused_gan_step_data_parallel_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
     for a, b in zip(jax.tree.leaves(d1.params), jax.tree.leaves(d2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_multichip_rendering_with_calibrated_int8():
+    """Frame-sharded DP rendering composes with the calibrated static-int8
+    renderer: int8 weights replicate over the mesh and the sharded frames
+    match the single-device quantized pipeline."""
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from tests.test_pipeline import tiny_person, _sine_audio
+
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(1),
+                                            image_size=64, bank_size=64)
+    audio = _sine_audio(0.7)
+    calib = animate_mod.build_render_inputs(cfg, a, m, audio, max_frames=8)
+    mq = assets_mod.quantize_person_models(m, calibrate_inputs=calib)
+
+    ref = animate_mod.animate(cfg, a, mq, audio, seed=0, render_batch=8)
+    mesh = mesh_mod.make_mesh(1)  # 8 data devices
+    out = animate_mod.animate(cfg, a, mq, audio, seed=0, render_batch=8,
+                              mesh=mesh)
+    assert out.frames.shape == ref.frames.shape
+    diff = np.abs(out.frames.astype(int) - ref.frames.astype(int))
+    assert diff.max() <= 1
