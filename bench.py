@@ -91,47 +91,62 @@ def main() -> None:
                                seed=0, render_batch=render_batch, profile=True,
                                transfer="yuv420", split_cand=split_cand)
     del warm
+    warm = animate_mod.animate(cfg, person_assets, person_models, audio,
+                               seed=0, render_batch=render_batch, fused=True,
+                               transfer="yuv420", split_cand=split_cand)
+    del warm
 
-    # Headline: the full six-stage pipeline with every per-frame compute on
-    # device and frames materialised as uint8 on the chip.  The final
-    # "render" entry is the host fetch, which in THIS harness crosses a
-    # ~8 MB/s loopback relay (zero-egress container) rather than a real
-    # host-DMA link; it is reported separately so the number stays honest.
-    # Three measured runs: relay variance is large, so report the spread.
+    def _device_fetch_split(result):
+        """(device_ms, fetch_ms): everything up to render_frames' device
+        sync is device-pipeline wall; 'render' is the host fetch, which in
+        THIS harness crosses a ~8 MB/s loopback relay (zero-egress
+        container) rather than a real host-DMA link, so it is reported
+        separately to keep the number honest."""
+        total_ms = sum(result.stage_ms.values())
+        fetch_ms = result.stage_ms.get("render", 0.0)
+        return total_ms - fetch_ms, fetch_ms
+
+    # Headline: the production serving configuration - motion half fused
+    # into ONE device program, everything dispatched asynchronously, one
+    # device barrier before the frame fetch (per-stage profiling barriers
+    # cost ~6 relay round-trips and belong in the attribution run below,
+    # not in the headline).  Three measured runs: relay variance is
+    # large, so report the spread.
     runs = []
     for i in range(3):
         result = animate_mod.animate(cfg, person_assets, person_models, audio,
                                      seed=0, render_batch=render_batch,
-                                     profile=True, transfer="yuv420",
+                                     fused=True, transfer="yuv420",
                                      split_cand=split_cand)
-        total_ms = sum(result.stage_ms.values())
-        fetch_ms = result.stage_ms.get("render", 0.0)
-        device_ms = total_ms - fetch_ms
+        device_ms, fetch_ms = _device_fetch_split(result)
         runs.append({
             "fps": result.nframe / (device_ms / 1e3),
-            "incl_relay_fps": result.nframe / (total_ms / 1e3),
+            "incl_relay_fps": result.nframe / ((device_ms + fetch_ms) / 1e3),
             "relay_fetch_ms": fetch_ms,
-            "stage_ms": result.stage_ms,
         })
     fps_all = sorted(r["fps"] for r in runs)
     fps = fps_all[1]  # median of 3
-    median = runs[[r["fps"] for r in runs].index(fps)]
 
-    # one bf16 exact-path run for the side-by-side number
+    # one per-stage attribution run (profile=True inserts a device barrier
+    # per stage so the breakdown is truthful; block_until_ready is
+    # unreliable over the tunnelled backend)
+    prof = animate_mod.animate(cfg, person_assets, person_models, audio,
+                               seed=0, render_batch=render_batch,
+                               profile=True, transfer="yuv420",
+                               split_cand=split_cand)
+    prof_device_ms, _ = _device_fetch_split(prof)
+    result = prof
+
+    # one bf16 exact-path run for the side-by-side number (same fused
+    # serving configuration; first run compiles the float programs)
     bf16_fps = None
     if quantize:
-        r = animate_mod.animate(cfg, person_assets, float_models, audio,
-                                seed=0, render_batch=render_batch,
-                                profile=True, transfer="yuv420",
-                                split_cand=split_cand)
-        dev_ms = sum(r.stage_ms.values()) - r.stage_ms.get("render", 0.0)
-        # warm-up pass compiled the quantized programs only; this compiles
-        # the float ones, so run once more for the measured number
-        r = animate_mod.animate(cfg, person_assets, float_models, audio,
-                                seed=0, render_batch=render_batch,
-                                profile=True, transfer="yuv420",
-                                split_cand=split_cand)
-        dev_ms = sum(r.stage_ms.values()) - r.stage_ms.get("render", 0.0)
+        for _ in range(2):
+            r = animate_mod.animate(cfg, person_assets, float_models, audio,
+                                    seed=0, render_batch=render_batch,
+                                    fused=True, transfer="yuv420",
+                                    split_cand=split_cand)
+        dev_ms, _ = _device_fetch_split(r)
         bf16_fps = r.nframe / (dev_ms / 1e3)
 
     # Achieved FLOP/s vs peak (MFU) for the dominant program (the 512^2

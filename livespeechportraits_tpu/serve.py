@@ -149,3 +149,40 @@ class Predictor:
         video_mod.write_video(frames, out_path, true_audio)
         return PredictResult(video_path=out_path, nframe=len(frames),
                              wall_s=wall, stage_ms=result.stage_ms)
+
+    def stream(self, driving_audio: str | np.ndarray, seed: int = 0,
+               render_batch: int = 8, push_samples: int = 1600,
+               pipeline_depth: int = 1, transfer: str = "rgb",
+               smooth_latency_cap: Optional[int] = None):
+        """Incremental serving: yields [n, H, W, 3] uint8 frame batches as
+        they are determined while the audio is still being consumed (the
+        reference's cog surface, predict.py, only returns whole clips).
+
+        Pushes `push_samples` (default 100 ms) of audio at a time through
+        StreamingAnimator - offline-identical outputs, first frames after
+        the algorithmic latency (~0.92 s at May settings, or less with
+        smooth_latency_cap) rather than after the whole clip renders."""
+        if self._cfg is None:
+            raise RuntimeError("call setup() first")
+        from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
+
+        if isinstance(driving_audio, str):
+            audio = video_mod.load_wav(driving_audio)
+        else:
+            audio = np.asarray(driving_audio, np.float32)
+        cap = int(self.max_audio_seconds * 16000)
+        if audio.shape[0] > cap:
+            audio = audio[:cap]
+
+        st = StreamingAnimator(self._cfg, self._assets, self._models,
+                               seed=seed, render_batch=render_batch,
+                               pipeline_depth=pipeline_depth,
+                               transfer=transfer,
+                               smooth_latency_cap=smooth_latency_cap)
+        for lo in range(0, len(audio), push_samples):
+            out = st.push_audio(audio[lo : lo + push_samples])
+            if len(out):
+                yield out
+        out = st.flush()
+        if len(out):
+            yield out

@@ -10,6 +10,9 @@ that accepts a wav upload and streams back the rendered video.
          -H 'Content-Type: audio/wav' \
          http://localhost:8080/animate -o out.avi
 
+POST /stream returns the frames as a live multipart MJPEG stream
+(multipart/x-mixed-replace) while the clip is still being generated -
+any browser <img> tag or MJPEG client renders it as it arrives.
 GET /healthz returns pipeline/device status.
 """
 
@@ -49,15 +52,71 @@ def make_handler(predictor: Predictor):
             else:
                 self._send(404, b"not found", "text/plain")
 
-        def do_POST(self):
-            if self.path != "/animate":
-                self._send(404, b"not found", "text/plain")
-                return
+        def _read_wav_body(self):
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 self._send(400, b"empty body", "text/plain")
+                return None
+            return self.rfile.read(length)
+
+        def _do_stream(self, payload: bytes) -> None:
+            """POST /stream: frames leave as a multipart MJPEG stream
+            (multipart/x-mixed-replace) WHILE the clip is still being
+            generated - first parts arrive after the pipeline's
+            algorithmic latency, not after the whole clip renders.  The
+            stream end is delimited by the closing boundary + connection
+            close (no Content-Length)."""
+            import os
+            import tempfile
+
+            import cv2
+            import numpy as np
+            from scipy.io import wavfile
+
+            sr, data = wavfile.read(io.BytesIO(payload))  # validate first
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                f.write(payload)
+                wav_path = f.name
+            try:
+                gen = predictor.stream(wav_path)
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                for batch in gen:
+                    for frame in batch:
+                        ok, jpg = cv2.imencode(
+                            ".jpg", np.asarray(frame)[..., ::-1])  # RGB->BGR
+                        if not ok:
+                            raise RuntimeError("jpeg encode failed")
+                        part = jpg.tobytes()
+                        self.wfile.write(b"--frame\r\n"
+                                         b"Content-Type: image/jpeg\r\n"
+                                         + f"Content-Length: {len(part)}\r\n\r\n".encode()
+                                         + part + b"\r\n")
+                self.wfile.write(b"--frame--\r\n")
+            finally:
+                os.unlink(wav_path)
+
+        def do_POST(self):
+            if self.path == "/stream":
+                payload = self._read_wav_body()
+                if payload is None:
+                    return
+                try:
+                    self._do_stream(payload)
+                except Exception as e:
+                    try:  # headers may already be out; best-effort error
+                        self._send(400, f"error: {e}".encode(), "text/plain")
+                    except Exception:
+                        pass
                 return
-            payload = self.rfile.read(length)
+            if self.path != "/animate":
+                self._send(404, b"not found", "text/plain")
+                return
+            payload = self._read_wav_body()
+            if payload is None:
+                return
             try:
                 import os
                 import tempfile

@@ -89,3 +89,37 @@ def test_predictor_quantize_calibrates_static_scales(tmp_path):
     import os
 
     assert os.path.exists(res.video_path)
+
+
+def test_stream_endpoint_mjpeg(server_port):
+    """POST /stream returns a multipart MJPEG stream of the full clip,
+    each part a decodable JPEG frame."""
+    t = np.arange(int(0.6 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, audio)
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/stream", data=buf.getvalue(),
+        headers={"Content-Type": "audio/wav"}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        assert "multipart/x-mixed-replace" in r.headers["Content-Type"]
+        body = r.read()  # until the server closes the stream
+
+    import cv2
+
+    parts = body.split(b"--frame\r\n")
+    frames = []
+    for part in parts:
+        if not part or part.startswith(b"--frame--"):
+            continue
+        head, _, rest = part.partition(b"\r\n\r\n")
+        n = int([l for l in head.split(b"\r\n") if b"Content-Length" in l][0]
+                .split(b":")[1])
+        jpg = rest[:n]
+        img = cv2.imdecode(np.frombuffer(jpg, np.uint8), cv2.IMREAD_COLOR)
+        assert img is not None and img.shape[2] == 3
+        frames.append(img)
+    assert body.rstrip().endswith(b"--frame--")
+    assert len(frames) == int(0.6 * 60) - 15
