@@ -49,6 +49,10 @@ def main() -> None:
     # per-conv dynamic amax reductions disappear and XLA fuses the
     # quantize into the producer (feature2face.calibrate_generator).
     static_int8 = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
+    # 4-phase 2x2 subpixel rewrite of every up conv (4/9 the FLOPs there)
+    subpixel = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
+    # space-to-depth packing of the 13-channel input conv
+    s2d_input = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -78,7 +82,8 @@ def main() -> None:
             calib_dtype = _jnp.bfloat16
         person_models = assets_mod.quantize_person_models(
             float_models, calibrate_inputs=calib,
-            calibrate_dtype=(calib_dtype if calib is not None else None))
+            calibrate_dtype=(calib_dtype if calib is not None else None),
+            subpixel=subpixel, s2d_input=s2d_input)
 
     # Warm-up on the SAME shapes compiles every stage exactly once; the
     # measured run reuses the executables.  profile=True inserts a device
@@ -189,12 +194,15 @@ def main() -> None:
         "incl_relay_fetch_fps": [round(r["incl_relay_fps"], 2) for r in runs],
         "relay_fetch_ms": [round(r["relay_fetch_ms"], 1) for r in runs],
         "nframe": result.nframe,
-        "stage_ms": {k: round(v, 1) for k, v in median["stage_ms"].items()},
+        "profiled_stage_ms": {k: round(v, 1) for k, v in prof.stage_ms.items()},
+        "profiled_device_fps": round(prof.nframe / (prof_device_ms / 1e3), 2),
         "device": str(jax.devices()[0]),
         "render_batch": render_batch,
         "split_cand": split_cand,
         "quantize_int8": quantize,
         "static_int8_scales": bool(quantize and static_int8),
+        "subpixel_upconvs": bool(quantize and subpixel),
+        "s2d_input_conv": bool(quantize and s2d_input),
         "bf16_fps": round(bf16_fps, 2) if bf16_fps else None,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
     }

@@ -100,7 +100,14 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     """
     outermost = "up_bn" not in p
     new_p = dict(p)
-    y = y_down if y_down is not None else nn_core.conv2d(p["down"], x, stride=2, padding=1)
+    if y_down is not None:
+        y = y_down
+    elif "w_s2d" in p["down"]:
+        # inference transform: stride-2 conv over the space-to-depth
+        # packed input (s2d_input_generator)
+        y = nn_core.conv_s2d_down(p["down"], x)
+    else:
+        y = nn_core.conv2d(p["down"], x, stride=2, padding=1)
     if "down_bn" in p:
         y, new_p["down_bn"] = nn_core.batchnorm(p["down_bn"], y, training)
     y = jax.nn.relu(y)
@@ -113,8 +120,13 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     if sub_apply is not None:
         y, new_p["sub"] = sub_apply(y)
 
-    y = nn_core.upsample_nearest_2x(y)
-    y = nn_core.conv2d(p["up"], y, padding=1)
+    if "w_ph" in p["up"] or "w_ph_q" in p["up"]:
+        # inference transform: 4-phase subpixel conv at coarse resolution
+        # (subpixel_generator), same map as upsample + 3x3 conv
+        y = nn_core.upconv_subpixel(p["up"], y)
+    else:
+        y = nn_core.upsample_nearest_2x(y)
+        y = nn_core.conv2d(p["up"], y, padding=1)
     if not outermost:
         y, new_p["up_bn"] = nn_core.batchnorm(p["up_bn"], y, training)
         y = jax.nn.relu(y)
@@ -458,6 +470,48 @@ def fold_bn_generator(params: Params, eps: float = 1e-5) -> Params:
             "BN folding targets the ResUNet variants; the 'small' U-Net "
             "applies BN after ConvTranspose upsampling, left unfolded")
     return dict(params, net=_fold_stage(params["net"]))
+
+
+def subpixel_generator(params: Params) -> Params:
+    """Inference-only transform: rewrite every stage's nearest-2x-upsample
+    + 3x3 up conv into the exact 4-phase 2x2 subpixel conv evaluated at
+    coarse resolution (nn_core.subpixel_from_conv3x3): 4/9 the
+    multiply-adds per up conv - the up convs are the largest FLOPs blocks
+    in the ResUNet - and 4x the output channels for the MXU's 128-wide
+    tiling.  Float and int8 trees both supported; apply AFTER
+    quantize/fold/calibrate (the calibration walk expects 3x3 'up'
+    convs).  The reference always pays the fine-resolution conv
+    (networks.py:609-615 Upsample+Conv2d)."""
+    if params["size"] == "small":
+        raise NotImplementedError(
+            "the 'small' pix2pix U-Net upsamples with ConvTranspose, not "
+            "nearest+conv; subpixel rewrite targets the ResUNet variants")
+
+    def _walk(p: Params) -> Params:
+        q = dict(p, up=nn_core.subpixel_from_conv3x3(p["up"]))
+        if "sub" in p:
+            q["sub"] = _walk(p["sub"])
+        return q
+
+    return dict(params, net=_walk(params["net"]))
+
+
+def s2d_input_generator(params: Params) -> Params:
+    """Inference-only transform: rewrite the OUTERMOST down conv (the
+    [3,3,13,64] stride-2 conv reading the edge+candidate input) into a
+    2x2 stride-1 conv over the space-to-depth packed input
+    (nn_core.s2d_from_conv3x3s2).  A 13-channel conv wastes ~99% of the
+    MXU's input-channel tiling; packing trades 16/9 the nominal MACs for
+    4x the channels.  Interior stages are untouched (their skip tensors
+    would all need repacking).  Incompatible with the split-candidate
+    fast path (precompute_cand_down needs the 3x3 'w'), which loses
+    in-pipeline anyway (docs/BENCH_HISTORY.md)."""
+    if params["size"] == "small":
+        raise NotImplementedError("s2d input rewrite targets the ResUNet "
+                                  "variants")
+    net = params["net"]
+    return dict(params, net=dict(
+        net, down=nn_core.s2d_from_conv3x3s2(net["down"])))
 
 
 def _cast_net(net: Params, compute_dtype):

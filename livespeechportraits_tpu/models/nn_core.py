@@ -249,6 +249,143 @@ def conv_transpose2d(params: Params, x: jnp.ndarray, stride: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# Subpixel up-convolution (inference transform of nearest-2x + 3x3 conv)
+# ---------------------------------------------------------------------------
+
+
+def subpixel_from_conv3x3(params: Params) -> Params:
+    """Rewrite a [3,3,Ci,Co] conv that consumes a nearest-2x-upsampled map
+    into its exact 4-phase 2x2 subpixel form evaluated at COARSE
+    resolution.
+
+    Output pixel (2i+a, 2j+b) of conv(up2x(x)) reads fine rows
+    2i+a-1..2i+a+1, which collapse onto TWO coarse rows (duplicated rows
+    share a tap, so their weights sum): a=0 -> coarse [i-1, i] with taps
+    (w0, w1+w2); a=1 -> coarse [i, i+1] with taps (w0+w1, w2); same per
+    column.  Each phase is a 2x2 conv over the coarse map - 4/9 the
+    multiply-adds of the fine-resolution 3x3 conv, with 4x the output
+    channels to fill the MXU's 128-wide output tiling (the per-phase
+    kernels are dense, unlike the zero-padded single-conv formulation).
+
+    Accepts a float ('w') or int8-quantized ('w_q'/'w_scale') layer; a
+    quantized layer is dequantized, rewritten and requantized with
+    per-(phase, out-channel) scales, keeping any calibrated 'x_scale'
+    (the conv input is the same coarse tensor, so its activation scale is
+    unchanged)."""
+    if "w_q" in params:
+        w = params["w_q"].astype(jnp.float32) * params["w_scale"]
+    else:
+        w = jnp.asarray(params["w"], jnp.float32)
+    rows = [jnp.stack([w[0], w[1] + w[2]]),        # a=0: coarse [i-1, i]
+            jnp.stack([w[0] + w[1], w[2]])]        # a=1: coarse [i, i+1]
+    phases = []
+    for a in range(2):
+        r = rows[a]  # [2, 3, Ci, Co]
+        phases.append(jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1))  # b=0
+        phases.append(jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1))  # b=1
+    w_ph = jnp.stack(phases)  # [4 (a*2+b), 2, 2, Ci, Co]
+    q: Params = {}
+    if "w_q" in params:
+        s = jnp.maximum(jnp.max(jnp.abs(w_ph), axis=(1, 2, 3)), 1e-12) / 127.0
+        q["w_ph_q"] = jnp.clip(
+            jnp.round(w_ph / s[:, None, None, None, :]), -127, 127
+        ).astype(jnp.int8)
+        q["w_ph_scale"] = s  # [4, Co]
+        if "x_scale" in params:
+            q["x_scale"] = params["x_scale"]
+    else:
+        q["w_ph"] = w_ph
+    if "b" in params:
+        q["b"] = params["b"]
+    return q
+
+
+def upconv_subpixel(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x [B, h, w, Ci] -> [B, 2h, 2w, Co]; bit-for-bit the same map as
+    conv2d(w3x3, upsample_nearest_2x(x), padding=1) up to float summation
+    order (see subpixel_from_conv3x3)."""
+    quant = "w_ph_q" in params
+    if quant:
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        if _CALIB_AMAX is not None:
+            amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            _CALIB_AMAX.append(amax)
+            s_x = jnp.maximum(amax, 1e-12) / 127.0
+        elif "x_scale" in params:
+            s_x = params["x_scale"].astype(jnp.float32)
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+        x_in = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
+                        ).astype(jnp.int8)
+    else:
+        x_in = x
+    outs = []
+    for p, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        w = params["w_ph_q"][p] if quant else params["w_ph"][p]
+        y = jax.lax.conv_general_dilated(
+            x_in, w, window_strides=(1, 1),
+            padding=[(1 - a, a), (1 - b, b)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            **({"preferred_element_type": jnp.int32} if quant else {}),
+        )
+        if quant:
+            y = y.astype(dt) * (
+                params["w_ph_scale"][p].astype(jnp.float32) * s_x).astype(dt)
+        outs.append(y)
+    y = jnp.stack(outs, axis=3)  # [B, h, w, 4, Co], phase index = a*2+b
+    B, h, w_, _, Co = y.shape
+    y = y.reshape(B, h, w_, 2, 2, Co).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(B, 2 * h, 2 * w_, Co)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def s2d_from_conv3x3s2(params: Params) -> Params:
+    """Rewrite a [3,3,Ci,Co] stride-2 conv into an equivalent 2x2 stride-1
+    conv over the space-to-depth(2) packed input ([B,H,W,Ci] ->
+    [B,H/2,W/2,4Ci], phase-major channels).
+
+    Output (i,j) of the stride-2 conv reads fine rows {2i-1, 2i, 2i+1},
+    which live in coarse rows {i-1 (phase 1), i (phases 0 and 1)} - a
+    2-tap coarse window where each tap sees only one row-phase: tap 0 ->
+    (phase 1 -> w0); tap 1 -> (phase 0 -> w1, phase 1 -> w2); same per
+    column.  The packed kernel is [2,2,4Ci,Co] with the uncovered
+    phase slots zero (16/9 the nominal MACs, but 4x the input channels:
+    a Ci=13 conv runs at ~1-2% of MXU peak from channel-padding waste,
+    the packed form tiles properly).  Float layers only (the outermost
+    down conv stays unquantized by design)."""
+    w = jnp.asarray(params["w"], jnp.float32)  # [3, 3, Ci, Co]
+    ci, co = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 4, ci, co), w.dtype)
+    # row_map[(s, a)] = fine kernel row u covered by coarse tap s, phase a
+    row_map = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (s, a), u in row_map.items():
+        for (t, b), v in row_map.items():
+            w2 = w2.at[s, t, a * 2 + b].set(w[u, v])
+    q: Params = {"w_s2d": w2.reshape(2, 2, 4 * ci, co)}
+    if "b" in params:
+        q["b"] = params["b"]
+    return q
+
+
+def conv_s2d_down(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply an s2d_from_conv3x3s2 layer: [B, H, W, C] -> [B, H/2, W/2, Co],
+    the same map as conv2d(w3x3, x, stride=2, padding=1)."""
+    B, H, W, C = x.shape
+    xp = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xp = xp.reshape(B, H // 2, W // 2, 4 * C)  # phase-major channels
+    y = jax.lax.conv_general_dilated(
+        xp, params["w_s2d"], window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
 # Normalisation
 # ---------------------------------------------------------------------------
 

@@ -110,7 +110,9 @@ def quantize_person_models(models: PersonModels,
                            fold_bn: bool = True,
                            calibrate_inputs=None,
                            calibrate_dtype=None,
-                           calibrate_margin: float = 1.0) -> PersonModels:
+                           calibrate_margin: float = 1.0,
+                           subpixel: bool = False,
+                           s2d_input: bool = False) -> PersonModels:
     """Return a copy with the renderer int8-quantized for inference
     (models.feature2face.quantize_generator; 'normal'/'large' only).
     The motion-stage models are unchanged - their cost is negligible
@@ -134,6 +136,14 @@ def quantize_person_models(models: PersonModels,
         f2f_params = _f2f.calibrate_generator(
             f2f_params, calibrate_inputs, compute_dtype=calibrate_dtype,
             margin=calibrate_margin)
+    if subpixel:
+        # rewrite every upsample+3x3 up conv into its 4-phase 2x2
+        # subpixel form (4/9 the FLOPs) - must come after calibration
+        f2f_params = _f2f.subpixel_generator(f2f_params)
+    if s2d_input:
+        # pack the 13-channel input conv into space-to-depth form
+        # (incompatible with the split-candidate fast path)
+        f2f_params = _f2f.s2d_input_generator(f2f_params)
     return _replace(models, feature2face=f2f_params)
 
 

@@ -277,3 +277,100 @@ def test_calibrated_static_int8_generalizes():
     s1 = cp["net"]["sub"]["down"]["x_scale"]
     s2 = cp2["net"]["sub"]["down"]["x_scale"]
     assert float(s2) >= 0 and np.isfinite(float(s1))
+
+
+def test_subpixel_upconv_matches_upsample_conv():
+    """nn_core.upconv_subpixel on the rewritten kernel reproduces
+    conv2d(upsample_nearest_2x(x)) exactly (up to float summation)."""
+    from livespeechportraits_tpu.models import nn_core
+
+    key = jax.random.PRNGKey(20)
+    p = nn_core.conv2d_init(key, 24, 16, 3)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 9, 7, 24))
+    ref = nn_core.conv2d(p, nn_core.upsample_nearest_2x(x), padding=1)
+    out = nn_core.upconv_subpixel(nn_core.subpixel_from_conv3x3(p), x)
+    assert out.shape == ref.shape == (2, 18, 14, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_subpixel_generator_float_equivalence():
+    """subpixel_generator rewrites every up conv; the float forward is
+    unchanged (tanh output agrees to float-noise)."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(22), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(23), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    ref, _ = feature2face.apply_generator(params, x)
+    sp = feature2face.subpixel_generator(params)
+    assert "w_ph" in sp["net"]["up"] and "w" not in sp["net"]["up"]
+    out, _ = feature2face.apply_generator(sp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # edge fast path still works on the rewritten tree
+    edge, cand = x[..., :1], x[0, ..., 1:]
+    cand_down = feature2face.precompute_cand_down(sp, cand)
+    y_edge = feature2face.apply_generator_edge(sp, edge, cand_down)
+    x_shared = jnp.concatenate(
+        [edge, jnp.broadcast_to(cand, (2,) + cand.shape)], axis=-1)
+    y_shared, _ = feature2face.apply_generator(sp, x_shared)
+    np.testing.assert_allclose(np.asarray(y_edge), np.asarray(y_shared),
+                               atol=1e-5)
+
+
+def test_subpixel_generator_on_quantized_tree():
+    """The deployment composition quantize -> fold_bn -> calibrate ->
+    subpixel keeps fidelity vs the float forward, in f32 and bf16."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(24), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(25), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    ref, _ = feature2face.apply_generator(params, x)
+
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    qp = feature2face.calibrate_generator(qp, x)
+    sp = feature2face.subpixel_generator(qp)
+    # outermost up conv is float by design; interior ups are int8 phases
+    assert "w_ph" in sp["net"]["up"]
+    assert sp["net"]["sub"]["up"]["w_ph_q"].dtype == jnp.int8
+    assert "x_scale" in sp["net"]["sub"]["up"]
+    out, _ = feature2face.apply_generator(sp, x)
+    mse = float(jnp.mean((ref - out) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 26.0, mse
+
+    out_b, _ = feature2face.apply_generator(sp, x, compute_dtype=jnp.bfloat16)
+    assert np.isfinite(np.asarray(out_b)).all()
+
+
+def test_s2d_input_conv_matches_strided_conv():
+    """nn_core.conv_s2d_down == conv2d(stride=2, padding=1) exactly."""
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(30), 13, 64, 3)
+    x = jax.random.normal(jax.random.PRNGKey(31), (2, 32, 32, 13))
+    ref = nn_core.conv2d(p, x, stride=2, padding=1)
+    out = nn_core.conv_s2d_down(nn_core.s2d_from_conv3x3s2(p), x)
+    assert out.shape == ref.shape == (2, 16, 16, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_input_generator_equivalence():
+    """Full generator with the packed-input first conv matches baseline,
+    composed with quantize+calibrate+subpixel (the deployment stack)."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(32), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(33), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    ref, _ = feature2face.apply_generator(params, x)
+    sp = feature2face.s2d_input_generator(params)
+    assert "w_s2d" in sp["net"]["down"]
+    out, _ = feature2face.apply_generator(sp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    qp = feature2face.calibrate_generator(qp, x)
+    qp = feature2face.s2d_input_generator(feature2face.subpixel_generator(qp))
+    out_q, _ = feature2face.apply_generator(qp, x, compute_dtype=jnp.bfloat16)
+    mse = float(jnp.mean((ref - out_q.astype(jnp.float32)) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 24.0, mse
