@@ -18,10 +18,13 @@ the removed block.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _strip(net, path_preds):
@@ -41,8 +44,6 @@ def _strip(net, path_preds):
 def main() -> None:
     import jax
     import jax.numpy as jnp
-
-    import os
 
     os.makedirs("/tmp/jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
