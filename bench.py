@@ -49,8 +49,10 @@ def main() -> None:
     # per-conv dynamic amax reductions disappear and XLA fuses the
     # quantize into the producer (feature2face.calibrate_generator).
     static_int8 = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
-    # 4-phase 2x2 subpixel rewrite of every up conv (4/9 the FLOPs there)
-    subpixel = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
+    # subpixel rewrite of the up convs: 0=off, 1='four' (4x 2x2 convs),
+    # 2='single' (one 3x3 conv, 4x out channels), 3='single_outermost'
+    sp_arg = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    subpixel = {0: False, 1: "four", 2: "single", 3: "single_outermost"}[sp_arg]
     # space-to-depth packing of the 13-channel input conv
     s2d_input = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 
@@ -201,7 +203,7 @@ def main() -> None:
         "split_cand": split_cand,
         "quantize_int8": quantize,
         "static_int8_scales": bool(quantize and static_int8),
-        "subpixel_upconvs": bool(quantize and subpixel),
+        "subpixel_upconvs": (subpixel if quantize else False),
         "s2d_input_conv": bool(quantize and s2d_input),
         "bf16_fps": round(bf16_fps, 2) if bf16_fps else None,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",

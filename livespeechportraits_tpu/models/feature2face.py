@@ -124,6 +124,9 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
         # inference transform: 4-phase subpixel conv at coarse resolution
         # (subpixel_generator), same map as upsample + 3x3 conv
         y = nn_core.upconv_subpixel(p["up"], y)
+    elif "w_sp1" in p["up"] or "w_sp1_q" in p["up"]:
+        # single-conv subpixel form (subpixel_generator mode='single')
+        y = nn_core.upconv_subpixel1(p["up"], y)
     else:
         y = nn_core.upsample_nearest_2x(y)
         y = nn_core.conv2d(p["up"], y, padding=1)
@@ -472,13 +475,21 @@ def fold_bn_generator(params: Params, eps: float = 1e-5) -> Params:
     return dict(params, net=_fold_stage(params["net"]))
 
 
-def subpixel_generator(params: Params) -> Params:
-    """Inference-only transform: rewrite every stage's nearest-2x-upsample
-    + 3x3 up conv into the exact 4-phase 2x2 subpixel conv evaluated at
-    coarse resolution (nn_core.subpixel_from_conv3x3): 4/9 the
-    multiply-adds per up conv - the up convs are the largest FLOPs blocks
-    in the ResUNet - and 4x the output channels for the MXU's 128-wide
-    tiling.  Float and int8 trees both supported; apply AFTER
+def subpixel_generator(params: Params, mode: str = "four",
+                       outermost_only: bool = False) -> Params:
+    """Inference-only transform: rewrite nearest-2x-upsample + 3x3 up
+    convs into an exact subpixel conv evaluated at coarse resolution.
+
+    mode='four': 4 separate 2x2 convs (nn_core.subpixel_from_conv3x3),
+    4/9 the multiply-adds.  mode='single': ONE 3x3 conv with 4x output
+    channels and zero-structured taps (nn_core.subpixel1_from_conv3x3),
+    same multiply-adds but full-width MXU output tiling and no
+    materialised upsample - decisive where Co is tiny (the outermost
+    to-RGB conv, Co=3).  outermost_only limits the rewrite to that conv.
+
+    Measured on v5e (BENCH_HISTORY round 2): mode='four' on all ups
+    LOSES in-net (the relayouts beat the saved FLOPs); kept for other
+    hardware.  Float and int8 trees both supported; apply AFTER
     quantize/fold/calibrate (the calibration walk expects 3x3 'up'
     convs).  The reference always pays the fine-resolution conv
     (networks.py:609-615 Upsample+Conv2d)."""
@@ -486,14 +497,18 @@ def subpixel_generator(params: Params) -> Params:
         raise NotImplementedError(
             "the 'small' pix2pix U-Net upsamples with ConvTranspose, not "
             "nearest+conv; subpixel rewrite targets the ResUNet variants")
+    rewrite = (nn_core.subpixel_from_conv3x3 if mode == "four"
+               else nn_core.subpixel1_from_conv3x3)
 
-    def _walk(p: Params) -> Params:
-        q = dict(p, up=nn_core.subpixel_from_conv3x3(p["up"]))
+    def _walk(p: Params, outermost: bool) -> Params:
+        q = dict(p)
+        if outermost or not outermost_only:
+            q["up"] = rewrite(p["up"])
         if "sub" in p:
-            q["sub"] = _walk(p["sub"])
+            q["sub"] = _walk(p["sub"], False)
         return q
 
-    return dict(params, net=_walk(params["net"]))
+    return dict(params, net=_walk(params["net"], True))
 
 
 def s2d_input_generator(params: Params) -> Params:

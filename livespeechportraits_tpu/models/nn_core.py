@@ -341,6 +341,86 @@ def upconv_subpixel(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def subpixel1_from_conv3x3(params: Params) -> Params:
+    """Single-conv variant of subpixel_from_conv3x3: ONE 3x3 conv at
+    coarse resolution with 4x the output channels (phase-major), the
+    uncovered taps structurally zero.
+
+    Same multiply-adds as the fine-resolution conv (the zeros are not
+    skipped), but the output-channel dim grows 4x - decisive when Co is
+    far below the MXU's 128-wide tiling (the outermost to-RGB conv has
+    Co=3) - and the 2x-upsampled input is never materialised.  Unlike the
+    4-conv form it stays ONE convolution, so XLA keeps a single epilogue
+    fusion.  Phase (a) covers coarse rows {i-1, i} (a=0) or {i, i+1}
+    (a=1); the 3-tap kernel zeroes the uncovered row."""
+    if "w_q" in params:
+        w = params["w_q"].astype(jnp.float32) * params["w_scale"]
+    else:
+        w = jnp.asarray(params["w"], jnp.float32)
+    z = jnp.zeros_like(w[0])
+    rows = [jnp.stack([w[0], w[1] + w[2], z]),       # a=0: taps {-1, 0}
+            jnp.stack([z, w[0] + w[1], w[2]])]       # a=1: taps {0, +1}
+    phases = []
+    for a in range(2):
+        r = rows[a]  # [3, 3, Ci, Co]
+        zc = jnp.zeros_like(r[:, 0])
+        phases.append(jnp.stack([r[:, 0], r[:, 1] + r[:, 2], zc], axis=1))
+        phases.append(jnp.stack([zc, r[:, 0] + r[:, 1], r[:, 2]], axis=1))
+    w4 = jnp.stack(phases, axis=-1)  # [3, 3, Ci, Co, 4(a*2+b)]
+    kh, kw, ci, co, _ = w4.shape
+    w4 = w4.transpose(0, 1, 2, 4, 3).reshape(kh, kw, ci, 4 * co)
+    q: Params = {}
+    if "w_q" in params:
+        s = jnp.maximum(jnp.max(jnp.abs(w4), axis=(0, 1, 2)), 1e-12) / 127.0
+        q["w_sp1_q"] = jnp.clip(jnp.round(w4 / s), -127, 127).astype(jnp.int8)
+        q["w_sp1_scale"] = s  # [4*Co]
+        if "x_scale" in params:
+            q["x_scale"] = params["x_scale"]
+    else:
+        q["w_sp1"] = w4
+    if "b" in params:
+        q["b"] = params["b"]
+    return q
+
+
+def upconv_subpixel1(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a subpixel1_from_conv3x3 layer: [B, h, w, Ci] -> [B, 2h, 2w,
+    Co], the same map as conv2d(w3x3, upsample_nearest_2x(x), padding=1)."""
+    quant = "w_sp1_q" in params
+    if quant:
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        if _CALIB_AMAX is not None:
+            amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            _CALIB_AMAX.append(amax)
+            s_x = jnp.maximum(amax, 1e-12) / 127.0
+        elif "x_scale" in params:
+            s_x = params["x_scale"].astype(jnp.float32)
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+        x_in = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
+                        ).astype(jnp.int8)
+        w = params["w_sp1_q"]
+    else:
+        x_in = x
+        w = params["w_sp1"]
+    y = jax.lax.conv_general_dilated(
+        x_in, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        **({"preferred_element_type": jnp.int32} if quant else {}),
+    )
+    if quant:
+        y = y.astype(dt) * (params["w_sp1_scale"].astype(jnp.float32) * s_x
+                            ).astype(dt)
+    B, h, w_, c4 = y.shape
+    co = c4 // 4
+    # channel layout is (phase a*2+b major over co): [..., 4, co]
+    y = y.reshape(B, h, w_, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(B, 2 * h, 2 * w_, co)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
 def s2d_from_conv3x3s2(params: Params) -> Params:
     """Rewrite a [3,3,Ci,Co] stride-2 conv into an equivalent 2x2 stride-1
     conv over the space-to-depth(2) packed input ([B,H,W,Ci] ->

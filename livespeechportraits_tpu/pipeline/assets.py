@@ -137,9 +137,15 @@ def quantize_person_models(models: PersonModels,
             f2f_params, calibrate_inputs, compute_dtype=calibrate_dtype,
             margin=calibrate_margin)
     if subpixel:
-        # rewrite every upsample+3x3 up conv into its 4-phase 2x2
-        # subpixel form (4/9 the FLOPs) - must come after calibration
-        f2f_params = _f2f.subpixel_generator(f2f_params)
+        # rewrite upsample+3x3 up convs into a subpixel form - must come
+        # after calibration.  True/'four' = 4x 2x2 convs; 'single' = one
+        # 3x3 conv with 4x output channels; 'single_outermost' = only the
+        # to-RGB conv (see feature2face.subpixel_generator)
+        mode = "four" if subpixel is True else str(subpixel)
+        f2f_params = _f2f.subpixel_generator(
+            f2f_params,
+            mode=("four" if mode == "four" else "single"),
+            outermost_only=(mode == "single_outermost"))
     if s2d_input:
         # pack the 13-channel input conv into space-to-depth form
         # (incompatible with the split-candidate fast path)

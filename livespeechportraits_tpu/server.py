@@ -60,25 +60,33 @@ def make_handler(predictor: Predictor):
             return self.rfile.read(length)
 
         def _do_stream(self, payload: bytes) -> None:
-            """POST /stream: frames leave as a multipart MJPEG stream
-            (multipart/x-mixed-replace) WHILE the clip is still being
-            generated - first parts arrive after the pipeline's
-            algorithmic latency, not after the whole clip renders.  The
-            stream end is delimited by the closing boundary + connection
-            close (no Content-Length)."""
+            """POST /stream[?latency_cap=N]: frames leave as a multipart
+            MJPEG stream (multipart/x-mixed-replace) WHILE the clip is
+            still being generated - first parts arrive after the
+            pipeline's algorithmic latency (truncatable to N frames via
+            latency_cap), not after the whole clip renders.  The stream
+            end is delimited by the closing boundary + connection close
+            (no Content-Length).  Device frames cross as YUV 4:2:0 - the
+            JPEG re-encode subsamples chroma anyway, so the halved
+            transfer is free."""
             import os
             import tempfile
+            from urllib.parse import parse_qs, urlparse
 
             import cv2
             import numpy as np
             from scipy.io import wavfile
 
+            qs = parse_qs(urlparse(self.path).query)
+            cap = (int(qs["latency_cap"][0])
+                   if qs.get("latency_cap") else None)
             sr, data = wavfile.read(io.BytesIO(payload))  # validate first
             with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
                 f.write(payload)
                 wav_path = f.name
             try:
-                gen = predictor.stream(wav_path)
+                gen = predictor.stream(wav_path, transfer="yuv420",
+                                       smooth_latency_cap=cap)
                 self.send_response(200)
                 self.send_header(
                     "Content-Type", "multipart/x-mixed-replace; boundary=frame")
@@ -99,7 +107,7 @@ def make_handler(predictor: Predictor):
                 os.unlink(wav_path)
 
         def do_POST(self):
-            if self.path == "/stream":
+            if self.path.split("?")[0] == "/stream":
                 payload = self._read_wav_body()
                 if payload is None:
                     return

@@ -374,3 +374,42 @@ def test_s2d_input_generator_equivalence():
     out_q, _ = feature2face.apply_generator(qp, x, compute_dtype=jnp.bfloat16)
     mse = float(jnp.mean((ref - out_q.astype(jnp.float32)) ** 2))
     assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 24.0, mse
+
+
+def test_subpixel_single_conv_variants():
+    """mode='single' (one zero-structured 3x3 conv, 4x out channels) is
+    float-exact vs baseline, for all ups and outermost-only, float and
+    int8+calibrated."""
+    from livespeechportraits_tpu.models import nn_core
+
+    # layer-level exactness
+    p = nn_core.conv2d_init(jax.random.PRNGKey(40), 24, 16, 3)
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 9, 7, 24))
+    ref = nn_core.conv2d(p, nn_core.upsample_nearest_2x(x), padding=1)
+    out = nn_core.upconv_subpixel1(nn_core.subpixel1_from_conv3x3(p), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(42), cfg)
+    xg = jax.random.uniform(jax.random.PRNGKey(43), (2, 32, 32, cfg.input_nc),
+                            minval=-1, maxval=1)
+    refg, _ = feature2face.apply_generator(params, xg)
+    for kwargs in ({"mode": "single"},
+                   {"mode": "single", "outermost_only": True}):
+        sp = feature2face.subpixel_generator(params, **kwargs)
+        outg, _ = feature2face.apply_generator(sp, xg)
+        np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                                   atol=1e-5)
+    assert "w_sp1" in feature2face.subpixel_generator(
+        params, mode="single", outermost_only=True)["net"]["up"]
+    assert "w" in feature2face.subpixel_generator(
+        params, mode="single", outermost_only=True)["net"]["sub"]["up"]
+
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    qp = feature2face.calibrate_generator(qp, xg)
+    sq = feature2face.subpixel_generator(qp, mode="single")
+    assert sq["net"]["sub"]["up"]["w_sp1_q"].dtype == jnp.int8
+    outq, _ = feature2face.apply_generator(sq, xg, compute_dtype=jnp.bfloat16)
+    mse = float(jnp.mean((refg - outq.astype(jnp.float32)) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 24.0, mse

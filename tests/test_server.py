@@ -123,3 +123,20 @@ def test_stream_endpoint_mjpeg(server_port):
         frames.append(img)
     assert body.rstrip().endswith(b"--frame--")
     assert len(frames) == int(0.6 * 60) - 15
+
+
+def test_stream_endpoint_latency_cap(server_port):
+    """/stream?latency_cap=N truncates the smoothing look-ahead; the
+    stream still delivers the full frame count."""
+    t = np.arange(int(0.6 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, audio)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/stream?latency_cap=6",
+        data=buf.getvalue(), headers={"Content-Type": "audio/wav"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        body = r.read()
+    assert body.count(b"Content-Type: image/jpeg") == int(0.6 * 60) - 15
