@@ -259,3 +259,73 @@ def make_synthetic_person(
         feature2face=feature2face.init_generator(k4, cfg.feature2face),
     )
     return assets, models
+
+
+# ---------------------------------------------------------------------------
+# Serving artifact: one-file save/load of the (possibly quantized +
+# calibrated) model trees, so a server boot is a file read instead of a
+# re-quantize/re-calibrate.  The reference has no deployment artifact at
+# all (demo.py re-reads four torch .pkl files per run, demo.py:144-171).
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree, prefix: str, out: dict):
+    if isinstance(tree, dict):
+        return {"t": "d",
+                "k": {k: _flatten_tree(v, f"{prefix}.{k}", out)
+                      for k, v in tree.items()}}
+    if isinstance(tree, (list, tuple)):
+        return {"t": "l" if isinstance(tree, list) else "u",
+                "i": [_flatten_tree(v, f"{prefix}.{n}", out)
+                      for n, v in enumerate(tree)]}
+    if isinstance(tree, (str, int, float, bool)) or tree is None:
+        return {"t": "p", "v": tree}
+    arr = np.asarray(tree)
+    if arr.dtype.name == "bfloat16":  # npz has no bf16; params live in f32
+        arr = arr.astype(np.float32)
+    out[prefix] = arr
+    return {"t": "a", "key": prefix}
+
+
+def _unflatten_tree(spec, arrays):
+    t = spec["t"]
+    if t == "d":
+        return {k: _unflatten_tree(v, arrays) for k, v in spec["k"].items()}
+    if t in ("l", "u"):
+        seq = [_unflatten_tree(v, arrays) for v in spec["i"]]
+        return seq if t == "l" else tuple(seq)
+    if t == "p":
+        return spec["v"]
+    return arrays[spec["key"]]
+
+
+def save_models_artifact(models: PersonModels, path: str) -> str:
+    """Serialise all four model trees (int8 weights, calibrated scales,
+    subpixel forms - whatever the trees hold) into ONE .npz with a JSON
+    structure manifest.  Returns the path written."""
+    import json
+
+    arrays: dict = {}
+    manifest = {
+        field: _flatten_tree(getattr(models, field), field, arrays)
+        for field in ("apc", "audio2feature", "audio2headpose", "feature2face")
+    }
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+    with open(path, "wb") as f:  # exact name: np.savez on a handle does
+        np.savez(f, **arrays)    # not append .npz
+    return path
+
+
+def load_models_artifact(path: str) -> PersonModels:
+    """Inverse of save_models_artifact (arrays land on the default device
+    lazily, at first use, like any host constant)."""
+    import json
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    manifest = json.loads(bytes(arrays.pop("__manifest__")).decode())
+    return PersonModels(**{
+        field: _unflatten_tree(spec, arrays)
+        for field, spec in manifest.items()
+    })

@@ -58,7 +58,8 @@ class Predictor:
 
     def setup(self, person_id: str = "Synthetic",
               config_dir: str = "./config", image_size: int = 512,
-              quantize: bool = False, calibrate: bool = True) -> None:
+              quantize: bool = False, calibrate: bool = True,
+              artifact: Optional[str] = None) -> None:
         """Load the subject's config, assets and checkpoints once.
 
         quantize=True int8-quantizes the renderer for inference (frames
@@ -67,7 +68,14 @@ class Predictor:
         (with quantize) additionally bakes STATIC activation scales,
         measured on renderer inputs generated from a one-second test
         sweep for this subject, so every request skips the per-conv
-        dynamic amax reductions (257 -> 275 fps at 512^2 on v5e)."""
+        dynamic amax reductions (257 -> 275 fps at 512^2 on v5e).
+
+        artifact: path to a serving-model .npz
+        (assets.save_models_artifact).  If the file exists the model
+        trees - already quantized/calibrated/whatever was saved - load
+        from it and quantize/calibrate are ignored; otherwise the trees
+        built here are written to it, so the NEXT boot is one file
+        read."""
         cfg_path = os.path.join(config_dir, person_id + ".yaml")
         if os.path.exists(cfg_path):
             cfg = load_person_config(cfg_path, name=person_id)
@@ -86,6 +94,11 @@ class Predictor:
         else:
             self._assets = assets_mod.load_person(cfg)
             self._models = assets_mod.load_person_models(cfg)
+        if artifact and os.path.exists(artifact):
+            self._models = assets_mod.load_models_artifact(artifact)
+            self._cfg = cfg
+            self._person = person_id
+            return
         if quantize:
             calib = None
             calib_dtype = None
@@ -102,6 +115,8 @@ class Predictor:
             self._models = assets_mod.quantize_person_models(
                 self._models, calibrate_inputs=calib,
                 calibrate_dtype=calib_dtype)
+        if artifact:
+            assets_mod.save_models_artifact(self._models, artifact)
         self._cfg = cfg
         self._person = person_id
 

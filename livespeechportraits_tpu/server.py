@@ -157,10 +157,11 @@ def make_handler(predictor: Predictor):
 def serve_forever(person_id: str = "Synthetic", port: int = 8080,
                   image_size: int = 512, config_dir: str = "./config",
                   max_audio_seconds: float = 10.0,
-                  quantize: bool = False) -> HTTPServer:
+                  quantize: bool = False,
+                  artifact: str = "") -> HTTPServer:
     predictor = Predictor(max_audio_seconds=max_audio_seconds)
     predictor.setup(person_id, config_dir=config_dir, image_size=image_size,
-                    quantize=quantize)
+                    quantize=quantize, artifact=artifact or None)
     server = HTTPServer(("0.0.0.0", port), make_handler(predictor))
     print(f"serving '{person_id}' on :{port} (POST /animate, GET /healthz)")
     server.serve_forever()
@@ -175,11 +176,16 @@ def main() -> None:
     p.add_argument("--config_dir", default="./config")
     p.add_argument("--max_audio_seconds", type=float, default=10.0)
     p.add_argument("--quantize", action="store_true",
-                   help="int8 renderer (+~18%% fps at 512^2 on v5e, frames "
+                   help="int8 renderer (calibrated static scales; frames "
                         "within PSNR>30dB of the float path)")
+    p.add_argument("--artifact", default="",
+                   help="serving-model .npz: load the model trees from it "
+                        "if it exists, else build (honouring --quantize) "
+                        "and save to it so the next boot is one file read")
     args = p.parse_args()
     serve_forever(args.id, args.port, args.image_size, args.config_dir,
-                  args.max_audio_seconds, quantize=args.quantize)
+                  args.max_audio_seconds, quantize=args.quantize,
+                  artifact=args.artifact)
 
 
 if __name__ == "__main__":

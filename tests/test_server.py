@@ -1,6 +1,7 @@
 """HTTP serving front-end: health check + wav upload -> video response."""
 
 import io
+import os
 import threading
 import urllib.request
 
@@ -140,3 +141,54 @@ def test_stream_endpoint_latency_cap(server_port):
         assert r.status == 200
         body = r.read()
     assert body.count(b"Content-Type: image/jpeg") == int(0.6 * 60) - 15
+
+
+def test_serving_artifact_roundtrip(tmp_path):
+    """save_models_artifact/load_models_artifact: the full quantized +
+    calibrated + subpixel model trees survive one .npz bit-for-bit, and
+    Predictor.setup(artifact=...) builds-then-saves on first boot and
+    loads on the second."""
+    import jax
+    import jax.numpy as jnp
+
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from tests.test_pipeline import tiny_person, _sine_audio
+
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(5),
+                                            image_size=64, bank_size=64)
+    calib = animate_mod.build_render_inputs(cfg, a, m, _sine_audio(0.7),
+                                            max_frames=4)
+    mq = assets_mod.quantize_person_models(m, calibrate_inputs=calib,
+                                           subpixel="single")
+    path = str(tmp_path / "model.npz")
+    assets_mod.save_models_artifact(mq, path)
+    loaded = assets_mod.load_models_artifact(path)
+    for field in ("apc", "audio2feature", "audio2headpose", "feature2face"):
+        ref_t = getattr(mq, field)
+        got_t = getattr(loaded, field)
+        ref_leaves = jax.tree.leaves(ref_t)
+        got_leaves = jax.tree.leaves(got_t)
+        assert len(ref_leaves) == len(got_leaves)
+        for r, g in zip(ref_leaves, got_leaves):
+            if hasattr(r, "dtype"):
+                assert np.asarray(r).dtype == np.asarray(g).dtype
+                np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+            else:
+                assert r == g
+    # int8 + scales survived
+    assert loaded.feature2face["net"]["sub"]["down"]["w_q"].dtype == np.int8
+    assert "x_scale" in loaded.feature2face["net"]["sub"]["down"]
+    assert "w_sp1_q" in loaded.feature2face["net"]["sub"]["up"]
+
+    # Predictor boot cycle: first setup saves, second loads
+    art = str(tmp_path / "srv.npz")
+    p1 = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "r1"))
+    p1.setup("Synthetic", image_size=64, quantize=True, artifact=art)
+    assert os.path.exists(art)
+    p2 = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "r2"))
+    p2.setup("Synthetic", image_size=64, artifact=art)
+    assert "w_q" in p2._models.feature2face["net"]["sub"]["down"]
+    r = p2.predict(_sine_audio(0.6), render_batch=4)
+    assert r.nframe == int(0.6 * 60) - 15
