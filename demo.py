@@ -50,6 +50,11 @@ def main() -> None:
                         help="int8-quantize the renderer for inference "
                              "(2x int8 MXU peak on v5e; fidelity-tested "
                              "vs the float forward)")
+    parser.add_argument("--artifact", default="",
+                        help="serving-model .npz: load model trees from it "
+                             "if it exists (skips checkpoint conversion + "
+                             "quantize/calibrate), else save the trees "
+                             "built this run to it")
     parser.add_argument("--no_calibrate", action="store_true",
                         help="with --quantize: keep dynamic per-conv "
                              "activation scales instead of calibrating "
@@ -108,7 +113,9 @@ def main() -> None:
             f"needs > {min_seconds:.2f}s of audio"
         )
 
-    if args.quantize:
+    if args.artifact and os.path.exists(args.artifact):
+        person_models = assets_mod.load_models_artifact(args.artifact)
+    elif args.quantize:
         calib = None
         calib_dtype = None
         if not args.no_calibrate:
@@ -121,6 +128,8 @@ def main() -> None:
                 calib_dtype = jnp.bfloat16
         person_models = assets_mod.quantize_person_models(
             person_models, calibrate_inputs=calib, calibrate_dtype=calib_dtype)
+    if args.artifact and not os.path.exists(args.artifact):
+        assets_mod.save_models_artifact(person_models, args.artifact)
 
     print(f"Animating {len(audio)/16000:.2f}s of audio for '{args.id}' ...")
     t0 = time.perf_counter()

@@ -21,12 +21,19 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import ThreadingHTTPServer
 
 from livespeechportraits_tpu.serve import Predictor
 
 
 def make_handler(predictor: Predictor):
+    # One request renders at a time (a single chip is one in-order queue);
+    # the lock serialises /animate and /stream while /healthz stays
+    # instant on its own thread (ThreadingHTTPServer).
+    device_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet default logging
             pass
@@ -85,6 +92,7 @@ def make_handler(predictor: Predictor):
                 f.write(payload)
                 wav_path = f.name
             try:
+                device_lock.acquire()
                 gen = predictor.stream(wav_path, transfer="yuv420",
                                        smooth_latency_cap=cap)
                 self.send_response(200)
@@ -104,6 +112,7 @@ def make_handler(predictor: Predictor):
                                          + part + b"\r\n")
                 self.wfile.write(b"--frame--\r\n")
             finally:
+                device_lock.release()
                 os.unlink(wav_path)
 
         def do_POST(self):
@@ -136,7 +145,8 @@ def make_handler(predictor: Predictor):
                     f.write(payload)
                     wav_path = f.name
                 try:
-                    result = predictor.predict(wav_path)
+                    with device_lock:
+                        result = predictor.predict(wav_path)
                 finally:
                     os.unlink(wav_path)
                 with open(result.video_path, "rb") as f:
@@ -158,11 +168,11 @@ def serve_forever(person_id: str = "Synthetic", port: int = 8080,
                   image_size: int = 512, config_dir: str = "./config",
                   max_audio_seconds: float = 10.0,
                   quantize: bool = False,
-                  artifact: str = "") -> HTTPServer:
+                  artifact: str = "") -> HTTPServer:  # ThreadingHTTPServer
     predictor = Predictor(max_audio_seconds=max_audio_seconds)
     predictor.setup(person_id, config_dir=config_dir, image_size=image_size,
                     quantize=quantize, artifact=artifact or None)
-    server = HTTPServer(("0.0.0.0", port), make_handler(predictor))
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(predictor))
     print(f"serving '{person_id}' on :{port} (POST /animate, GET /healthz)")
     server.serve_forever()
     return server

@@ -7,7 +7,7 @@ import urllib.request
 
 import numpy as np
 import pytest
-from http.server import HTTPServer
+from http.server import ThreadingHTTPServer
 from scipy.io import wavfile
 
 from livespeechportraits_tpu.serve import Predictor
@@ -19,7 +19,7 @@ def server_port(tmp_path_factory):
     predictor = Predictor(max_audio_seconds=1.0,
                           results_dir=str(tmp_path_factory.mktemp("srv")))
     predictor.setup("Synthetic", image_size=64)
-    httpd = HTTPServer(("127.0.0.1", 0), make_handler(predictor))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(predictor))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield httpd.server_address[1]
@@ -192,3 +192,35 @@ def test_serving_artifact_roundtrip(tmp_path):
     assert "w_q" in p2._models.feature2face["net"]["sub"]["down"]
     r = p2.predict(_sine_audio(0.6), render_batch=4)
     assert r.nframe == int(0.6 * 60) - 15
+
+
+def test_healthz_responds_during_render(server_port):
+    """The threaded server answers /healthz while an /animate request is
+    rendering (the device lock serialises renders, not health checks)."""
+    import json
+    import threading
+
+    t = np.arange(int(0.6 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, audio)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/animate", data=buf.getvalue(),
+        headers={"Content-Type": "audio/wav"}, method="POST")
+    result = {}
+
+    def animate():
+        with urllib.request.urlopen(req, timeout=600) as r:
+            result["frames"] = int(r.headers["X-Frames"])
+
+    th = threading.Thread(target=animate)
+    th.start()
+    # health check while the render is (very likely) in flight
+    ok = 0
+    for _ in range(5):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server_port}/healthz", timeout=30) as r:
+            ok += json.loads(r.read())["status"] == "ok"
+    th.join()
+    assert ok == 5
+    assert result["frames"] == int(0.6 * 60) - 15
