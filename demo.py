@@ -61,6 +61,11 @@ def main() -> None:
                              "static scales on this clip's first frames "
                              "(static skips ~77 amax reductions per "
                              "forward; 257 -> 275 fps at 512^2)")
+    parser.add_argument("--pipeline_depth", type=int, default=0,
+                        help="with --streaming: double-buffer the render "
+                             "fetch N pushes deep (frames identical, "
+                             "handed back up to N pushes later; the host "
+                             "fetch overlaps the next chunk's device work)")
     parser.add_argument("--fused", action="store_true",
                         help="run the motion half (mel->APC->LLE->mouth->"
                              "head-pose->post) as ONE device program (fewer "
@@ -138,7 +143,8 @@ def main() -> None:
 
         stream = StreamingAnimator(cfg, person_assets, person_models,
                                    seed=args.seed, render_batch=args.render_batch,
-                                   transfer=args.transfer)
+                                   transfer=args.transfer,
+                                   pipeline_depth=args.pipeline_depth)
         chunks, first_frame_at = [], None
         for lo in range(0, len(audio), 1600):  # 100 ms pushes
             out = stream.push_audio(audio[lo : lo + 1600])
@@ -148,6 +154,8 @@ def main() -> None:
                 chunks.append(out)
         tail = stream.flush()
         if len(tail):
+            if first_frame_at is None:  # short clip and/or pipeline_depth:
+                first_frame_at = time.perf_counter() - t0  # all at flush
             chunks.append(tail)
         frames = np.concatenate(chunks)
         wall = time.perf_counter() - t0

@@ -127,6 +127,9 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     elif "w_sp1" in p["up"] or "w_sp1_q" in p["up"]:
         # single-conv subpixel form (subpixel_generator mode='single')
         y = nn_core.upconv_subpixel1(p["up"], y)
+    elif "w_dl" in p["up"] or "w_dl_q" in p["up"]:
+        # transposed-conv form (subpixel_generator mode='dilated')
+        y = nn_core.upconv_dilated(p["up"], y)
     else:
         y = nn_core.upsample_nearest_2x(y)
         y = nn_core.conv2d(p["up"], y, padding=1)
@@ -497,8 +500,9 @@ def subpixel_generator(params: Params, mode: str = "four",
         raise NotImplementedError(
             "the 'small' pix2pix U-Net upsamples with ConvTranspose, not "
             "nearest+conv; subpixel rewrite targets the ResUNet variants")
-    rewrite = (nn_core.subpixel_from_conv3x3 if mode == "four"
-               else nn_core.subpixel1_from_conv3x3)
+    rewrite = {"four": nn_core.subpixel_from_conv3x3,
+               "single": nn_core.subpixel1_from_conv3x3,
+               "dilated": nn_core.dilated_from_conv3x3}[mode]
 
     def _walk(p: Params, outermost: bool) -> Params:
         q = dict(p)

@@ -421,6 +421,86 @@ def upconv_subpixel1(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def dilated_from_conv3x3(params: Params) -> Params:
+    """Third subpixel form: pack the 4 phase kernels into ONE 4x4 kernel
+    applied with lhs_dilation=2 (a true transposed convolution).
+
+    Placing x[j] at dilated position 2j and choosing padding (2, 2),
+    output row p = 2i+a reads dilated positions p-2..p+1; the non-zero
+    ones are exactly the two coarse taps of phase a: even kernel rows u
+    serve phase a=0 (taps w0 then w1+w2 on coarse rows {i-1, i}), odd
+    rows serve a=1 (w0+w1 then w2 on {i, i+1}).  Same map as
+    conv2d(upsample_nearest_2x(x)), computed in one conv with no
+    materialised upsample and no phase interleave.  Same multiply-add
+    count as the 4-conv form (the dilated zeros are structural)."""
+    if "w_q" in params:
+        w = params["w_q"].astype(jnp.float32) * params["w_scale"]
+    else:
+        w = jnp.asarray(params["w"], jnp.float32)
+    # per-dim 2-tap kernels per output phase
+    k0 = [w[0], w[1] + w[2]]            # a=0: coarse rows {i-1, i}
+    k1 = [w[0] + w[1], w[2]]            # a=1: coarse rows {i, i+1}
+
+    def tap(u):  # kernel position u -> [3, Ci, Co] row slice
+        return k0[u // 2] if u % 2 == 0 else k1[(u - 1) // 2]
+
+    rows = []
+    for u in range(4):
+        r = tap(u)  # [3, Ci, Co] (kernel columns still unexpanded)
+        c0 = [r[0], r[1] + r[2]]
+        c1 = [r[0] + r[1], r[2]]
+        cols = [c0[v // 2] if v % 2 == 0 else c1[(v - 1) // 2]
+                for v in range(4)]
+        rows.append(jnp.stack(cols))
+    w4 = jnp.stack(rows)  # [4, 4, Ci, Co]
+    q: Params = {}
+    if "w_q" in params:
+        s = jnp.maximum(jnp.max(jnp.abs(w4), axis=(0, 1, 2)), 1e-12) / 127.0
+        q["w_dl_q"] = jnp.clip(jnp.round(w4 / s), -127, 127).astype(jnp.int8)
+        q["w_dl_scale"] = s
+        if "x_scale" in params:
+            q["x_scale"] = params["x_scale"]
+    else:
+        q["w_dl"] = w4
+    if "b" in params:
+        q["b"] = params["b"]
+    return q
+
+
+def upconv_dilated(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a dilated_from_conv3x3 layer: [B, h, w, Ci] -> [B, 2h, 2w,
+    Co], same map as conv2d(w3x3, upsample_nearest_2x(x), padding=1)."""
+    quant = "w_dl_q" in params
+    if quant:
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        if _CALIB_AMAX is not None:
+            amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            _CALIB_AMAX.append(amax)
+            s_x = jnp.maximum(amax, 1e-12) / 127.0
+        elif "x_scale" in params:
+            s_x = params["x_scale"].astype(jnp.float32)
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+        x_in = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
+                        ).astype(jnp.int8)
+        w = params["w_dl_q"]
+    else:
+        x_in = x
+        w = params["w_dl"]
+    y = jax.lax.conv_general_dilated(
+        x_in, w, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        **({"preferred_element_type": jnp.int32} if quant else {}),
+    )
+    if quant:
+        y = y.astype(dt) * (params["w_dl_scale"].astype(jnp.float32) * s_x
+                            ).astype(dt)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
 def s2d_from_conv3x3s2(params: Params) -> Params:
     """Rewrite a [3,3,Ci,Co] stride-2 conv into an equivalent 2x2 stride-1
     conv over the space-to-depth(2) packed input ([B,H,W,Ci] ->

@@ -142,10 +142,10 @@ def quantize_person_models(models: PersonModels,
         # 3x3 conv with 4x output channels; 'single_outermost' = only the
         # to-RGB conv (see feature2face.subpixel_generator)
         mode = "four" if subpixel is True else str(subpixel)
+        base = mode.replace("_outermost", "")
         f2f_params = _f2f.subpixel_generator(
-            f2f_params,
-            mode=("four" if mode == "four" else "single"),
-            outermost_only=(mode == "single_outermost"))
+            f2f_params, mode=base,
+            outermost_only=mode.endswith("_outermost"))
     if s2d_input:
         # pack the 13-channel input conv into space-to-depth form
         # (incompatible with the split-candidate fast path)

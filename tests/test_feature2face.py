@@ -413,3 +413,25 @@ def test_subpixel_single_conv_variants():
     outq, _ = feature2face.apply_generator(sq, xg, compute_dtype=jnp.bfloat16)
     mse = float(jnp.mean((refg - outq.astype(jnp.float32)) ** 2))
     assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 24.0, mse
+
+
+def test_subpixel_dilated_variant():
+    """mode='dilated' (one lhs_dilation=2 transposed conv, no materialised
+    upsample) is float-exact and composes with the int8 stack."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(50), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(51), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    ref, _ = feature2face.apply_generator(params, x)
+    sp = feature2face.subpixel_generator(params, mode="dilated")
+    assert "w_dl" in sp["net"]["up"]
+    out, _ = feature2face.apply_generator(sp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    qp = feature2face.calibrate_generator(qp, x)
+    sq = feature2face.subpixel_generator(qp, mode="dilated")
+    assert sq["net"]["sub"]["up"]["w_dl_q"].dtype == jnp.int8
+    outq, _ = feature2face.apply_generator(sq, x, compute_dtype=jnp.bfloat16)
+    mse = float(jnp.mean((ref - outq.astype(jnp.float32)) ** 2))
+    assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 24.0, mse
