@@ -109,7 +109,10 @@ def main() -> None:
             cfg, image_size=cfg.feature2face.load_size)
     else:
         person_assets = assets_mod.load_person(cfg)
-        person_models = assets_mod.load_person_models(cfg)
+        if args.artifact and os.path.exists(args.artifact):
+            person_models = None  # artifact load below skips ckpt convert
+        else:
+            person_models = assets_mod.load_person_models(cfg)
     min_seconds = (cfg.audio2headpose.frame_future + 1) / 60.0
     if len(audio) < int(min_seconds * 16000) + 16000 // 60:
         raise SystemExit(

@@ -572,7 +572,6 @@ class StreamingAnimator:
         and are fetched `pipeline_depth` pushes later (drain=True fetches
         everything).
         """
-        H = W = self.cfg.feature2face.load_size
         self._mouth_ready.append(mouth_sm)
         self._rot_ready.append(rot_sm)
         self._trans_ready.append(trans_sm)
@@ -731,10 +730,3 @@ def _fetch_render(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
     return np.concatenate([np.asarray(o) for o in outs])[:n]
 
 
-def _render_ready(cfg, assets, models, lm2d, sh2d, render_batch,
-                  transfer: str = "rgb") -> np.ndarray:
-    """Render a variable number of ready frames in fixed-size batches."""
-    outs, n = _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
-                               transfer)
-    H = W = cfg.feature2face.load_size
-    return _fetch_render(outs, n, H, W, transfer)

@@ -93,7 +93,11 @@ class Predictor:
                 cfg, image_size=image_size)
         else:
             self._assets = assets_mod.load_person(cfg)
-            self._models = assets_mod.load_person_models(cfg)
+            # With a saved artifact, boot is assets + one .npz read: the
+            # checkpoint load/convert the artifact exists to skip must not
+            # run first (its output would be discarded below).
+            if not (artifact and os.path.exists(artifact)):
+                self._models = assets_mod.load_person_models(cfg)
         if artifact and os.path.exists(artifact):
             self._models = assets_mod.load_models_artifact(artifact)
             self._cfg = cfg

@@ -92,14 +92,22 @@ def make_handler(predictor: Predictor):
                 f.write(payload)
                 wav_path = f.name
             try:
-                device_lock.acquire()
                 gen = predictor.stream(wav_path, transfer="yuv420",
                                        smooth_latency_cap=cap)
+                # A stalled client must not wedge the render path: the
+                # device lock is held only while ADVANCING the generator
+                # (device work); socket writes happen outside it, and the
+                # connection gets a timeout so dead peers error out.
+                self.connection.settimeout(60.0)
                 self.send_response(200)
                 self.send_header(
                     "Content-Type", "multipart/x-mixed-replace; boundary=frame")
                 self.end_headers()
-                for batch in gen:
+                while True:
+                    with device_lock:
+                        batch = next(gen, None)
+                    if batch is None:
+                        break
                     for frame in batch:
                         ok, jpg = cv2.imencode(
                             ".jpg", np.asarray(frame)[..., ::-1])  # RGB->BGR
@@ -112,7 +120,6 @@ def make_handler(predictor: Predictor):
                                          + part + b"\r\n")
                 self.wfile.write(b"--frame--\r\n")
             finally:
-                device_lock.release()
                 os.unlink(wav_path)
 
         def do_POST(self):
