@@ -57,6 +57,8 @@ def main() -> None:
                 4: "dilated"}[sp_arg]
     # space-to-depth packing of the 13-channel input conv
     s2d_input = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
+    # concat-free split up convs (no materialised skip concats)
+    split_skip = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -87,7 +89,13 @@ def main() -> None:
         person_models = assets_mod.quantize_person_models(
             float_models, calibrate_inputs=calib,
             calibrate_dtype=(calib_dtype if calib is not None else None),
-            subpixel=subpixel, s2d_input=s2d_input)
+            subpixel=subpixel, s2d_input=s2d_input, split_skip=split_skip)
+    elif subpixel or s2d_input or split_skip:
+        # the structural rewrites are math-exact on float trees too, so
+        # they can be benchmarked on the exact bf16 path (quantize=0)
+        person_models = assets_mod.transform_person_models(
+            float_models, subpixel=subpixel, s2d_input=s2d_input,
+            split_skip=split_skip)
 
     # Warm-up on the SAME shapes compiles every stage exactly once; the
     # measured run reuses the executables.  profile=True inserts a device
@@ -214,8 +222,9 @@ def main() -> None:
         "split_cand": split_cand,
         "quantize_int8": quantize,
         "static_int8_scales": bool(quantize and static_int8),
-        "subpixel_upconvs": (subpixel if quantize else False),
-        "s2d_input_conv": bool(quantize and s2d_input),
+        "subpixel_upconvs": subpixel,
+        "s2d_input_conv": s2d_input,
+        "split_skip_upconvs": split_skip,
         "bf16_fps": round(bf16_fps, 2) if bf16_fps else None,
         "psnr_int8_vs_bf16_db": psnr_vs_bf16,
         "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",

@@ -92,7 +92,9 @@ def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[in
 
 
 def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
-    """Returns (cat(x, out) or out if outermost, updated params).
+    """Returns ((x, out) skip/up pair - or out alone if outermost,
+    updated params).  The consuming stage concatenates the pair (or
+    consumes it concat-free via a split up conv, split_skip_generator).
 
     Stage kind is implicit in the param structure: the outermost stage has
     no up_bn; the innermost has no submodule.  y_down overrides the down
@@ -118,21 +120,34 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     new_p["res_down"] = new_res_down
 
     if sub_apply is not None:
-        y, new_p["sub"] = sub_apply(y)
-
-    if "w_ph" in p["up"] or "w_ph_q" in p["up"]:
-        # inference transform: 4-phase subpixel conv at coarse resolution
-        # (subpixel_generator), same map as upsample + 3x3 conv
-        y = nn_core.upconv_subpixel(p["up"], y)
-    elif "w_sp1" in p["up"] or "w_sp1_q" in p["up"]:
-        # single-conv subpixel form (subpixel_generator mode='single')
-        y = nn_core.upconv_subpixel1(p["up"], y)
-    elif "w_dl" in p["up"] or "w_dl_q" in p["up"]:
-        # transposed-conv form (subpixel_generator mode='dilated')
-        y = nn_core.upconv_dilated(p["up"], y)
+        # non-innermost: the submodule hands back its (skip, up-out) PAIR;
+        # the concat - when the up conv needs one - happens here at the
+        # consume site, so the split form never materialises it.
+        sub_out, new_p["sub"] = sub_apply(y)
     else:
-        y = nn_core.upsample_nearest_2x(y)
-        y = nn_core.conv2d(p["up"], y, padding=1)
+        sub_out = y
+
+    if "w_a" in p["up"] or "w_a_q" in p["up"]:
+        # inference transform: concat-free split up conv over the skip /
+        # submodule pair (split_skip_generator); same map as upsample +
+        # conv on the concat
+        y = nn_core.upconv_split(p["up"], sub_out[0], sub_out[1])
+    else:
+        y = (jnp.concatenate(sub_out, axis=-1)
+             if isinstance(sub_out, tuple) else sub_out)
+        if "w_ph" in p["up"] or "w_ph_q" in p["up"]:
+            # inference transform: 4-phase subpixel conv at coarse
+            # resolution (subpixel_generator), same map as upsample + conv
+            y = nn_core.upconv_subpixel(p["up"], y)
+        elif "w_sp1" in p["up"] or "w_sp1_q" in p["up"]:
+            # single-conv subpixel form (subpixel_generator mode='single')
+            y = nn_core.upconv_subpixel1(p["up"], y)
+        elif "w_dl" in p["up"] or "w_dl_q" in p["up"]:
+            # transposed-conv form (subpixel_generator mode='dilated')
+            y = nn_core.upconv_dilated(p["up"], y)
+        else:
+            y = nn_core.upsample_nearest_2x(y)
+            y = nn_core.conv2d(p["up"], y, padding=1)
     if not outermost:
         y, new_p["up_bn"] = nn_core.batchnorm(p["up_bn"], y, training)
         y = jax.nn.relu(y)
@@ -141,7 +156,7 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
             y, nrp = _resblock(rp, y, training)
             new_res_up.append(nrp)
         new_p["res_up"] = new_res_up
-        return jnp.concatenate([x, y], axis=-1), new_p
+        return (x, y), new_p
     return y, new_p
 
 
@@ -390,7 +405,9 @@ def calibrate_generator(params: Params, inputs, compute_dtype=None,
     # Assignment walk in the exact order _resunet_stage consumes convs:
     # down, res_down (conv1, conv2 each), submodule, up, res_up.
     def _assign_conv(c: Params) -> Params:
-        if "w_q" in c:
+        # a split up conv (split_skip_generator) records ONE joint amax,
+        # exactly like the unsplit conv it replaces
+        if "w_q" in c or "w_a_q" in c:
             try:
                 s = next(scales)
             except StopIteration:
@@ -533,6 +550,43 @@ def s2d_input_generator(params: Params) -> Params:
         net, down=nn_core.s2d_from_conv3x3s2(net["down"])))
 
 
+def split_skip_generator(params: Params) -> Params:
+    """Inference-only transform: rewrite every skip-consuming up conv
+    (all stages but the innermost) into the concat-free split form
+    (nn_core.split_from_concat_conv), so no stage ever materialises its
+    cat(skip, submodule-out) tensor - the device trace shows those
+    concat copies at ~2.4 ms of a 31.5 ms int8 render batch.
+
+    Exact: float up to summation order; int8 bit-identical on
+    integer-exact conv backends (shared x_scale, int32 partials summed
+    before the rescale - the TPU MXU path; XLA:CPU's float emulation
+    leaves ~1e-8 reassociation noise).  Apply AFTER
+    quantize/fold/calibrate and INSTEAD of the subpixel rewrites (both
+    target the same 'up' convs).  The reference always materialises the
+    concat (networks.py:609-615 torch.cat in UnetSkipConnectionBlock)."""
+    if params["size"] == "small":
+        raise NotImplementedError("split-skip rewrite targets the ResUNet "
+                                  "variants ('small' uses ConvTranspose ups)")
+
+    def _walk(p: Params) -> Params:
+        q = dict(p)
+        if "sub" in p:  # innermost up conv reads a single tensor: skip it
+            for k in ("w", "w_q"):
+                if k in p["up"]:
+                    n_a = p["up"][k].shape[2] // 2
+                    q["up"] = nn_core.split_from_concat_conv(p["up"], n_a)
+                    break
+            else:
+                raise ValueError(
+                    "split_skip_generator needs plain 3x3 'up' convs; this "
+                    "tree already carries a subpixel/dilated rewrite "
+                    f"({sorted(p['up'])})")
+            q["sub"] = _walk(p["sub"])
+        return q
+
+    return dict(params, net=_walk(params["net"]))
+
+
 def _cast_net(net: Params, compute_dtype):
     return jax.tree.map(
         lambda a: a.astype(compute_dtype)
@@ -554,6 +608,15 @@ def precompute_cand_down(params: Params, cand_stack: jnp.ndarray,
     once per subject.  cand_stack: [H, W, 12] -> [1, H/2, W/2, inner_nc].
     """
     net = params["net"]
+    if "w" not in net["down"]:
+        # s2d_input_generator replaced the input conv with a packed
+        # 'w_s2d' kernel over channel-interleaved phases; the edge/cand
+        # channel split no longer exists, so split_cand cannot apply.
+        raise ValueError(
+            "split_cand requires the plain outermost down conv; this "
+            "generator's input conv was rewritten (s2d_input_generator) "
+            f"and has keys {sorted(net['down'])}. Disable one of "
+            "split_cand / s2d_input.")
     if compute_dtype is not None:
         net = _cast_net(net, compute_dtype)
         cand_stack = cand_stack.astype(compute_dtype)

@@ -188,20 +188,15 @@ def end_calibration() -> list:
     return out if out is not None else []
 
 
-def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
-               padding: int) -> jnp.ndarray:
-    """int8 convolution with per-tensor activation quantization.
+def _quantize_activation(params: Params, x: jnp.ndarray):
+    """Shared per-tensor activation quantization for every int8 conv form.
 
-    y = conv_s8(round(x/s_x), w_q) * (s_x * w_scale[c]) + b, accumulated
-    in int32 on the MXU.  The quantize/rescale arithmetic runs in the
-    activation dtype (bf16 in the inference path; integers <= 127 are
-    exact in bf16, and the mul/round rounding is the same order as the
-    int8 quantization noise itself).
-
-    The activation scale s_x is the layer's calibrated `x_scale` when
-    present (static quantization: no reduction over x, and XLA fuses the
-    quantize into the producing op); otherwise it is computed dynamically
-    as amax(|x|)/127 - one full read of x per conv."""
+    Returns (x_q int8, s_x f32 scalar, dt).  The scale s_x is the layer's
+    calibrated `x_scale` when present (static quantization: no reduction
+    over x, and XLA fuses the quantize into the producing op); otherwise
+    amax(|x|)/127, one full read of x per conv.  During calibration
+    (begin_calibration active) the observed amax is recorded and used, so
+    recording order == consumption order for every conv variant."""
     dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     if _CALIB_AMAX is not None:
         amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
@@ -213,6 +208,19 @@ def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
         s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
                    ).astype(jnp.int8)
+    return x_q, s_x, dt
+
+
+def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
+               padding: int) -> jnp.ndarray:
+    """int8 convolution with per-tensor activation quantization.
+
+    y = conv_s8(round(x/s_x), w_q) * (s_x * w_scale[c]) + b, accumulated
+    in int32 on the MXU.  The quantize/rescale arithmetic runs in the
+    activation dtype (bf16 in the inference path; integers <= 127 are
+    exact in bf16, and the mul/round rounding is the same order as the
+    int8 quantization noise itself)."""
+    x_q, s_x, dt = _quantize_activation(params, x)
     y = jax.lax.conv_general_dilated(
         x_q, params["w_q"], window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
@@ -306,17 +314,7 @@ def upconv_subpixel(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     order (see subpixel_from_conv3x3)."""
     quant = "w_ph_q" in params
     if quant:
-        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-        if _CALIB_AMAX is not None:
-            amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
-            _CALIB_AMAX.append(amax)
-            s_x = jnp.maximum(amax, 1e-12) / 127.0
-        elif "x_scale" in params:
-            s_x = params["x_scale"].astype(jnp.float32)
-        else:
-            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
-        x_in = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
-                        ).astype(jnp.int8)
+        x_in, s_x, dt = _quantize_activation(params, x)
     else:
         x_in = x
     outs = []
@@ -388,17 +386,7 @@ def upconv_subpixel1(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     Co], the same map as conv2d(w3x3, upsample_nearest_2x(x), padding=1)."""
     quant = "w_sp1_q" in params
     if quant:
-        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-        if _CALIB_AMAX is not None:
-            amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
-            _CALIB_AMAX.append(amax)
-            s_x = jnp.maximum(amax, 1e-12) / 127.0
-        elif "x_scale" in params:
-            s_x = params["x_scale"].astype(jnp.float32)
-        else:
-            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
-        x_in = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
-                        ).astype(jnp.int8)
+        x_in, s_x, dt = _quantize_activation(params, x)
         w = params["w_sp1_q"]
     else:
         x_in = x
@@ -472,17 +460,7 @@ def upconv_dilated(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     Co], same map as conv2d(w3x3, upsample_nearest_2x(x), padding=1)."""
     quant = "w_dl_q" in params
     if quant:
-        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-        if _CALIB_AMAX is not None:
-            amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
-            _CALIB_AMAX.append(amax)
-            s_x = jnp.maximum(amax, 1e-12) / 127.0
-        elif "x_scale" in params:
-            s_x = params["x_scale"].astype(jnp.float32)
-        else:
-            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
-        x_in = jnp.clip(jnp.round(x * (1.0 / s_x).astype(dt)), -127, 127
-                        ).astype(jnp.int8)
+        x_in, s_x, dt = _quantize_activation(params, x)
         w = params["w_dl_q"]
     else:
         x_in = x
@@ -495,6 +473,80 @@ def upconv_dilated(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     )
     if quant:
         y = y.astype(dt) * (params["w_dl_scale"].astype(jnp.float32) * s_x
+                            ).astype(dt)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def split_from_concat_conv(params: Params, n_a: int) -> Params:
+    """Rewrite a conv whose input is cat(a, b) (a = first n_a channels)
+    into the concat-free pair form consumed by upconv_split.
+
+    Pure kernel slicing - conv(cat(a, b), w) = conv(a, w[:n_a]) +
+    conv(b, w[n_a:]) by linearity, so float is exact up to summation
+    order and int8 (same w_scale per out channel, shared x_scale, int32
+    partials summed before the rescale) is bit-identical wherever the
+    backend's int8 conv is integer-exact (the TPU MXU path; XLA:CPU
+    emulates through float accumulation, leaving ~1e-8 noise)."""
+    q: Params = {}
+    if "w_q" in params:
+        q["w_a_q"] = params["w_q"][:, :, :n_a, :]
+        q["w_b_q"] = params["w_q"][:, :, n_a:, :]
+        q["w_scale"] = params["w_scale"]
+        if "x_scale" in params:
+            q["x_scale"] = params["x_scale"]
+    else:
+        q["w_a"] = params["w"][:, :, :n_a, :]
+        q["w_b"] = params["w"][:, :, n_a:, :]
+    if "b" in params:
+        q["b"] = params["b"]
+    return q
+
+
+def upconv_split(params: Params, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Concat-free up conv over the U-Net (skip, submodule) pair: each
+    half is upsampled 2x and convolved with its kernel slice, partials
+    summed - the same map as conv2d(w, upsample_nearest_2x(cat(a, b)),
+    padding=1) without ever materialising the concat.
+
+    int8 path: ONE shared activation scale across both halves (amax over
+    both, or the carried calibrated x_scale), quantized at COARSE
+    resolution (nearest upsample commutes with the elementwise quantize),
+    int32 partials summed before the rescale - bit-identical to the
+    unsplit quantized conv on integer-exact backends.  During calibration a single joint amax is
+    recorded, matching the one record the unsplit conv makes."""
+    quant = "w_a_q" in params
+    if quant:
+        dt = a.dtype if jnp.issubdtype(a.dtype, jnp.floating) else jnp.float32
+        if _CALIB_AMAX is not None:
+            amax = jnp.maximum(jnp.max(jnp.abs(a)),
+                               jnp.max(jnp.abs(b))).astype(jnp.float32)
+            _CALIB_AMAX.append(amax)
+            s_x = jnp.maximum(amax, 1e-12) / 127.0
+        elif "x_scale" in params:
+            s_x = params["x_scale"].astype(jnp.float32)
+        else:
+            s_x = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(a)),
+                            jnp.max(jnp.abs(b))).astype(jnp.float32),
+                1e-12) / 127.0
+        inv = (1.0 / s_x).astype(dt)
+        a_in = jnp.clip(jnp.round(a * inv), -127, 127).astype(jnp.int8)
+        b_in = jnp.clip(jnp.round(b * inv), -127, 127).astype(jnp.int8)
+        wa, wb = params["w_a_q"], params["w_b_q"]
+    else:
+        a_in, b_in, wa, wb = a, b, params["w_a"], params["w_b"]
+    extra = {"preferred_element_type": jnp.int32} if quant else {}
+    y = None
+    for x_in, w in ((a_in, wa), (b_in, wb)):
+        part = jax.lax.conv_general_dilated(
+            upsample_nearest_2x(x_in), w, window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), **extra)
+        y = part if y is None else y + part
+    if quant:
+        y = y.astype(dt) * (params["w_scale"].astype(jnp.float32) * s_x
                             ).astype(dt)
     if "b" in params:
         y = y + params["b"]

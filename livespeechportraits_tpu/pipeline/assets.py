@@ -112,7 +112,8 @@ def quantize_person_models(models: PersonModels,
                            calibrate_dtype=None,
                            calibrate_margin: float = 1.0,
                            subpixel: bool = False,
-                           s2d_input: bool = False) -> PersonModels:
+                           s2d_input: bool = False,
+                           split_skip: bool = False) -> PersonModels:
     """Return a copy with the renderer int8-quantized for inference
     (models.feature2face.quantize_generator; 'normal'/'large' only).
     The motion-stage models are unchanged - their cost is negligible
@@ -136,20 +137,45 @@ def quantize_person_models(models: PersonModels,
         f2f_params = _f2f.calibrate_generator(
             f2f_params, calibrate_inputs, compute_dtype=calibrate_dtype,
             margin=calibrate_margin)
+    return transform_person_models(
+        _replace(models, feature2face=f2f_params),
+        subpixel=subpixel, s2d_input=s2d_input, split_skip=split_skip)
+
+
+def transform_person_models(models: PersonModels,
+                            subpixel: bool = False,
+                            s2d_input: bool = False,
+                            split_skip: bool = False) -> PersonModels:
+    """Structural rewrites of the renderer that are math-exact on float
+    AND int8 trees (nn_core's *_from_conv3x3 handle both 'w' and 'w_q'
+    layers), so the rewrites can be benchmarked on the exact bf16 path
+    without quantization.
+
+    subpixel: rewrite upsample+3x3 up convs into a subpixel form - with a
+    quantized tree this must come after calibration.  True/'four' = 4x
+    2x2 convs; 'single' = one 3x3 conv with 4x output channels;
+    'single_outermost' = only the to-RGB conv; 'dilated' = one transposed
+    conv (see feature2face.subpixel_generator).
+    s2d_input: pack the 13-channel input conv into space-to-depth form
+    (incompatible with the split-candidate fast path; render raises).
+    split_skip: concat-free split up convs (feature2face.
+    split_skip_generator) - no stage materialises its skip concat;
+    mutually exclusive with subpixel (same 'up' convs)."""
+    from dataclasses import replace as _replace
+
+    from livespeechportraits_tpu.models import feature2face as _f2f
+
+    f2f_params = models.feature2face
     if subpixel:
-        # rewrite upsample+3x3 up convs into a subpixel form - must come
-        # after calibration.  True/'four' = 4x 2x2 convs; 'single' = one
-        # 3x3 conv with 4x output channels; 'single_outermost' = only the
-        # to-RGB conv (see feature2face.subpixel_generator)
         mode = "four" if subpixel is True else str(subpixel)
         base = mode.replace("_outermost", "")
         f2f_params = _f2f.subpixel_generator(
             f2f_params, mode=base,
             outermost_only=mode.endswith("_outermost"))
     if s2d_input:
-        # pack the 13-channel input conv into space-to-depth form
-        # (incompatible with the split-candidate fast path)
         f2f_params = _f2f.s2d_input_generator(f2f_params)
+    if split_skip:
+        f2f_params = _f2f.split_skip_generator(f2f_params)
     return _replace(models, feature2face=f2f_params)
 
 
@@ -281,10 +307,14 @@ def _flatten_tree(tree, prefix: str, out: dict):
     if isinstance(tree, (str, int, float, bool)) or tree is None:
         return {"t": "p", "v": tree}
     arr = np.asarray(tree)
-    if arr.dtype.name == "bfloat16":  # npz has no bf16; params live in f32
+    spec = {"t": "a", "key": prefix}
+    if arr.dtype.name == "bfloat16":
+        # npz has no bf16: store as f32 but record the dtype so the load
+        # restores bit-identical bf16 leaves (f32 is a superset of bf16).
+        spec["dt"] = "bfloat16"
         arr = arr.astype(np.float32)
     out[prefix] = arr
-    return {"t": "a", "key": prefix}
+    return spec
 
 
 def _unflatten_tree(spec, arrays):
@@ -296,7 +326,12 @@ def _unflatten_tree(spec, arrays):
         return seq if t == "l" else tuple(seq)
     if t == "p":
         return spec["v"]
-    return arrays[spec["key"]]
+    arr = arrays[spec["key"]]
+    if spec.get("dt") == "bfloat16":
+        import ml_dtypes
+
+        arr = arr.astype(ml_dtypes.bfloat16)
+    return arr
 
 
 def save_models_artifact(models: PersonModels, path: str) -> str:

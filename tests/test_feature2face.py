@@ -435,3 +435,95 @@ def test_subpixel_dilated_variant():
     outq, _ = feature2face.apply_generator(sq, x, compute_dtype=jnp.bfloat16)
     mse = float(jnp.mean((ref - outq.astype(jnp.float32)) ** 2))
     assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 24.0, mse
+
+
+def test_upconv_split_matches_upsample_conv_on_concat():
+    """nn_core.upconv_split == conv2d(upsample_nearest_2x(cat(a, b)))
+    exactly (float up to summation order)."""
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(60), 24, 16, 3)
+    a = jax.random.normal(jax.random.PRNGKey(61), (2, 9, 7, 12))
+    b = jax.random.normal(jax.random.PRNGKey(62), (2, 9, 7, 12))
+    cat = jnp.concatenate([a, b], axis=-1)
+    ref = nn_core.conv2d(p, nn_core.upsample_nearest_2x(cat), padding=1)
+    out = nn_core.upconv_split(nn_core.split_from_concat_conv(p, 12), a, b)
+    assert out.shape == ref.shape == (2, 18, 14, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_split_skip_generator_float_equivalence():
+    """split_skip_generator removes every skip concat; the float forward
+    is unchanged, including the split-candidate edge fast path."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(63), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(64), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    ref, _ = feature2face.apply_generator(params, x)
+    sp = feature2face.split_skip_generator(params)
+    assert "w_a" in sp["net"]["up"] and "w" not in sp["net"]["up"]
+    # the innermost up conv reads a single tensor: stays unsplit
+    inner = sp["net"]
+    while "sub" in inner:
+        inner = inner["sub"]
+    assert "w" in inner["up"]
+    out, _ = feature2face.apply_generator(sp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    edge, cand = x[..., :1], x[0, ..., 1:]
+    cand_down = feature2face.precompute_cand_down(sp, cand)
+    y_edge = feature2face.apply_generator_edge(sp, edge, cand_down)
+    x_shared = jnp.concatenate(
+        [edge, jnp.broadcast_to(cand, (2,) + cand.shape)], axis=-1)
+    y_shared, _ = feature2face.apply_generator(sp, x_shared)
+    np.testing.assert_allclose(np.asarray(y_edge), np.asarray(y_shared),
+                               atol=1e-5)
+
+
+def test_split_skip_generator_int8_bit_identical():
+    """On the quantized tree the split form matches the unsplit int8
+    forward to float noise (shared x_scale, partials summed before the
+    rescale), calibrated and uncalibrated, f32 and bf16.  The int32
+    arithmetic is identical in exact integers; XLA:CPU lowers the int8
+    conv through float accumulation, so reassociating the 2*C-channel
+    sum into two C-channel partials leaves ~1e-8 noise (observed max
+    1.5e-8 vs outputs O(1e-2)) - on the TPU MXU int8 path the sums are
+    integer-exact."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(65), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(66), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    for calibrated in (False, True):
+        q = feature2face.calibrate_generator(qp, x) if calibrated else qp
+        sp = feature2face.split_skip_generator(q)
+        assert sp["net"]["sub"]["up"]["w_a_q"].dtype == jnp.int8
+        if calibrated:
+            assert "x_scale" in sp["net"]["sub"]["up"]
+        for dt in (None, jnp.bfloat16):
+            ref, _ = feature2face.apply_generator(q, x, compute_dtype=dt)
+            out, _ = feature2face.apply_generator(sp, x, compute_dtype=dt)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                atol=2e-7 if dt is None else 1e-3)
+
+
+def test_split_skip_calibrate_after_split_matches():
+    """Calibrating the ALREADY-split tree records one joint amax per
+    split conv (same protocol as unsplit) - the resulting scales match
+    calibrate-then-split."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(67), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(68), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    qp = feature2face.fold_bn_generator(feature2face.quantize_generator(params))
+    a = feature2face.split_skip_generator(feature2face.calibrate_generator(qp, x))
+    b = feature2face.calibrate_generator(feature2face.split_skip_generator(qp), x)
+    np.testing.assert_allclose(
+        float(a["net"]["sub"]["up"]["x_scale"]),
+        float(b["net"]["sub"]["up"]["x_scale"]), rtol=1e-6)
+    ra, _ = feature2face.apply_generator(a, x)
+    rb, _ = feature2face.apply_generator(b, x)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
