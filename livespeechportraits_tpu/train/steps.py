@@ -12,6 +12,7 @@ XLA, no DataParallel wrapper, no dummy-batch padding
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -53,13 +54,18 @@ def _a2f_loss(cfg: Audio2FeatureConfig, preds, target):
     return jnp.mean((preds - target) ** 2) * 1000.0
 
 
-def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation):
+def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation,
+                  donate: bool = True):
     def loss_fn(params, batch):
         preds, aux = a2f.apply_audio2feature(params, batch["audio"], training=True)
         loss = _a2f_loss(cfg, preds, batch["target"])
         return loss, aux
 
-    @jax.jit
+    # donate: update params + Adam moments in place instead of
+    # double-buffering the full state tree in HBM each step.  Callers
+    # reassign `state = step(state, ...)`; pass donate=False to keep the
+    # input state alive (e.g. equivalence tests stepping one state twice).
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         new_state = apply_updates_with_bn(state, grads, aux, tx)
@@ -101,7 +107,7 @@ def a2h_validate(cfg: Audio2HeadposeConfig):
 
 
 def make_a2h_step(cfg: Audio2HeadposeConfig, tx: optax.GradientTransformation,
-                  smooth_loss_weight: float = 0.0):
+                  smooth_loss_weight: float = 0.0, donate: bool = True):
     def loss_fn(params, batch, rng):
         history, audio, target = batch["history"], batch["audio"], batch["target"]
         preds, aux = a2h.apply_audio2headpose(
@@ -123,7 +129,7 @@ def make_a2h_step(cfg: Audio2HeadposeConfig, tx: optax.GradientTransformation,
         metrics["loss"] = loss
         return loss, (aux, metrics)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (_, (aux, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -147,6 +153,7 @@ def make_f2f_steps(
     vgg_params: Optional[Any] = None,
     compute_dtype=None,
     remat: bool = False,
+    donate: bool = True,
 ):
     """Returns (d_step, g_step).
 
@@ -221,7 +228,7 @@ def make_f2f_steps(
                    "Style": loss_style, "loss_G_FM": loss_fm, "loss_G": loss}
         return loss, (aux_g, metrics)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def d_step(d_state: TrainState, g_net, batch):
         """g_net: the generator TrainState's params (its `net` subtree)."""
         (_, (aux_d, metrics)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -230,7 +237,7 @@ def make_f2f_steps(
         new_state = apply_updates_with_bn(d_state, grads, aux_d, tx_d)
         return new_state, metrics
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def g_step(g_state: TrainState, d_params, batch):
         (_, (aux_g, metrics)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_state.params, d_params, batch
@@ -248,6 +255,7 @@ def make_f2f_fused_step(
     vgg_params: Optional[Any] = None,
     compute_dtype=None,
     remat: bool = False,
+    donate: bool = True,
 ):
     """One-program GAN step updating D and G together, sharing every
     forward tower via explicit `jax.vjp` pullbacks.
@@ -288,7 +296,7 @@ def make_f2f_fused_step(
     def _tree_add(a, b):
         return jax.tree_util.tree_map(jnp.add, a, b)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def gan_step(g_state: TrainState, d_state: TrainState, batch):
         inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]],
                               axis=-1)

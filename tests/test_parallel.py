@@ -45,7 +45,9 @@ def test_data_parallel_step_matches_single_device():
     # float-noise gradients (e.g. the shift-invariant BN-input biases,
     # whose true gradient is 0) into full-lr steps with arbitrary signs.
     tx = optax.sgd(0.1)
-    step = steps.make_a2f_step(A2F_CFG, tx)
+    # donate=False: this test steps states built over the SAME param
+    # arrays twice (single-device then sharded) for comparison
+    step = steps.make_a2f_step(A2F_CFG, tx, donate=False)
 
     rng = np.random.default_rng(0)
     audio = rng.normal(size=(8, 12, 8)).astype(np.float32)
@@ -155,7 +157,7 @@ def test_multihost_shard_host_batch_single_process():
 
     tx = optax.adam(1e-3)
     params = audio2feature.init_audio2feature(jax.random.PRNGKey(0), A2F_CFG)
-    step = steps.make_a2f_step(A2F_CFG, tx)
+    step = steps.make_a2f_step(A2F_CFG, tx, donate=False)
     s1, m1 = step(state_mod.create_state(mesh_mod.replicate(mesh, params), tx), a)
     s2, m2 = step(state_mod.create_state(mesh_mod.replicate(mesh, params), tx), b)
     assert float(m1["loss"]) == float(m2["loss"])
@@ -184,7 +186,7 @@ def test_fused_gan_step_data_parallel_matches_single_device():
     g = feature2face.init_generator(kg, cfg)
     d = feature2face.init_discriminator(kd, cfg)
     tx = optax.sgd(1e-2)
-    gan_step = steps.make_f2f_fused_step(cfg, tx, tx)
+    gan_step = steps.make_f2f_fused_step(cfg, tx, tx, donate=False)
 
     rng = np.random.default_rng(9)
     B, H = 8, 32

@@ -77,7 +77,8 @@ def test_f2f_gan_steps_run_and_update():
     tx_d = state_mod.adam(lr_d, b1=bd[0], b2=bd[1])
     g_state = state_mod.create_state(g["net"], tx_g)
     d_state = state_mod.create_state(d, tx_d)
-    d_step, g_step = steps.make_f2f_steps(F2F_CFG, tx_g, tx_d, vgg_params=None)
+    d_step, g_step = steps.make_f2f_steps(F2F_CFG, tx_g, tx_d, vgg_params=None,
+                                           donate=False)
 
     rng = np.random.default_rng(2)
     B, H = 2, 32
@@ -259,7 +260,8 @@ def test_f2f_remat_step_matches_plain():
     for remat in [False, True]:
         g_state = state_mod.create_state(g["net"], tx)
         d_state = state_mod.create_state(d, tx)
-        _, g_step = steps.make_f2f_steps(F2F_CFG, tx, tx, remat=remat)
+        _, g_step = steps.make_f2f_steps(F2F_CFG, tx, tx, remat=remat,
+                                         donate=False)
         g_state, m = g_step(g_state, d_state.params, batch)
         outs.append((float(m["loss_G"]), g_state.params))
     assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
@@ -389,7 +391,8 @@ def test_f2f_fused_step_remat_matches_plain():
     for remat in (False, True):
         g_state = state_mod.create_state(g["net"], tx)
         d_state = state_mod.create_state(d, tx)
-        step = steps.make_f2f_fused_step(cfg, tx, tx, remat=remat)
+        step = steps.make_f2f_fused_step(cfg, tx, tx, remat=remat,
+                                         donate=False)
         new_g, new_d, m = step(g_state, d_state, batch)
         outs.append((new_g.params, float(m["loss_G"]), float(m["loss_D"])))
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
