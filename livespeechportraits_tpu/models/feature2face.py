@@ -33,6 +33,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from livespeechportraits_tpu.config import Feature2FaceConfig
 from livespeechportraits_tpu.models import nn_core
@@ -91,7 +92,8 @@ def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[in
     return p
 
 
-def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
+def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None,
+                   depth: int = 0):
     """Returns ((x, out) skip/up pair - or out alone if outermost,
     updated params).  The consuming stage concatenates the pair (or
     consumes it concat-free via a split up conv, split_skip_generator).
@@ -99,6 +101,13 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
     Stage kind is implicit in the param structure: the outermost stage has
     no up_bn; the innermost has no submodule.  y_down overrides the down
     conv's output (the split-candidate inference path).
+
+    Stage-boundary activations are tagged with jax.ad_checkpoint
+    checkpoint_name ("down{depth}"/"up{depth}", depth 0 = outermost, a
+    no-op outside a jax.checkpoint policy) so training can rematerialise
+    ONLY the outer high-resolution stages - the memory hogs at 512^2 -
+    while keeping the deep stages' cheap small activations saved
+    (steps.remat_policy).
     """
     outermost = "up_bn" not in p
     new_p = dict(p)
@@ -118,6 +127,7 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
         y, nrp = _resblock(rp, y, training)
         new_res_down.append(nrp)
     new_p["res_down"] = new_res_down
+    y = checkpoint_name(y, f"down{depth}")
 
     if sub_apply is not None:
         # non-innermost: the submodule hands back its (skip, up-out) PAIR;
@@ -156,7 +166,7 @@ def _resunet_stage(p: Params, sub_apply, x, training: bool, y_down=None):
             y, nrp = _resblock(rp, y, training)
             new_res_up.append(nrp)
         new_p["res_up"] = new_res_up
-        return (x, y), new_p
+        return (x, checkpoint_name(y, f"up{depth}")), new_p
     return y, new_p
 
 
@@ -183,12 +193,12 @@ def _build_resunet_init(key, input_nc: int, output_nc: int, num_downs: int,
     return nest(0)
 
 
-def _resunet_apply(p: Params, x, training: bool):
+def _resunet_apply(p: Params, x, training: bool, depth: int = 0):
     if "sub" in p:
-        sub = lambda y: _resunet_apply(p["sub"], y, training)  # noqa: E731
+        sub = lambda y: _resunet_apply(p["sub"], y, training, depth + 1)  # noqa: E731
     else:
         sub = None
-    return _resunet_stage(p, sub, x, training)
+    return _resunet_stage(p, sub, x, training, depth=depth)
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,30 @@ def make_a2h_step(cfg: Audio2HeadposeConfig, tx: optax.GradientTransformation,
 # ---------------------------------------------------------------------------
 
 
+
+def _remat_wrap(fn, remat, num_downs: int):
+    """Apply the requested rematerialisation mode to a generator forward.
+
+    remat=False: save everything.  remat=True: full jax.checkpoint
+    (recompute the whole forward in the backward).  remat=int K >= 1:
+    SELECTIVE - save only the stage-boundary activations tagged
+    "down{d}"/"up{d}" (feature2face._resunet_stage checkpoint_name) for
+    depths d >= K, i.e. rematerialise just the outermost K
+    high-resolution stages.  At 512^2 those stages hold the overwhelming
+    share of activation bytes (512^2/256^2 x 64ch tensors) but a small
+    share of FLOPs, so selective remat frees the memory that forces XLA
+    into spill copies (see tools/trace_train.py) at a fraction of full
+    remat's recompute cost."""
+    if remat is True:
+        return jax.checkpoint(fn)
+    if remat:
+        names = [f"{k}{d}" for d in range(int(remat), num_downs)
+                 for k in ("down", "up")]
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(*names))
+    return fn
+
+
 def make_f2f_steps(
     cfg: Feature2FaceConfig,
     tx_g: optax.GradientTransformation,
@@ -165,7 +189,9 @@ def make_f2f_steps(
 
     remat=True rematerialises the generator forward in the backward pass
     (jax.checkpoint) - trades ~1/3 more FLOPs for activation memory, the
-    lever for 512^2 training at larger per-chip batches.
+    lever for 512^2 training at larger per-chip batches.  remat=int K
+    rematerialises only the outermost K stages (_remat_wrap) - most of
+    the memory at a fraction of the recompute.
 
     Note on batch-norm semantics under data parallelism: with a
     `data`-sharded global batch, GSPMD computes GLOBAL batch statistics
@@ -187,8 +213,7 @@ def make_f2f_steps(
                                             compute_dtype=compute_dtype)
             return fake, aux["net"]
 
-        if remat:
-            fwd = jax.checkpoint(fwd, static_argnums=())
+        fwd = _remat_wrap(fwd, remat, cfg.n_downsample)
         fake, aux_net = fwd(g_net, inp)
         return inp, fake, aux_net
 
@@ -290,8 +315,7 @@ def make_f2f_fused_step(
                                         compute_dtype=compute_dtype)
         return fake, aux["net"]
 
-    if remat:
-        g_fwd = jax.checkpoint(g_fwd)
+    g_fwd = _remat_wrap(g_fwd, remat, cfg.n_downsample)
 
     def _tree_add(a, b):
         return jax.tree_util.tree_map(jnp.add, a, b)

@@ -257,16 +257,17 @@ def test_f2f_remat_step_matches_plain():
         "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
     }
     outs = []
-    for remat in [False, True]:
+    for remat in [False, True, 2]:
         g_state = state_mod.create_state(g["net"], tx)
         d_state = state_mod.create_state(d, tx)
         _, g_step = steps.make_f2f_steps(F2F_CFG, tx, tx, remat=remat,
                                          donate=False)
         g_state, m = g_step(g_state, d_state.params, batch)
         outs.append((float(m["loss_G"]), g_state.params))
-    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
-    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for loss, params in outs[1:]:
+        assert outs[0][0] == pytest.approx(loss, rel=1e-5)
+        for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_prefetch_iterator():
@@ -388,15 +389,18 @@ def test_f2f_fused_step_remat_matches_plain():
         "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
     }
     outs = []
-    for remat in (False, True):
+    # 2 = selective: rematerialise only the outermost 2 stages
+    # (steps._remat_wrap named-checkpoint policy)
+    for remat in (False, True, 2):
         g_state = state_mod.create_state(g["net"], tx)
         d_state = state_mod.create_state(d, tx)
         step = steps.make_f2f_fused_step(cfg, tx, tx, remat=remat,
                                          donate=False)
         new_g, new_d, m = step(g_state, d_state, batch)
         outs.append((new_g.params, float(m["loss_G"]), float(m["loss_D"])))
-    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
-    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5)
-    for a, b in zip(jax.tree.leaves(outs[0][0]), jax.tree.leaves(outs[1][0])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6, rtol=1e-5)
+    for other in outs[1:]:
+        np.testing.assert_allclose(outs[0][1], other[1], rtol=1e-5)
+        np.testing.assert_allclose(outs[0][2], other[2], rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(outs[0][0]), jax.tree.leaves(other[0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)

@@ -1,18 +1,13 @@
 #!/usr/bin/env python
-"""Capture a real device trace of the 512^2 render program and print a
-per-op-family device-time table.
+"""Capture a real device trace of the fused 512^2 GAN train step and
+print a per-op-family device-time table (companion to trace_render.py;
+same Chrome-trace parsing, training program instead of the renderer).
 
-jax.profiler works through this harness's relay: the Chrome trace
-(vm.trace.json.gz) carries true on-device kernel durations, parsed here
-with the stdlib (no tensorboard needed).
+    python tools/trace_train.py [batch] [remat] [iters]
 
-    python tools/trace_render.py [batch] [quantize] [iters]
-
-Round-2 findings at batch=16 int8 (2026-08-17): the int8 conv fusions
-(XLA names them clamp_convert_fusion after their quantize roots) run at
-~53% of the chip's int8 peak and take ~19 ms of the ~31 ms batch; the
-rest is data movement - copies ~2.4 ms, broadcasts ~2.2 ms, skip-add+relu
-fusions ~1.7 ms, padding ~1.2 ms, float outer convs ~3.5 ms.
+Use with docs/TRAIN_512.md's batch-scaling table: the step is
+compute-saturated from B=16 (~33% MFU); this attributes where the other
+two thirds go (bf16 conv fusions vs BN reductions vs transposes/copies).
 """
 
 from __future__ import annotations
@@ -31,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
+    import optax
 
     os.makedirs("/tmp/jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -38,29 +35,39 @@ def main() -> None:
 
     from livespeechportraits_tpu.config import Feature2FaceConfig
     from livespeechportraits_tpu.models import feature2face
-    from livespeechportraits_tpu.pipeline.animate import _jit_render
+    from livespeechportraits_tpu.train import state as state_mod
+    from livespeechportraits_tpu.train import steps as steps_mod
     from livespeechportraits_tpu.utils import profiling
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    quantize = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
+    remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    cfg = Feature2FaceConfig(size="large", ngf=64, n_downsample=8, load_size=512)
-    params = feature2face.init_generator(jax.random.PRNGKey(0), cfg)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 512, 512, 13))
-    if quantize:
-        params = feature2face.fold_bn_generator(
-            feature2face.quantize_generator(params))
-        params = feature2face.calibrate_generator(
-            params, x, compute_dtype=jnp.bfloat16)
+    H = 512
+    cfg = Feature2FaceConfig(size="large", ngf=64, n_downsample=8, load_size=H)
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+    g_state = state_mod.create_state(
+        feature2face.init_generator(kg, cfg)["net"], tx)
+    d_state = state_mod.create_state(
+        feature2face.init_discriminator(kd, cfg), tx)
+    gan_step = steps_mod.make_f2f_fused_step(
+        cfg, tx, tx, vgg_params=None, compute_dtype=jnp.bfloat16, remat=remat)
 
-    y = _jit_render(params["net"], "large", x, jnp.bfloat16)
-    _ = float(jnp.sum(y.ravel()[:1].astype(jnp.float32)))  # compile + sync
-    log_dir = "/tmp/lsp_trace"
+    rng = np.random.default_rng(0)
+    dev_batch = jax.device_put({
+        "feature_map": rng.uniform(0, 1, (batch, H, H, 1)).astype(np.float32),
+        "cand_image": rng.uniform(-1, 1, (batch, H, H, 12)).astype(np.float32),
+        "tgt_image": rng.uniform(-1, 1, (batch, H, H, 3)).astype(np.float32),
+    })
+
+    g_state, d_state, m = gan_step(g_state, d_state, dev_batch)
+    _ = float(m["loss_G"])  # compile + true barrier
+    log_dir = "/tmp/lsp_trace_train"
     with profiling.trace(log_dir):
         for _ in range(iters):
-            y = _jit_render(params["net"], "large", x, jnp.bfloat16)
-        _ = float(jnp.sum(y.ravel()[:1].astype(jnp.float32)))
+            g_state, d_state, m = gan_step(g_state, d_state, dev_batch)
+        _ = float(m["loss_G"])
 
     latest = max(glob.glob(os.path.join(log_dir, "plugins/profile/*")),
                  key=os.path.getmtime)
@@ -83,10 +90,10 @@ def main() -> None:
             agg[re.sub(r"[.\d]+$", "", e["name"])] += e["dur"]
     total = sum(agg.values())
     print(json.dumps({"trace": trace_file, "iters": iters, "batch": batch,
-                      "quantize": quantize,
-                      "device_ms_per_batch": round(total / iters / 1e3, 2)}))
-    for fam, us in agg.most_common(20):
-        print(f"{us / iters / 1e3:8.3f} ms/batch  {fam}")
+                      "remat": remat,
+                      "device_ms_per_step": round(total / iters / 1e3, 2)}))
+    for fam, us in agg.most_common(25):
+        print(f"{us / iters / 1e3:8.3f} ms/step  {fam}")
 
 
 if __name__ == "__main__":

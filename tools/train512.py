@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--checkpoints_dir", default="/tmp/train512_r2")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat_depth", type=int, default=0,
+                   help="selective remat: recompute only the outermost N "
+                        "U-Net stages (steps._remat_wrap); 0 = use the "
+                        "--no_remat bool (full remat unless --no_remat)")
     p.add_argument("--fused_step", action="store_true",
                    help="one-program GAN step sharing the G/D forward "
                         "towers (steps.make_f2f_fused_step)")
@@ -55,6 +59,9 @@ def main() -> None:
                    help="rasterise training edge maps on device per batch "
                         "(drops the per-frame host cv2 draw)")
     args = p.parse_args()
+
+    def _remat_arg(a):
+        return a.remat_depth if a.remat_depth else (not a.no_remat)
 
     import jax
 
@@ -79,7 +86,7 @@ def main() -> None:
     loop = trainer.TrainLoopConfig(
         n_epochs=n_epochs, n_epochs_decay=0, lr=args.lr, batch_size=args.batch,
         print_freq=10, checkpoints_dir=args.checkpoints_dir, name=args.name,
-        ttur=True, remat=not args.no_remat,
+        ttur=True, remat=_remat_arg(args),
         save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
         validate_epoch=max(1, n_epochs // 4), fused_step=args.fused_step,
     )
@@ -121,7 +128,7 @@ def main() -> None:
     if args.fused_step:
         gan_step = steps_mod.make_f2f_fused_step(
             cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-            remat=not args.no_remat)
+            remat=_remat_arg(args))
         g_state, d_state, gm = gan_step(g_state, d_state, batch)
         _ = float(gm["loss_G"])
         t0 = time.time()
@@ -133,7 +140,7 @@ def main() -> None:
     else:
         d_step, g_step = steps_mod.make_f2f_steps(
             cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-            remat=not args.no_remat)
+            remat=_remat_arg(args))
         # warm (hits the trainer's executables via the jit cache); the
         # scalar fetch is the true barrier on the tunnelled backend
         d_state, _ = d_step(d_state, g_state.params, batch)
@@ -167,7 +174,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "512^2 GAN train step (D+G), 1 chip",
         "size": args.size, "batch": args.batch, "vgg": args.vgg,
-        "remat": not args.no_remat, "fused_step": args.fused_step,
+        "remat": _remat_arg(args), "fused_step": args.fused_step,
         "steps_trained": int(g_state.step), "train_wall_s": round(train_wall, 1),
         "step_time_ms": round(step_s * 1e3, 1),
         "steps_per_s": round(1.0 / step_s, 3),
