@@ -367,6 +367,72 @@ def quantize_generator(params: Params) -> Params:
     return dict(params, net=_q_stage(params["net"], outermost=True))
 
 
+def qat_generator(params: Params) -> Params:
+    """Tag a float ResUNet generator for quantization-aware fine-tuning.
+
+    Tags exactly the conv subset `quantize_generator` quantizes (all
+    interior stage down/up convs and residual convs; the outermost
+    input/to-RGB convs stay float), so training sees the deployed int8
+    arithmetic through `nn_core._conv2d_fakequant`'s straight-through
+    estimator.  The tree stays float and trainable: the usual train
+    steps, checkpoints and BN batch-stat updates all apply unchanged,
+    and the fine-tuned weights deploy via the standard
+    `quantize_generator` -> `fold_bn_generator` -> `calibrate_generator`
+    stack.  Post-training quantization is the parity path; this is the
+    capability extension that recovers the int8 fidelity gap when PTQ is
+    not enough (the reference has no reduced-precision training at all,
+    feature2face_model.py:59-60)."""
+    size = params["size"]
+    if size == "small":
+        raise NotImplementedError(
+            "QAT targets the ResUNet variants ('normal'/'large'), "
+            "matching quantize_generator")
+
+    def _t_res(r: Params) -> Params:
+        return dict(r, conv1=nn_core.fake_quant_conv(r["conv1"]),
+                    conv2=nn_core.fake_quant_conv(r["conv2"]))
+
+    def _t_stage(p: Params, outermost: bool) -> Params:
+        q = dict(p)
+        if not outermost:
+            q["down"] = nn_core.fake_quant_conv(p["down"])
+            q["up"] = nn_core.fake_quant_conv(p["up"])
+        q["res_down"] = [_t_res(r) for r in p["res_down"]]
+        if "res_up" in p:
+            q["res_up"] = [_t_res(r) for r in p["res_up"]]
+        if "sub" in p:
+            q["sub"] = _t_stage(p["sub"], outermost=False)
+        return q
+
+    return dict(params, net=_t_stage(params["net"], outermost=True))
+
+
+def is_qat_generator(params: Params) -> bool:
+    """True iff any conv in the tree carries a QAT tag."""
+    def _walk(p) -> bool:
+        if isinstance(p, dict):
+            return "fq" in p or any(_walk(v) for v in p.values())
+        if isinstance(p, list):
+            return any(_walk(v) for v in p)
+        return False
+
+    return _walk(params["net"])
+
+
+def strip_qat_generator(params: Params) -> Params:
+    """Remove QAT tags, returning a plain float tree (calibrated
+    `x_scale` leaves, if any, stay: `quantize_conv` carries them into
+    the deployed int8 layer)."""
+    def _walk(p):
+        if isinstance(p, dict):
+            return {k: _walk(v) for k, v in p.items() if k != "fq"}
+        if isinstance(p, list):
+            return [_walk(v) for v in p]
+        return p
+
+    return dict(params, net=_walk(params["net"]))
+
+
 def calibrate_generator(params: Params, inputs, compute_dtype=None,
                         margin: float = 1.0) -> Params:
     """Bake static per-conv activation scales into an int8-quantized
@@ -416,8 +482,10 @@ def calibrate_generator(params: Params, inputs, compute_dtype=None,
     # down, res_down (conv1, conv2 each), submodule, up, res_up.
     def _assign_conv(c: Params) -> Params:
         # a split up conv (split_skip_generator) records ONE joint amax,
-        # exactly like the unsplit conv it replaces
-        if "w_q" in c or "w_a_q" in c:
+        # exactly like the unsplit conv it replaces; a QAT-tagged float
+        # conv ('fq') records identically, so scales can be baked into
+        # the training tree and ride through quantize_conv to deployment
+        if "w_q" in c or "w_a_q" in c or "fq" in c:
             try:
                 s = next(scales)
             except StopIteration:

@@ -145,9 +145,14 @@ def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
     """x: [N, H, W, C] -> [N, H', W', C']; integer symmetric padding.
 
     Dispatches on the param format: a quantized layer (`quantize_conv`)
-    runs s8xs8->s32 on the MXU's int8 path (2x bf16 peak on v5e)."""
+    runs s8xs8->s32 on the MXU's int8 path (2x bf16 peak on v5e); a
+    QAT-tagged layer (`fake_quant_conv`) emulates that arithmetic in
+    float with a straight-through estimator so the weights stay
+    trainable."""
     if "w_q" in params:
         return _conv2d_q8(params, x, stride, padding)
+    if "fq" in params:
+        return _conv2d_fakequant(params, x, stride, padding)
     y = jax.lax.conv_general_dilated(
         x, params["w"], window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
@@ -167,6 +172,10 @@ def quantize_conv(params: Params) -> Params:
     q: Params = {"w_q": w_q, "w_scale": s}
     if "b" in params:
         q["b"] = params["b"]
+    if "x_scale" in params:
+        # calibrated static activation scale (e.g. baked during QAT
+        # fine-tuning) rides through to the deployed int8 layer
+        q["x_scale"] = params["x_scale"]
     return q
 
 
@@ -231,6 +240,66 @@ def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
     if "b" in params:
         y = y + params["b"]
     return y
+
+
+def fake_quant_conv(params: Params) -> Params:
+    """Tag a float conv2d layer for quantization-aware training.
+
+    The tagged layer's forward (`_conv2d_fakequant`) runs the SAME
+    arithmetic the deployed int8 layer runs - per-output-channel weight
+    scales, per-tensor activation scale, values rounded to the int8 grid
+    - but in f32 with a straight-through estimator, so the float weights
+    keep receiving gradients and learn to sit well on the grid.  The tag
+    is a unit array leaf (jit-safe pytrees carry only arrays); its value
+    is unused.  The reference has no QAT (fp16 autocast is its only
+    reduced precision, feature2face_model.py:59-60)."""
+    if "w_q" in params:
+        raise ValueError("fake_quant_conv expects a float conv (got int8)")
+    return dict(params, fq=jnp.ones((), jnp.float32))
+
+
+def _round_ste(v: jnp.ndarray) -> jnp.ndarray:
+    """round() that is the identity to the gradient (straight-through)."""
+    return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
+
+def _conv2d_fakequant(params: Params, x: jnp.ndarray, stride: int,
+                      padding: int) -> jnp.ndarray:
+    """QAT forward: f32 emulation of `_conv2d_q8` with STE gradients.
+
+    y = conv(fq(x), fq(w)) + b where fq snaps values to the int8 grid at
+    the deployment scales (weights: per-out-channel amax/127, exactly
+    `quantize_conv`; activations: calibrated `x_scale` when present,
+    else dynamic amax/127, exactly `_quantize_activation`).  Scales are
+    stop-gradiented so learning happens only through the STE identity -
+    the fine-tuned tree round-trips through `quantize_generator` to the
+    very arithmetic trained against (up to f32-vs-int32 accumulation
+    rounding).  Calibration recording works here too, so static scales
+    can be baked before or after fine-tuning."""
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    w = params["w"].astype(jnp.float32)
+    s_w = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0)
+    w_fq = jnp.clip(_round_ste(w / s_w), -127, 127) * s_w
+    xf = x.astype(jnp.float32)
+    if _CALIB_AMAX is not None:
+        amax = jax.lax.stop_gradient(jnp.max(jnp.abs(xf)))
+        _CALIB_AMAX.append(amax)
+        s_x = jnp.maximum(amax, 1e-12) / 127.0
+    elif "x_scale" in params:
+        s_x = jax.lax.stop_gradient(params["x_scale"].astype(jnp.float32))
+    else:
+        s_x = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0)
+    x_fq = jnp.clip(_round_ste(xf / s_x), -127, 127) * s_x
+    y = jax.lax.conv_general_dilated(
+        x_fq, w_fq, window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(dt)
 
 
 def conv_transpose2d(params: Params, x: jnp.ndarray, stride: int = 2,

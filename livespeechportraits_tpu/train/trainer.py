@@ -56,6 +56,7 @@ class TrainLoopConfig:
     display_epoch_freq: int = 1  # GAN epoch image-panel cadence (0 = off)
     remat: bool = False  # rematerialise the G forward in backward (512^2 memory lever)
     fused_step: bool = False  # one-program GAN step (shared forward towers)
+    qat: bool = False  # quantization-aware G: train against the int8 arithmetic
 
 
 def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
@@ -248,6 +249,12 @@ def train_feature2face(
     kg, kd = jax.random.split(jax.random.PRNGKey(loop.seed))
     g = init_g if init_g is not None else f2f_model.init_generator(kg, cfg)
     d = init_d if init_d is not None else f2f_model.init_discriminator(kd, cfg)
+    if loop.qat and not f2f_model.is_qat_generator(g):
+        # Quantization-aware fine-tuning: G forwards (train, validation,
+        # panels) run the deployed int8 arithmetic via STE fake-quant
+        # convs (f2f_model.qat_generator).  Checkpoints saved by a QAT
+        # run carry the tags; resuming keeps them (no double-tagging).
+        g = f2f_model.qat_generator(g)
     mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
     g_net = g["net"]
     if mesh is not None:

@@ -527,3 +527,151 @@ def test_split_skip_calibrate_after_split_matches():
     ra, _ = feature2face.apply_generator(a, x)
     rb, _ = feature2face.apply_generator(b, x)
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (nn_core.fake_quant_conv / f2f.qat_generator)
+# ---------------------------------------------------------------------------
+
+
+def test_fake_quant_conv_matches_int8_layer():
+    """The STE fake-quant conv runs the SAME arithmetic as the deployed
+    int8 layer (identical weight/activation scales; f32 accumulation vs
+    int32 differs only in rounding)."""
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(0), 16, 24, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16))
+    y_fq = nn_core.conv2d(nn_core.fake_quant_conv(p), x, padding=1)
+    y_q8 = nn_core.conv2d(nn_core.quantize_conv(p), x, padding=1)
+    np.testing.assert_allclose(np.asarray(y_fq), np.asarray(y_q8),
+                               atol=1e-5, rtol=1e-5)
+    # tagging an already-int8 layer is an error
+    with pytest.raises(ValueError):
+        nn_core.fake_quant_conv(nn_core.quantize_conv(p))
+
+
+def test_qat_generator_matches_quantized_forward():
+    """qat_generator's eval forward == quantize_generator's forward (up
+    to accumulation rounding), and strip_qat_generator restores the
+    exact float forward."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(10), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+
+    qat = feature2face.qat_generator(params)
+    assert feature2face.is_qat_generator(qat)
+    assert not feature2face.is_qat_generator(params)
+    # outermost convs stay untagged, mirroring quantize_generator
+    assert "fq" not in qat["net"]["down"] and "fq" not in qat["net"]["up"]
+    assert "fq" in qat["net"]["sub"]["down"]
+
+    y_qat, _ = feature2face.apply_generator(qat, x, training=False)
+    y_int8, _ = feature2face.apply_generator(
+        feature2face.quantize_generator(params), x, training=False)
+    np.testing.assert_allclose(np.asarray(y_qat), np.asarray(y_int8),
+                               atol=2e-4)
+
+    stripped = feature2face.strip_qat_generator(qat)
+    assert not feature2face.is_qat_generator(stripped)
+    y_float, _ = feature2face.apply_generator(params, x, training=False)
+    y_strip, _ = feature2face.apply_generator(stripped, x, training=False)
+    np.testing.assert_array_equal(np.asarray(y_strip), np.asarray(y_float))
+
+
+def test_qat_gradients_flow_through_ste():
+    """Gradients reach the tagged float weights (STE) and are zero for
+    the tag leaf itself (scales are stop-gradiented)."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(20), cfg)
+    qat = feature2face.qat_generator(params)
+    x = jax.random.uniform(jax.random.PRNGKey(21), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    tgt = jax.random.uniform(jax.random.PRNGKey(22), (2, 32, 32, 3),
+                             minval=-1, maxval=1)
+
+    def loss(net):
+        y, _ = feature2face.apply_generator(
+            {"net": net, "size": "normal"}, x, training=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    grads = jax.grad(loss)(qat["net"])
+    inner = grads["sub"]["down"]
+    assert float(jnp.max(jnp.abs(inner["w"]))) > 0
+    assert np.isfinite(np.asarray(inner["w"])).all()
+    assert float(jnp.max(jnp.abs(grads["sub"]["res_down"][0]["conv1"]["w"]))) > 0
+    assert float(jnp.abs(inner["fq"])) == 0.0
+
+
+def test_qat_calibration_and_deploy_carry_scales():
+    """calibrate_generator works on a QAT tree (same recording protocol);
+    the baked x_scale leaves survive strip + quantize_conv into the
+    deployed int8 tree, and the QAT forward with static scales matches
+    the deployed static-scale forward."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(30), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(31), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+
+    qat = feature2face.calibrate_generator(feature2face.qat_generator(params), x)
+    assert "x_scale" in qat["net"]["sub"]["down"]
+
+    deployed = feature2face.quantize_generator(
+        feature2face.strip_qat_generator(qat))
+    assert "x_scale" in deployed["net"]["sub"]["down"]
+    np.testing.assert_allclose(
+        float(qat["net"]["sub"]["down"]["x_scale"]),
+        float(deployed["net"]["sub"]["down"]["x_scale"]))
+
+    y_qat, _ = feature2face.apply_generator(qat, x, training=False)
+    y_dep, _ = feature2face.apply_generator(deployed, x, training=False)
+    np.testing.assert_allclose(np.asarray(y_qat), np.asarray(y_dep), atol=2e-4)
+
+
+def test_qat_finetune_improves_deployed_int8():
+    """The point of QAT: fine-tuning against the fake-quant forward
+    reduces the deployed int8 model's task loss below what post-training
+    quantization of the same fine-tune achieves from the float path."""
+    import optax
+
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(40), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(41), (4, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+    tgt = jax.random.uniform(jax.random.PRNGKey(42), (4, 32, 32, 3),
+                             minval=-1, maxval=1)
+
+    def task_loss_int8(float_net):
+        q = feature2face.quantize_generator(
+            {"net": float_net, "size": "normal"})
+        y, _ = feature2face.apply_generator(q, x, training=False)
+        return float(jnp.mean((y - tgt) ** 2))
+
+    qat = feature2face.qat_generator(params)
+    tx = optax.adam(1e-3)
+
+    @jax.jit
+    def step(net, opt):
+        def loss(n):
+            y, new = feature2face.apply_generator(
+                {"net": n, "size": "normal"}, x, training=True)
+            return jnp.mean((y - tgt) ** 2), new["net"]
+
+        (l, _), g = jax.value_and_grad(loss, has_aux=True)(net)
+        upd, opt = tx.update(g, opt, net)
+        return optax.apply_updates(net, upd), opt, l
+
+    net, opt = qat["net"], tx.init(qat["net"])
+    l0 = None
+    for _ in range(40):
+        net, opt, l = step(net, opt)
+        if l0 is None:
+            l0 = float(l)
+    l_end = float(l)
+    assert l_end < l0  # the fake-quant objective itself trains
+
+    before = task_loss_int8(params["net"])
+    after = task_loss_int8(feature2face.strip_qat_generator(
+        {"net": net, "size": "normal"})["net"])
+    assert after < before, (after, before)

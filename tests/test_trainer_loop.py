@@ -259,3 +259,50 @@ def test_f2f_trainer_device_rasterize(tmp_path):
     )
     g1, d1 = trainer.train_feature2face(cfg, loop, sampler, val_sampler=sampler)
     assert int(g1.step) > 0
+
+
+def test_f2f_trainer_qat_loop(tmp_path):
+    """train_feature2face(qat=True): the generator trains against the
+    int8 fake-quant forward; checkpoints carry the QAT tags, resume does
+    not double-tag, and the trained tree deploys through the standard
+    quantize stack."""
+    import jax.numpy as jnp
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.models import feature2face as f2f
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(5)
+    H = 32
+    images = rng.integers(0, 255, (40, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (40, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=2, print_freq=2,
+        checkpoints_dir=str(tmp_path), name="f2f_qat", save_epoch_freq=1,
+        qat=True,
+    )
+    g1, d1 = trainer.train_feature2face(cfg, loop, sampler)
+    assert int(g1.step) > 0
+    g_tree = {"net": g1.params, "size": "normal"}
+    assert f2f.is_qat_generator(g_tree)
+
+    # resume keeps the tags (no double-tagging, same treedef restores)
+    loop2 = trainer.TrainLoopConfig(
+        n_epochs=2, n_epochs_decay=0, lr=2e-4, batch_size=2, print_freq=2,
+        checkpoints_dir=str(tmp_path), name="f2f_qat", continue_train=True,
+        qat=True,
+    )
+    g2, _ = trainer.train_feature2face(cfg, loop2, sampler)
+    assert int(g2.step) > int(g1.step)
+
+    # deploy: strip -> quantize -> finite frames
+    deployed = f2f.quantize_generator(f2f.strip_qat_generator(
+        {"net": g2.params, "size": "normal"}))
+    x = jnp.zeros((1, H, H, cfg.input_nc), jnp.float32)
+    y, _ = f2f.apply_generator(deployed, x, training=False)
+    assert np.isfinite(np.asarray(y)).all()

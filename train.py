@@ -130,6 +130,12 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="feature2face: rematerialise the G forward in the "
                         "backward pass (memory lever for larger batches)")
+    p.add_argument("--qat", action="store_true",
+                   help="feature2face: quantization-aware training - the "
+                        "generator forward runs the deployed int8 "
+                        "arithmetic (STE fake-quant convs) so the weights "
+                        "fine-tune onto the int8 grid before "
+                        "quantize_generator deployment")
     p.add_argument("--device_rasterize", action="store_true",
                    help="feature2face: rasterise edge maps on DEVICE per "
                         "batch instead of per-frame host cv2 (same kernel "
@@ -152,7 +158,7 @@ def main() -> None:
         continue_train=args.continue_train,
         smooth_loss=args.smooth_loss, ttur=args.TTUR,
         data_parallel=args.data_parallel,
-        fused_step=args.fused_step, remat=args.remat,
+        fused_step=args.fused_step, remat=args.remat, qat=args.qat,
     )
 
     if args.task == "audio2feature":
