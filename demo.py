@@ -46,6 +46,14 @@ def main() -> None:
                              "per bucket instead of once per clip length; "
                              "outputs are bit-identical to the unpadded run "
                              "(serve.py semantics). 0 = exact-length compile")
+    parser.add_argument("--f2f_ckpt", default="",
+                        help="orbax ckpt dir of a train.py feature2face "
+                             "run (<checkpoints_dir>/<name>/ckpt): serve "
+                             "the trained renderer (QAT tags stripped)")
+    parser.add_argument("--a2f_ckpt", default="",
+                        help="orbax ckpt dir of a train.py audio2feature run")
+    parser.add_argument("--a2h_ckpt", default="",
+                        help="orbax ckpt dir of a train.py audio2headpose run")
     parser.add_argument("--quantize", action="store_true",
                         help="int8-quantize the renderer for inference "
                              "(2x int8 MXU peak on v5e; fidelity-tested "
@@ -121,6 +129,13 @@ def main() -> None:
             f"needs > {min_seconds:.2f}s of audio"
         )
 
+    if ((args.f2f_ckpt or args.a2f_ckpt or args.a2h_ckpt)
+            and not (args.artifact and os.path.exists(args.artifact))):
+        # train->serve loop: our own trainers' orbax checkpoints slot in
+        # before quantization / artifact save, so both apply to them
+        person_models = assets_mod.load_trained_person_models(
+            cfg, base=person_models, f2f_ckpt=args.f2f_ckpt,
+            a2f_ckpt=args.a2f_ckpt, a2h_ckpt=args.a2h_ckpt)
     if args.artifact and os.path.exists(args.artifact):
         person_models = assets_mod.load_models_artifact(args.artifact)
     elif args.quantize:

@@ -194,6 +194,67 @@ def load_person_models(cfg: PersonConfig) -> PersonModels:
     )
 
 
+def load_trained_person_models(
+    cfg: PersonConfig,
+    base: Optional[PersonModels] = None,
+    f2f_ckpt: str = "",
+    a2f_ckpt: str = "",
+    a2h_ckpt: str = "",
+    step: Optional[int] = None,
+) -> PersonModels:
+    """Slot orbax checkpoints produced by THIS framework's trainers into
+    a serving PersonModels - the train->serve loop the reference leaves
+    manual (its demo reads released torch .pkl files only,
+    demo.py:144-171; it ships no trainer at all).
+
+    Each ``*_ckpt`` is a trainer run's ``<checkpoints_dir>/<name>/ckpt``
+    directory (train.py / trainer.py layout); ``step`` picks an epoch
+    (default: latest).  ``base`` supplies the stages not overridden
+    (default: random-init from ``cfg``).  A QAT-trained generator
+    (trainer ``qat=True``) restores through a tagged template and is
+    stripped to the plain float tree; trainer-baked activation scales
+    are not carried - serving re-quantizes and recalibrates via
+    ``quantize_person_models``, which records equally valid scales on
+    real render inputs."""
+    from dataclasses import replace as _replace
+
+    from livespeechportraits_tpu.utils import checkpoint as ckpt_mod
+
+    if base is None:
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+        base = PersonModels(
+            apc=apc.init_apc(k1, cfg.apc),
+            audio2feature=audio2feature.init_audio2feature(k2, cfg.audio2feature),
+            audio2headpose=audio2headpose.init_audio2headpose(k3, cfg.audio2headpose),
+            feature2face=feature2face.init_generator(k4, cfg.feature2face),
+        )
+    models = base
+    if f2f_ckpt:
+        raw = ckpt_mod.restore_checkpoint(f2f_ckpt, step)
+        g_raw = raw["G"]["params"]
+        tmpl = feature2face.init_generator(jax.random.PRNGKey(0), cfg.feature2face)
+        if feature2face.is_qat_generator({"net": g_raw}):
+            tmpl = feature2face.qat_generator(tmpl)
+        g = {"net": ckpt_mod.rebuild(tmpl["net"], g_raw),
+             "size": cfg.feature2face.size}
+        if feature2face.is_qat_generator(g):
+            g = feature2face.strip_qat_generator(g)
+        models = _replace(models, feature2face=g)
+    if a2f_ckpt:
+        raw = ckpt_mod.restore_checkpoint(a2f_ckpt, step)
+        tmpl = audio2feature.init_audio2feature(jax.random.PRNGKey(0),
+                                                cfg.audio2feature)
+        models = _replace(models,
+                          audio2feature=ckpt_mod.rebuild(tmpl, raw["params"]))
+    if a2h_ckpt:
+        raw = ckpt_mod.restore_checkpoint(a2h_ckpt, step)
+        tmpl = audio2headpose.init_audio2headpose(jax.random.PRNGKey(0),
+                                                  cfg.audio2headpose)
+        models = _replace(models,
+                          audio2headpose=ckpt_mod.rebuild(tmpl, raw["params"]))
+    return models
+
+
 # ---------------------------------------------------------------------------
 # Synthetic person (runs the full pipeline with no released data)
 # ---------------------------------------------------------------------------

@@ -59,7 +59,9 @@ class Predictor:
     def setup(self, person_id: str = "Synthetic",
               config_dir: str = "./config", image_size: int = 512,
               quantize: bool = False, calibrate: bool = True,
-              artifact: Optional[str] = None) -> None:
+              artifact: Optional[str] = None,
+              f2f_ckpt: str = "", a2f_ckpt: str = "",
+              a2h_ckpt: str = "") -> None:
         """Load the subject's config, assets and checkpoints once.
 
         quantize=True int8-quantizes the renderer for inference (frames
@@ -103,6 +105,13 @@ class Predictor:
             self._cfg = cfg
             self._person = person_id
             return
+        if f2f_ckpt or a2f_ckpt or a2h_ckpt:
+            # train->serve loop: this framework's own trainer checkpoints
+            # (orbax dirs) override the converted/synthetic stages before
+            # quantization and artifact save
+            self._models = assets_mod.load_trained_person_models(
+                cfg, base=self._models, f2f_ckpt=f2f_ckpt,
+                a2f_ckpt=a2f_ckpt, a2h_ckpt=a2h_ckpt)
         if quantize:
             calib = None
             calib_dtype = None

@@ -175,10 +175,13 @@ def serve_forever(person_id: str = "Synthetic", port: int = 8080,
                   image_size: int = 512, config_dir: str = "./config",
                   max_audio_seconds: float = 10.0,
                   quantize: bool = False,
-                  artifact: str = "") -> HTTPServer:  # ThreadingHTTPServer
+                  artifact: str = "",
+                  f2f_ckpt: str = "", a2f_ckpt: str = "",
+                  a2h_ckpt: str = "") -> HTTPServer:  # ThreadingHTTPServer
     predictor = Predictor(max_audio_seconds=max_audio_seconds)
     predictor.setup(person_id, config_dir=config_dir, image_size=image_size,
-                    quantize=quantize, artifact=artifact or None)
+                    quantize=quantize, artifact=artifact or None,
+                    f2f_ckpt=f2f_ckpt, a2f_ckpt=a2f_ckpt, a2h_ckpt=a2h_ckpt)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(predictor))
     print(f"serving '{person_id}' on :{port} (POST /animate, GET /healthz)")
     server.serve_forever()
@@ -199,10 +202,19 @@ def main() -> None:
                    help="serving-model .npz: load the model trees from it "
                         "if it exists, else build (honouring --quantize) "
                         "and save to it so the next boot is one file read")
+    p.add_argument("--f2f_ckpt", default="",
+                   help="orbax ckpt dir of a train.py feature2face run "
+                        "(serve this framework's own trained renderer)")
+    p.add_argument("--a2f_ckpt", default="",
+                   help="orbax ckpt dir of a train.py audio2feature run")
+    p.add_argument("--a2h_ckpt", default="",
+                   help="orbax ckpt dir of a train.py audio2headpose run")
     args = p.parse_args()
     serve_forever(args.id, args.port, args.image_size, args.config_dir,
                   args.max_audio_seconds, quantize=args.quantize,
-                  artifact=args.artifact)
+                  artifact=args.artifact,
+                  f2f_ckpt=args.f2f_ckpt, a2f_ckpt=args.a2f_ckpt,
+                  a2h_ckpt=args.a2h_ckpt)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,14 @@ def _rebuild(template: Any, restored: Any) -> Any:
     return restored
 
 
+def rebuild(template: Any, restored: Any) -> Any:
+    """Re-nest a restored (plain-dict) subtree onto a template pytree -
+    the `_rebuild` container-type fix-up, public for callers that restore
+    a whole checkpoint and extract one piece (e.g. serving loads only the
+    G params out of a dual-state GAN checkpoint)."""
+    return _rebuild(template, restored)
+
+
 def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None,
                        template: Any = None) -> Any:
     """Restore the pytree saved at `step` (default: latest).  When a

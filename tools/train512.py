@@ -58,6 +58,11 @@ def main() -> None:
     p.add_argument("--device_rasterize", action="store_true",
                    help="rasterise training edge maps on device per batch "
                         "(drops the per-frame host cv2 draw)")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: G forwards run the "
+                        "deployed int8 arithmetic via STE fake-quant convs; "
+                        "the report then compares the deployed int8 model "
+                        "against the float A/B arm")
     args = p.parse_args()
 
     def _remat_arg(a):
@@ -89,6 +94,7 @@ def main() -> None:
         ttur=True, remat=_remat_arg(args),
         save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
         validate_epoch=max(1, n_epochs // 4), fused_step=args.fused_step,
+        qat=args.qat,
     )
     vgg_params = losses.init_vgg19(0) if args.vgg == "random" else None
 
@@ -120,6 +126,39 @@ def main() -> None:
         g_state, d_state = trainer.train_feature2face(
             cfg, loop, sampler, val_sampler=sampler, vgg_params=vgg_params)
         train_wall = time.time() - t0
+
+    # ---- deployed-int8 fidelity report (the quantity QAT exists for) ----
+    fidelity = None
+    if not args.bench_only and args.size != "small":
+        from livespeechportraits_tpu.models import feature2face as f2f_model
+
+        eval_batch = trainer._device_rasterize_batch(jax.device_put(next(iter(
+            sampler.batches(args.batch, np.random.default_rng(123),
+                            shuffle=False)))))
+        inp = jnp.concatenate(
+            [eval_batch["feature_map"], eval_batch["cand_image"]], axis=-1)
+        tgt = eval_batch["tgt_image"]
+        g_tree = {"net": g_state.params, "size": args.size}
+        if f2f_model.is_qat_generator(g_tree):
+            g_tree = f2f_model.strip_qat_generator(g_tree)
+        deployed = f2f_model.calibrate_generator(
+            f2f_model.fold_bn_generator(f2f_model.quantize_generator(g_tree)),
+            inp, compute_dtype=jnp.bfloat16)
+
+        def _psnr(a, b):
+            mse = float(jnp.mean((a.astype(jnp.float32) - b) ** 2))
+            return round(10.0 * float(np.log10(4.0 / max(mse, 1e-12))), 2)
+
+        fwd = jax.jit(lambda n, x: f2f_model.apply_generator(
+            {"net": n, "size": args.size}, x, training=False,
+            compute_dtype=jnp.bfloat16)[0])
+        y_f = fwd(g_tree["net"], inp)
+        y_q = fwd(deployed["net"], inp)
+        fidelity = {
+            "psnr_float_vs_target": _psnr(y_f, tgt),
+            "psnr_int8_vs_target": _psnr(y_q, tgt),
+            "psnr_int8_vs_float": _psnr(y_q, jnp.asarray(y_f, jnp.float32)),
+        }
 
     # ---- timed in-cache step microbenchmark ----
     batch = trainer._device_rasterize_batch(jax.device_put(next(iter(
@@ -175,6 +214,7 @@ def main() -> None:
         "metric": "512^2 GAN train step (D+G), 1 chip",
         "size": args.size, "batch": args.batch, "vgg": args.vgg,
         "remat": _remat_arg(args), "fused_step": args.fused_step,
+        "qat": args.qat, "fidelity": fidelity,
         "steps_trained": int(g_state.step), "train_wall_s": round(train_wall, 1),
         "step_time_ms": round(step_s * 1e3, 1),
         "steps_per_s": round(1.0 / step_s, 3),
