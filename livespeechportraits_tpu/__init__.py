@@ -53,4 +53,10 @@ def __getattr__(name):
         from livespeechportraits_tpu.pipeline.assets import quantize_person_models
 
         return quantize_person_models
+    if name == "load_trained_person_models":
+        from livespeechportraits_tpu.pipeline.assets import (
+            load_trained_person_models,
+        )
+
+        return load_trained_person_models
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
