@@ -83,6 +83,9 @@ def main() -> None:
     from livespeechportraits_tpu.config import (
         PersonConfig, load_person_config, replace,
     )
+    from livespeechportraits_tpu.utils import compile_cache
+
+    compile_cache.enable()
     from livespeechportraits_tpu.pipeline import animate as animate_mod
     from livespeechportraits_tpu.pipeline import assets as assets_mod
     from livespeechportraits_tpu.pipeline import video as video_mod

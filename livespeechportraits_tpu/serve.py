@@ -78,6 +78,9 @@ class Predictor:
         from it and quantize/calibrate are ignored; otherwise the trees
         built here are written to it, so the NEXT boot is one file
         read."""
+        from livespeechportraits_tpu.utils import compile_cache
+
+        compile_cache.enable()  # server restarts reuse the 512^2 compiles
         cfg_path = os.path.join(config_dir, person_id + ".yaml")
         if os.path.exists(cfg_path):
             cfg = load_person_config(cfg_path, name=person_id)

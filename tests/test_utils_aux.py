@@ -244,3 +244,27 @@ def test_get_data_offline(tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError):
         gd.get(str(tmp_path / "ds2"), dataset="mini.zip", sha256="0" * 64)
+
+
+def test_compile_cache_enable(monkeypatch, tmp_path):
+    """compile_cache.enable points JAX's persistent cache at the dir
+    (env-overridable; empty disables)."""
+    import jax
+
+    from livespeechportraits_tpu.utils import compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "cc")
+        assert compile_cache.enable(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+        assert os.path.isdir(d)
+
+        monkeypatch.setenv("LSP_COMPILE_CACHE_DIR", "")
+        assert compile_cache.enable() is None
+
+        monkeypatch.setenv("LSP_COMPILE_CACHE_DIR", str(tmp_path / "cc2"))
+        assert compile_cache.enable() == str(tmp_path / "cc2")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -149,6 +149,9 @@ def main() -> None:
         Audio2FeatureConfig, Audio2HeadposeConfig, Feature2FaceConfig,
     )
     from livespeechportraits_tpu.train import datasets, trainer
+    from livespeechportraits_tpu.utils import compile_cache
+
+    compile_cache.enable()  # reruns/resumes reuse the step compiles
 
     loop = trainer.TrainLoopConfig(
         n_epochs=args.n_epochs, n_epochs_decay=args.n_epochs_decay,
