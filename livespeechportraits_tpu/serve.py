@@ -55,13 +55,14 @@ class Predictor:
         self._cfg: Optional[PersonConfig] = None
         self._assets = None
         self._models = None
+        self._mesh = None
 
     def setup(self, person_id: str = "Synthetic",
               config_dir: str = "./config", image_size: int = 512,
               quantize: bool = False, calibrate: bool = True,
               artifact: Optional[str] = None,
               f2f_ckpt: str = "", a2f_ckpt: str = "",
-              a2h_ckpt: str = "") -> None:
+              a2h_ckpt: str = "", data_parallel: bool = False) -> None:
         """Load the subject's config, assets and checkpoints once.
 
         quantize=True int8-quantizes the renderer for inference (frames
@@ -103,6 +104,16 @@ class Predictor:
             # run first (its output would be discarded below).
             if not (artifact and os.path.exists(artifact)):
                 self._models = assets_mod.load_person_models(cfg)
+        # Frame-sharded data-parallel rendering: frames are independent
+        # given the motion outputs, so N chips render N x render_batch
+        # frames per dispatch with zero steady-state communication
+        # (docs/SCALING.md; 1==N equivalence tested in test_parallel.py).
+        # On a single chip the mesh is the identity.
+        self._mesh = None
+        if data_parallel:
+            from livespeechportraits_tpu.parallel import mesh as mesh_mod
+
+            self._mesh = mesh_mod.make_mesh(1)
         if artifact and os.path.exists(artifact):
             self._models = assets_mod.load_models_artifact(artifact)
             self._cfg = cfg
@@ -165,6 +176,11 @@ class Predictor:
             audio = np.pad(audio, (0, padded - len(audio)))
             valid_frames = int(len(true_audio) / 16000 * 60)
 
+        if self._mesh is not None:
+            # the render batch shards over `data`; round up so any
+            # requested batch works on any device count
+            n = int(self._mesh.shape["data"])
+            render_batch = -(-render_batch // n) * n
         t0 = time.perf_counter()
         # frames leave the device as packed YUV 4:2:0 by default (half the
         # host-link bytes; the video encoder consumes 4:2:0 anyway), and
@@ -173,7 +189,7 @@ class Predictor:
         result = animate_mod.animate(self._cfg, self._assets, self._models,
                                      audio, seed=seed, render_batch=render_batch,
                                      transfer=transfer, valid_frames=valid_frames,
-                                     fused=True)
+                                     fused=True, mesh=self._mesh)
         wall = time.perf_counter() - t0
         frames = result.frames[:true_frames]
         out_path = os.path.join(self.results_dir, f"{name}.avi")

@@ -268,3 +268,40 @@ def test_compile_cache_enable(monkeypatch, tmp_path):
         assert compile_cache.enable() == str(tmp_path / "cc2")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_serve_predictor_data_parallel(tmp_path):
+    """Predictor(data_parallel=True) shards each request's render batch
+    over the 8-device test mesh and returns frames identical to the
+    single-device predictor (frames are independent; parity of the
+    underlying animate(mesh=...) path is in test_parallel.py - this
+    checks the serving wiring)."""
+    import cv2
+
+    from livespeechportraits_tpu.serve import Predictor
+
+    t = np.arange(int(1.0 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+
+    p1 = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "s1"))
+    p1.setup("Synthetic", image_size=64)
+    r1 = p1.predict(audio, render_batch=8)
+
+    p8 = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "s8"))
+    p8.setup("Synthetic", image_size=64, data_parallel=True)
+    assert p8._mesh is not None and p8._mesh.devices.size >= 1
+    r8 = p8.predict(audio, render_batch=5)  # auto-rounds up to 8
+    assert r8.nframe == r1.nframe
+
+    def frames_of(path):
+        cap = cv2.VideoCapture(path)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            out.append(f)
+        return np.stack(out)
+
+    np.testing.assert_array_equal(frames_of(r8.video_path),
+                                  frames_of(r1.video_path))
