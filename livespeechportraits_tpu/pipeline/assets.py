@@ -228,6 +228,31 @@ def load_trained_person_models(
             audio2headpose=audio2headpose.init_audio2headpose(k3, cfg.audio2headpose),
             feature2face=feature2face.init_generator(k4, cfg.feature2face),
         )
+    def _restore_into(tmpl, raw, what: str):
+        """rebuild + validate: a checkpoint trained under a different
+        config fails HERE with the mismatching leaves named, not at
+        apply time with an opaque shape error."""
+        try:
+            got = ckpt_mod.rebuild(tmpl, raw)
+        except (KeyError, IndexError, TypeError) as e:
+            raise ValueError(
+                f"{what} checkpoint does not match the person config's "
+                f"architecture (missing piece: {e!r}); pass the cfg the "
+                "model was trained with") from e
+        bad = [
+            (jax.tree_util.keystr(kp), np.shape(t), np.shape(g))
+            for (kp, t), (_, g) in zip(
+                jax.tree_util.tree_flatten_with_path(tmpl)[0],
+                jax.tree_util.tree_flatten_with_path(got)[0])
+            if np.shape(t) != np.shape(g)
+        ]
+        if bad:
+            raise ValueError(
+                f"{what} checkpoint shapes do not match the person config "
+                f"(first mismatches, template vs checkpoint: {bad[:3]}); "
+                "pass the cfg the model was trained with")
+        return got
+
     models = base
     if f2f_ckpt:
         raw = ckpt_mod.restore_checkpoint(f2f_ckpt, step)
@@ -235,7 +260,7 @@ def load_trained_person_models(
         tmpl = feature2face.init_generator(jax.random.PRNGKey(0), cfg.feature2face)
         if feature2face.is_qat_generator({"net": g_raw}):
             tmpl = feature2face.qat_generator(tmpl)
-        g = {"net": ckpt_mod.rebuild(tmpl["net"], g_raw),
+        g = {"net": _restore_into(tmpl["net"], g_raw, "feature2face"),
              "size": cfg.feature2face.size}
         if feature2face.is_qat_generator(g):
             g = feature2face.strip_qat_generator(g)
@@ -244,14 +269,14 @@ def load_trained_person_models(
         raw = ckpt_mod.restore_checkpoint(a2f_ckpt, step)
         tmpl = audio2feature.init_audio2feature(jax.random.PRNGKey(0),
                                                 cfg.audio2feature)
-        models = _replace(models,
-                          audio2feature=ckpt_mod.rebuild(tmpl, raw["params"]))
+        models = _replace(models, audio2feature=_restore_into(
+            tmpl, raw["params"], "audio2feature"))
     if a2h_ckpt:
         raw = ckpt_mod.restore_checkpoint(a2h_ckpt, step)
         tmpl = audio2headpose.init_audio2headpose(jax.random.PRNGKey(0),
                                                   cfg.audio2headpose)
-        models = _replace(models,
-                          audio2headpose=ckpt_mod.rebuild(tmpl, raw["params"]))
+        models = _replace(models, audio2headpose=_restore_into(
+            tmpl, raw["params"], "audio2headpose"))
     return models
 
 

@@ -73,6 +73,11 @@ class Predictor:
         sweep for this subject, so every request skips the per-conv
         dynamic amax reductions (257 -> 275 fps at 512^2 on v5e).
 
+        data_parallel=True shards each predict() render batch over every
+        visible chip (frames are independent; zero steady-state
+        communication); stream() stays single-chip - it is latency-bound,
+        not throughput-bound.
+
         artifact: path to a serving-model .npz
         (assets.save_models_artifact).  If the file exists the model
         trees - already quantized/calibrated/whatever was saved - load

@@ -119,3 +119,33 @@ def test_load_trained_a2f_roundtrip(tmp_path):
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         models.audio2feature, st.params)
+
+
+def test_load_trained_cfg_mismatch_raises(tmp_path):
+    """A checkpoint trained under a different architecture fails at load
+    with the mismatch named, not at apply time."""
+    import jax as _jax
+    import pytest
+
+    from livespeechportraits_tpu.utils import checkpoint as ckpt
+
+    H = 32
+    trained_cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5,
+                                     load_size=H)
+    net = f2f.init_generator(_jax.random.PRNGKey(0), trained_cfg)["net"]
+    ckpt.save_checkpoint(str(tmp_path / "ckpt"), {"G": {"params": net}}, 1)
+
+    # wrong width -> shape mismatch named
+    wide = replace(PersonConfig(name="Synthetic"),
+                   feature2face=replace(trained_cfg, ngf=8))
+    with pytest.raises(ValueError, match="shapes do not match"):
+        assets_mod.load_trained_person_models(
+            wide, f2f_ckpt=str(tmp_path / "ckpt"))
+
+    # wrong depth -> architecture mismatch named
+    deep = replace(PersonConfig(name="Synthetic"),
+                   feature2face=replace(trained_cfg, n_downsample=6,
+                                        load_size=64))
+    with pytest.raises(ValueError, match="does not match"):
+        assets_mod.load_trained_person_models(
+            deep, f2f_ckpt=str(tmp_path / "ckpt"))
