@@ -116,8 +116,10 @@ def main() -> None:
         from livespeechportraits_tpu.train import state as state_mod
 
         kg, kd = jax.random.split(jax.random.PRNGKey(loop.seed))
-        g_state = state_mod.create_state(
-            f2f_model.init_generator(kg, cfg)["net"], tx_g)
+        g0 = f2f_model.init_generator(kg, cfg)
+        if args.qat:
+            g0 = f2f_model.qat_generator(g0)
+        g_state = state_mod.create_state(g0["net"], tx_g)
         d_state = state_mod.create_state(
             f2f_model.init_discriminator(kd, cfg), tx_d)
         train_wall = 0.0
