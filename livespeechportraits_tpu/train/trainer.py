@@ -146,13 +146,16 @@ def train_audio2feature(
         lr_now = schedule(epoch)
         st = _set_lr(st, lr_now)
         t0 = time.time()
+        epoch_it0 = it
         for batch in _batch_iter(sampler, loop, rng, mesh):
             st, metrics = step_fn(st, batch)
             it += 1
             if it % loop.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()} | {"lr": lr_now}
                 vis.plot_current_errors(m, it)
-                vis.print_current_errors(epoch, it, m, time.time() - t0)
+                vis.print_current_errors(
+                    epoch, it, m,
+                    (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
             v = np.mean([
                 float(validate_fn(st.params, b))
@@ -198,6 +201,8 @@ def train_audio2headpose(
     it = 0
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
         st = _set_lr(st, schedule(epoch))
+        t0 = time.time()
+        epoch_it0 = it
         for batch in _batch_iter(sampler, loop, rng, mesh):
             key, sub = jax.random.split(key)
             st, metrics = step_fn(st, batch, sub)
@@ -205,7 +210,9 @@ def train_audio2headpose(
             if it % loop.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 vis.plot_current_errors(m, it)
-                vis.print_current_errors(epoch, it, m)
+                vis.print_current_errors(
+                    epoch, it, m,
+                    (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
             v = np.mean([
                 float(validate_fn(st.params, b))
