@@ -238,3 +238,44 @@ def test_multichip_rendering_with_calibrated_int8():
     assert out.frames.shape == ref.frames.shape
     diff = np.abs(out.frames.astype(int) - ref.frames.astype(int))
     assert diff.max() <= 1
+
+
+def test_qat_gan_step_dp_tp_matches_single_device():
+    """The QAT (fake-quant STE) GAN step under a hybrid 4-data x 2-model
+    mesh matches the unsharded run: the per-channel weight-scale amax and
+    per-tensor activation amax reductions cross the channel sharding, and
+    XLA's inserted collectives must reproduce them."""
+    import optax
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5,
+                             load_size=32, num_D=2, n_layers_D=2)
+    kg, kd = jax.random.split(jax.random.PRNGKey(11))
+    g = feature2face.qat_generator(feature2face.init_generator(kg, cfg))
+    d = feature2face.init_discriminator(kd, cfg)
+    tx = optax.sgd(1e-2)
+    gan_step = steps.make_f2f_fused_step(cfg, tx, tx, donate=False)
+
+    rng = np.random.default_rng(11)
+    B, H = 8, 32
+    batch_np = {
+        "feature_map": rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32),
+        "cand_image": rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32),
+        "tgt_image": rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32),
+    }
+
+    g0 = state_mod.create_state(g["net"], tx)
+    d0 = state_mod.create_state(d, tx)
+    g1, d1, m1 = gan_step(g0, d0, {k: jnp.asarray(v)
+                                   for k, v in batch_np.items()})
+
+    mesh = mesh_mod.make_mesh(2)  # 4 data x 2 model
+    gp = state_mod.create_state(
+        shard_mod.shard_params(mesh, g["net"], model_size=2), tx)
+    dp = state_mod.create_state(
+        shard_mod.shard_params(mesh, d, model_size=2), tx)
+    g2, d2, m2 = gan_step(gp, dp, mesh_mod.shard_batch(mesh, batch_np))
+
+    assert float(m1["loss_G"]) == pytest.approx(float(m2["loss_G"]), rel=1e-4)
+    assert float(m1["loss_D"]) == pytest.approx(float(m2["loss_D"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
