@@ -132,8 +132,14 @@ def main() -> None:
             f"needs > {min_seconds:.2f}s of audio"
         )
 
-    if ((args.f2f_ckpt or args.a2f_ckpt or args.a2h_ckpt)
-            and not (args.artifact and os.path.exists(args.artifact))):
+    if args.f2f_ckpt or args.a2f_ckpt or args.a2h_ckpt:
+        if args.artifact and os.path.exists(args.artifact):
+            # never silently serve stale artifact weights over a
+            # freshly named checkpoint
+            raise SystemExit(
+                f"--artifact {args.artifact} already exists and would "
+                "shadow the --*_ckpt weights; delete it (it will be "
+                "rebuilt from the checkpoints) or drop the ckpt flags")
         # train->serve loop: our own trainers' orbax checkpoints slot in
         # before quantization / artifact save, so both apply to them
         person_models = assets_mod.load_trained_person_models(

@@ -234,7 +234,7 @@ def load_trained_person_models(
         apply time with an opaque shape error."""
         try:
             got = ckpt_mod.rebuild(tmpl, raw)
-        except (KeyError, IndexError, TypeError) as e:
+        except (KeyError, IndexError, TypeError, ValueError) as e:
             raise ValueError(
                 f"{what} checkpoint does not match the person config's "
                 f"architecture (missing piece: {e!r}); pass the cfg the "
@@ -255,6 +255,10 @@ def load_trained_person_models(
 
     models = base
     if f2f_ckpt:
+        # restores the full dual-state checkpoint (G+D+opt moments) and
+        # keeps only G params - a one-time boot cost; production boots
+        # use the serving artifact (save_models_artifact), which stores
+        # exactly the serving trees
         raw = ckpt_mod.restore_checkpoint(f2f_ckpt, step)
         g_raw = raw["G"]["params"]
         tmpl = feature2face.init_generator(jax.random.PRNGKey(0), cfg.feature2face)

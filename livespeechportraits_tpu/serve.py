@@ -120,6 +120,13 @@ class Predictor:
 
             self._mesh = mesh_mod.make_mesh(1)
         if artifact and os.path.exists(artifact):
+            if f2f_ckpt or a2f_ckpt or a2h_ckpt:
+                # never silently serve stale artifact weights over a
+                # freshly named checkpoint
+                raise ValueError(
+                    f"artifact {artifact!r} already exists and would "
+                    "shadow the *_ckpt weights; delete it (it will be "
+                    "rebuilt from the checkpoints) or drop the ckpt args")
             self._models = assets_mod.load_models_artifact(artifact)
             self._cfg = cfg
             self._person = person_id

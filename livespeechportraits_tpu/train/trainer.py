@@ -299,9 +299,31 @@ def train_feature2face(
     start_epoch = 0
     if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
         start_epoch = ckpt.latest_step(ckpt_dir)
-        restored = ckpt.restore_checkpoint(ckpt_dir, start_epoch,
-                                           template={"G": g_state, "D": d_state})
-        g_state, d_state = restored["G"], restored["D"]
+        raw = ckpt.restore_checkpoint(ckpt_dir, start_epoch)  # plain dicts
+        ck_qat = f2f_model.is_qat_generator({"net": raw["G"]["params"]})
+        if loop.qat and not ck_qat:
+            # Warm-start QAT from a float checkpoint - the natural
+            # "fine-tune the converged float model onto the int8 grid"
+            # flow: restore through untagged templates, tag the restored
+            # params, and start fresh optimizer moments (their treedef
+            # changed; a restarted Adam is standard for a new phase).
+            g_f = init_g["net"] if init_g is not None else \
+                f2f_model.init_generator(kg, cfg)["net"]
+            float_tmpl = {"G": state_mod.create_state(g_f, tx_g),
+                          "D": d_state}
+            restored = ckpt.rebuild(float_tmpl, raw)
+            d_state = restored["D"]
+            tagged = f2f_model.qat_generator(
+                {"net": restored["G"].params, "size": cfg.size})
+            g_state = state_mod.create_state(tagged["net"], tx_g)
+            print(f"QAT warm-start from float checkpoint (epoch "
+                  f"{start_epoch}); optimizer moments reset")
+        else:
+            if ck_qat and not loop.qat:
+                print("WARNING: checkpoint carries QAT tags but qat=False;"
+                      " tags dropped, training continues in float")
+            restored = ckpt.rebuild({"G": g_state, "D": d_state}, raw)
+            g_state, d_state = restored["G"], restored["D"]
 
     rng = np.random.default_rng(loop.seed)
     it = 0

@@ -59,7 +59,20 @@ def _rebuild(template: Any, restored: Any) -> Any:
         return {k: _rebuild(v, restored[k]) for k, v in template.items()}
     if isinstance(template, (list, tuple)):
         if isinstance(restored, dict):  # orbax may dict-ify sequences
+            if len(restored) != len(template):
+                # never silently truncate: a checkpoint with MORE entries
+                # than the template (e.g. 'large' 2-res-block stages
+                # restored into a 'normal' 1-block template) is a config
+                # mismatch, not a prefix
+                raise ValueError(
+                    f"sequence length mismatch: template has "
+                    f"{len(template)} entries, checkpoint has "
+                    f"{len(restored)}")
             restored = [restored[str(i)] for i in range(len(template))]
+        elif len(restored) != len(template):
+            raise ValueError(
+                f"sequence length mismatch: template has {len(template)} "
+                f"entries, checkpoint has {len(restored)}")
         return type(template)(_rebuild(t, r) for t, r in zip(template, restored))
     return restored
 

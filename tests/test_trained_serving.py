@@ -149,3 +149,13 @@ def test_load_trained_cfg_mismatch_raises(tmp_path):
     with pytest.raises(ValueError, match="does not match"):
         assets_mod.load_trained_person_models(
             deep, f2f_ckpt=str(tmp_path / "ckpt"))
+
+    # MORE res blocks than the serving cfg ('large' ckpt, 'normal' cfg):
+    # must refuse, never silently truncate to half the trained blocks
+    large_cfg = replace(trained_cfg, size="large")
+    net_l = f2f.init_generator(_jax.random.PRNGKey(1), large_cfg)["net"]
+    ckpt.save_checkpoint(str(tmp_path / "ckpt_l"), {"G": {"params": net_l}}, 1)
+    with pytest.raises(ValueError, match="does not match"):
+        assets_mod.load_trained_person_models(
+            replace(PersonConfig(name="Synthetic"), feature2face=trained_cfg),
+            f2f_ckpt=str(tmp_path / "ckpt_l"))

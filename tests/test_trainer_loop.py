@@ -306,3 +306,43 @@ def test_f2f_trainer_qat_loop(tmp_path):
     x = jnp.zeros((1, H, H, cfg.input_nc), jnp.float32)
     y, _ = f2f.apply_generator(deployed, x, training=False)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_f2f_qat_warm_start_from_float_checkpoint(tmp_path):
+    """--qat --continue_train over a FLOAT checkpoint = the fine-tune
+    flow: restores the float weights, tags them, resets optimizer
+    moments, and trains; the reverse (float resume of a QAT run) drops
+    the tags with a warning instead of crashing."""
+    import jax.numpy as jnp
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.models import feature2face as f2f
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(7)
+    H = 32
+    images = rng.integers(0, 255, (40, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (40, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2)
+    base = dict(n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=2,
+                print_freq=50, checkpoints_dir=str(tmp_path), name="f2f_ws",
+                save_epoch_freq=1)
+    g_float, _ = trainer.train_feature2face(
+        cfg, trainer.TrainLoopConfig(**base), sampler)
+    assert not f2f.is_qat_generator({"net": g_float.params})
+
+    # float -> QAT fine-tune
+    loop_qat = trainer.TrainLoopConfig(**{**base, "n_epochs": 2},
+                                       continue_train=True, qat=True)
+    g_qat, _ = trainer.train_feature2face(cfg, loop_qat, sampler)
+    assert f2f.is_qat_generator({"net": g_qat.params})
+
+    # QAT -> float resume: tags dropped, no crash
+    loop_f = trainer.TrainLoopConfig(**{**base, "n_epochs": 3},
+                                     continue_train=True)
+    g_back, _ = trainer.train_feature2face(cfg, loop_f, sampler)
+    assert not f2f.is_qat_generator({"net": g_back.params})

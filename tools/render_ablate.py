@@ -45,9 +45,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from livespeechportraits_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     from livespeechportraits_tpu.config import Feature2FaceConfig
     from livespeechportraits_tpu.models import feature2face

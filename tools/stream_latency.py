@@ -28,9 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import jax
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from livespeechportraits_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     from livespeechportraits_tpu.config import Feature2FaceConfig, PersonConfig
     from livespeechportraits_tpu.pipeline import assets as assets_mod
