@@ -54,6 +54,10 @@ def main() -> None:
                         help="orbax ckpt dir of a train.py audio2feature run")
     parser.add_argument("--a2h_ckpt", default="",
                         help="orbax ckpt dir of a train.py audio2headpose run")
+    parser.add_argument("--apc_ckpt", default="",
+                        help="orbax ckpt dir of a train.py apc pretraining "
+                             "run (the LLE feature bank must come from the "
+                             "same encoder)")
     parser.add_argument("--quantize", action="store_true",
                         help="int8-quantize the renderer for inference "
                              "(2x int8 MXU peak on v5e; fidelity-tested "
@@ -132,7 +136,7 @@ def main() -> None:
             f"needs > {min_seconds:.2f}s of audio"
         )
 
-    if args.f2f_ckpt or args.a2f_ckpt or args.a2h_ckpt:
+    if args.f2f_ckpt or args.a2f_ckpt or args.a2h_ckpt or args.apc_ckpt:
         if args.artifact and os.path.exists(args.artifact):
             # never silently serve stale artifact weights over a
             # freshly named checkpoint
@@ -144,7 +148,8 @@ def main() -> None:
         # before quantization / artifact save, so both apply to them
         person_models = assets_mod.load_trained_person_models(
             cfg, base=person_models, f2f_ckpt=args.f2f_ckpt,
-            a2f_ckpt=args.a2f_ckpt, a2h_ckpt=args.a2h_ckpt)
+            a2f_ckpt=args.a2f_ckpt, a2h_ckpt=args.a2h_ckpt,
+            apc_ckpt=args.apc_ckpt)
     if args.artifact and os.path.exists(args.artifact):
         person_models = assets_mod.load_models_artifact(args.artifact)
     elif args.quantize:

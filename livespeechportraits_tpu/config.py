@@ -48,6 +48,11 @@ class APCConfig:
     num_layers: int = 3
     residual: bool = False
     ckpt_path: str = ""
+    # Self-supervised pretraining: predict the mel frame `time_shift`
+    # steps ahead with an L1 loss (the objective the reference's frozen
+    # encoder was pretrained with upstream; the reference itself ships
+    # only the resulting weights, demo.py:145-160).
+    time_shift: int = 3
     # LLE manifold-projection knobs (demo.py:116-118)
     use_LLE: bool = True
     Knear: int = 10

@@ -57,6 +57,43 @@ def encode(params: Dict[str, Any], mels: jnp.ndarray) -> jnp.ndarray:
     return apply_apc(params, mels, residual=False)
 
 
+def init_apc_pretrain(key: jax.Array, cfg: APCConfig) -> Dict[str, Any]:
+    """Encoder + linear prediction head for self-supervised pretraining.
+
+    The reference ships only the *result* of APC pretraining (a frozen
+    .model file loaded at demo.py:145-160) and no way to produce one; in
+    a zero-egress deployment that leaves the whole audio front-end
+    unusable.  This head + `make_apc_step` close the gap: predict the
+    log-mel frame `cfg.time_shift` steps ahead from the GRU state
+    (L1 loss), then serve `params["encoder"]` as the frozen encoder.
+    """
+    ke, kh = jax.random.split(key)
+    return {
+        "encoder": init_apc(ke, cfg),
+        "head": nn_core.dense_init(kh, cfg.hidden_size, cfg.mel_dim,
+                                   init="xavier", gain=1.0),
+    }
+
+
+def apply_apc_pretrain(params: Dict[str, Any], mels: jnp.ndarray,
+                       residual: bool = False) -> jnp.ndarray:
+    """[B, T, mel] -> [B, T, mel] predicted future frames (row t predicts
+    input row t + time_shift; the loss alignment lives in the step)."""
+    h = apply_apc(params["encoder"], mels, residual=residual)
+    return nn_core.dense(params["head"], h)
+
+
+def load_pretrained_encoder(ckpt_dir: str, cfg: APCConfig, step=None) -> Dict[str, Any]:
+    """Restore the encoder subtree from a `train_apc` orbax checkpoint
+    directory (the pretrain head is dropped - it only exists to give the
+    encoder a training signal)."""
+    from livespeechportraits_tpu.utils import checkpoint as ckpt_mod
+
+    raw = ckpt_mod.restore_checkpoint(ckpt_dir, step)
+    tmpl = init_apc_pretrain(jax.random.PRNGKey(0), cfg)
+    return ckpt_mod.rebuild(tmpl, raw["params"])["encoder"]
+
+
 def encode_fast(params: Dict[str, Any], mels: jnp.ndarray) -> jnp.ndarray:
     """[T, mel] -> [T, H]: the batch-1 inference path, routed through the
     VMEM-resident Pallas recurrence kernel on TPU (~2x the XLA scan;

@@ -200,6 +200,7 @@ def load_trained_person_models(
     f2f_ckpt: str = "",
     a2f_ckpt: str = "",
     a2h_ckpt: str = "",
+    apc_ckpt: str = "",
     step: Optional[int] = None,
 ) -> PersonModels:
     """Slot orbax checkpoints produced by THIS framework's trainers into
@@ -281,6 +282,15 @@ def load_trained_person_models(
                                                   cfg.audio2headpose)
         models = _replace(models, audio2headpose=_restore_into(
             tmpl, raw["params"], "audio2headpose"))
+    if apc_ckpt:
+        # A trainer (`train.py --task apc`) checkpoint: {"encoder","head"};
+        # serving keeps the encoder only.  NOTE: the person's LLE feature
+        # bank (assets.apc_feature_base) must have been computed with the
+        # SAME encoder, or manifold projection maps into the wrong space.
+        raw = ckpt_mod.restore_checkpoint(apc_ckpt, step)
+        tmpl = apc.init_apc_pretrain(jax.random.PRNGKey(0), cfg.apc)
+        models = _replace(models, apc=_restore_into(
+            tmpl, raw["params"], "apc")["encoder"])
     return models
 
 

@@ -62,7 +62,8 @@ class Predictor:
               quantize: bool = False, calibrate: bool = True,
               artifact: Optional[str] = None,
               f2f_ckpt: str = "", a2f_ckpt: str = "",
-              a2h_ckpt: str = "", data_parallel: bool = False) -> None:
+              a2h_ckpt: str = "", apc_ckpt: str = "",
+              data_parallel: bool = False) -> None:
         """Load the subject's config, assets and checkpoints once.
 
         quantize=True int8-quantizes the renderer for inference (frames
@@ -120,7 +121,7 @@ class Predictor:
 
             self._mesh = mesh_mod.make_mesh(1)
         if artifact and os.path.exists(artifact):
-            if f2f_ckpt or a2f_ckpt or a2h_ckpt:
+            if f2f_ckpt or a2f_ckpt or a2h_ckpt or apc_ckpt:
                 # never silently serve stale artifact weights over a
                 # freshly named checkpoint
                 raise ValueError(
@@ -131,13 +132,13 @@ class Predictor:
             self._cfg = cfg
             self._person = person_id
             return
-        if f2f_ckpt or a2f_ckpt or a2h_ckpt:
+        if f2f_ckpt or a2f_ckpt or a2h_ckpt or apc_ckpt:
             # train->serve loop: this framework's own trainer checkpoints
             # (orbax dirs) override the converted/synthetic stages before
             # quantization and artifact save
             self._models = assets_mod.load_trained_person_models(
                 cfg, base=self._models, f2f_ckpt=f2f_ckpt,
-                a2f_ckpt=a2f_ckpt, a2h_ckpt=a2h_ckpt)
+                a2f_ckpt=a2f_ckpt, a2h_ckpt=a2h_ckpt, apc_ckpt=apc_ckpt)
         if quantize:
             calib = None
             calib_dtype = None

@@ -177,13 +177,13 @@ def serve_forever(person_id: str = "Synthetic", port: int = 8080,
                   quantize: bool = False,
                   artifact: str = "",
                   f2f_ckpt: str = "", a2f_ckpt: str = "",
-                  a2h_ckpt: str = "",
+                  a2h_ckpt: str = "", apc_ckpt: str = "",
                   data_parallel: bool = False) -> HTTPServer:  # ThreadingHTTPServer
     predictor = Predictor(max_audio_seconds=max_audio_seconds)
     predictor.setup(person_id, config_dir=config_dir, image_size=image_size,
                     quantize=quantize, artifact=artifact or None,
                     f2f_ckpt=f2f_ckpt, a2f_ckpt=a2f_ckpt, a2h_ckpt=a2h_ckpt,
-                    data_parallel=data_parallel)
+                    apc_ckpt=apc_ckpt, data_parallel=data_parallel)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(predictor))
     print(f"serving '{person_id}' on :{port} (POST /animate, GET /healthz)")
     server.serve_forever()
@@ -211,6 +211,8 @@ def main() -> None:
                    help="orbax ckpt dir of a train.py audio2feature run")
     p.add_argument("--a2h_ckpt", default="",
                    help="orbax ckpt dir of a train.py audio2headpose run")
+    p.add_argument("--apc_ckpt", default="",
+                   help="orbax ckpt dir of a train.py apc pretraining run")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each request's render batch over all "
                         "visible chips (frames are independent; zero "
@@ -220,7 +222,8 @@ def main() -> None:
                   args.max_audio_seconds, quantize=args.quantize,
                   artifact=args.artifact,
                   f2f_ckpt=args.f2f_ckpt, a2f_ckpt=args.a2f_ckpt,
-                  a2h_ckpt=args.a2h_ckpt, data_parallel=args.data_parallel)
+                  a2h_ckpt=args.a2h_ckpt, apc_ckpt=args.apc_ckpt,
+                  data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

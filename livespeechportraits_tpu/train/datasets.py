@@ -165,6 +165,56 @@ class AudioVisualSampler:
 
 
 # ---------------------------------------------------------------------------
+# Mel windows (APC self-supervised pretraining).  No reference
+# counterpart: the reference consumes a frozen pretrained APC encoder
+# (demo.py:145-160) and ships no pretraining data path at all.
+# ---------------------------------------------------------------------------
+
+
+class MelWindowSampler:
+    """Fixed-length windows over per-utterance log-mel sequences.
+
+    Windows never straddle utterance boundaries (prediction across a
+    file seam is meaningless); `stride` < `window` gives overlapping
+    training windows.
+    """
+
+    def __init__(self, mels: Sequence[np.ndarray], window: int = 480,
+                 stride: Optional[int] = None):
+        stride = stride or window
+        self.window = int(window)
+        self._index: List[tuple[int, int]] = []
+        self.mels = [np.asarray(m, np.float32) for m in mels]
+        for u, m in enumerate(self.mels):
+            if m.ndim != 2:
+                raise ValueError(f"mel sequence {u} must be [T, mel_dim]")
+            for lo in range(0, m.shape[0] - self.window + 1, int(stride)):
+                self._index.append((u, lo))
+        if not self._index:
+            raise ValueError(
+                f"no utterance has >= {self.window} mel frames "
+                f"(lengths: {[m.shape[0] for m in self.mels]})")
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def sample(self, index: int) -> Dict[str, np.ndarray]:
+        u, lo = self._index[index]
+        return {"mels": self.mels[u][lo : lo + self.window]}
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True, drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self._index))
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            idx = order[lo : lo + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            yield {"mels": np.stack([self.sample(int(i))["mels"] for i in idx])}
+
+
+# ---------------------------------------------------------------------------
 # Face frames (renderer training) - datasets/face_dataset.py
 # ---------------------------------------------------------------------------
 

@@ -20,11 +20,13 @@ import jax.numpy as jnp
 import optax
 
 from livespeechportraits_tpu.config import (
+    APCConfig,
     Audio2FeatureConfig,
     Audio2HeadposeConfig,
     Feature2FaceConfig,
 )
 from livespeechportraits_tpu.models import (
+    apc as apc_model,
     audio2feature as a2f,
     audio2headpose as a2h,
     feature2face as f2f,
@@ -32,6 +34,48 @@ from livespeechportraits_tpu.models import (
 )
 from livespeechportraits_tpu.ops import gmm
 from livespeechportraits_tpu.train.state import TrainState, apply_updates_with_bn
+
+
+# ---------------------------------------------------------------------------
+# APC pretraining: L1 future-frame prediction.  The reference loads a
+# frozen pretrained encoder (demo.py:145-160) but ships no way to make
+# one; this step reproduces the upstream objective so the audio
+# front-end is trainable from raw speech in-framework.
+# ---------------------------------------------------------------------------
+
+
+def _apc_loss(cfg: APCConfig, preds, mels):
+    n = cfg.time_shift
+    return jnp.mean(jnp.abs(preds[:, :-n] - mels[:, n:]))
+
+
+def make_apc_step(cfg: APCConfig, tx: optax.GradientTransformation,
+                  donate: bool = True):
+    def loss_fn(params, batch):
+        preds = apc_model.apply_apc_pretrain(params, batch["mels"],
+                                             residual=cfg.residual)
+        return _apc_loss(cfg, preds, batch["mels"])
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def apc_validate(cfg: APCConfig):
+    @jax.jit
+    def validate(params, batch):
+        preds = apc_model.apply_apc_pretrain(params, batch["mels"],
+                                             residual=cfg.residual)
+        return _apc_loss(cfg, preds, batch["mels"])
+
+    return validate
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,71 @@ def _batch_iter(sampler, loop: "TrainLoopConfig", rng, mesh):
     return map(transform, it)
 
 
+def train_apc(
+    cfg,
+    loop: TrainLoopConfig,
+    sampler,
+    val_sampler=None,
+    init_params: Optional[Any] = None,
+) -> state_mod.TrainState:
+    """APC self-supervised pretrainer (L1 future-mel prediction).
+
+    Produces the frozen encoder the reference only ever *loads*
+    (demo.py:145-160): checkpoints carry {"encoder", "head"}; serving
+    and feature precompute take params["encoder"]
+    (assets.load_trained_person_models(apc_ckpt=...), train.py
+    --apc_ckpt with an orbax directory)."""
+    from livespeechportraits_tpu.models import apc as apc_mod
+
+    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
+                                        loop.n_epochs_decay)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
+    )(learning_rate=loop.lr)
+    params = init_params if init_params is not None else apc_mod.init_apc_pretrain(
+        jax.random.PRNGKey(loop.seed), cfg)
+    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
+    if mesh is not None:
+        params = mesh_mod.replicate(mesh, params)
+    st = state_mod.create_state(params, tx)
+    step_fn = steps.make_apc_step(cfg, tx)
+    validate_fn = steps.apc_validate(cfg)
+    vis = Visualizer(loop.checkpoints_dir, loop.name)
+    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
+    start_epoch = 0
+    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
+        start_epoch = ckpt.latest_step(ckpt_dir)
+        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
+        print(f"resumed from epoch {start_epoch}")
+
+    rng = np.random.default_rng(loop.seed)
+    it = 0
+    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
+        lr_now = schedule(epoch)
+        st = _set_lr(st, lr_now)
+        t0 = time.time()
+        epoch_it0 = it
+        for batch in _batch_iter(sampler, loop, rng, mesh):
+            st, metrics = step_fn(st, batch)
+            it += 1
+            if it % loop.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()} | {"lr": lr_now}
+                vis.plot_current_errors(m, it)
+                vis.print_current_errors(
+                    epoch, it, m,
+                    (time.time() - t0) / max(it - epoch_it0, 1))
+        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            v = np.mean([
+                float(validate_fn(st.params, b))
+                for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)
+            ])
+            vis.plot_current_errors({"val_l1": float(v)}, it)
+        if (epoch + 1) % loop.save_epoch_freq == 0:
+            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
+    vis.close()
+    return st
+
+
 def train_audio2feature(
     cfg: Audio2FeatureConfig,
     loop: TrainLoopConfig,

@@ -98,10 +98,50 @@ def synthetic_face_data(n_frames: int, H: int, seed: int = 0,
                                      device_rasterize=device_rasterize)
 
 
+def synthetic_mels(n_utts: int, frames: int, mel_dim: int = 80):
+    """Predictable synthetic log-mel sequences: smooth sums of slow
+    sinusoidal formant tracks (plus a little noise), so future-frame
+    prediction has real signal and the APC loss can actually fall."""
+    rng = np.random.default_rng(0)
+    t = np.arange(frames, dtype=np.float32)[:, None]
+    bins = np.arange(mel_dim, dtype=np.float32)[None, :]
+    utts = []
+    for _ in range(n_utts):
+        m = np.zeros((frames, mel_dim), np.float32)
+        for _ in range(4):  # wandering formants
+            centre = (mel_dim / 2) * (1 + np.sin(t / rng.uniform(40, 120)
+                                                 + rng.uniform(0, 6)))
+            width = rng.uniform(3, 8)
+            m += np.exp(-((bins - centre) ** 2) / (2 * width * width))
+        m += rng.normal(0, 0.02, m.shape)
+        utts.append(np.clip(m, 0.0, 1.0).astype(np.float32))
+    return utts
+
+
+def _load_mels(args):
+    """120 Hz log-mel sequences from reference-layout clip wavs."""
+    import os
+
+    from livespeechportraits_tpu.ops import mel as mel_ops
+    from livespeechportraits_tpu.pipeline import video as video_mod
+
+    if not args.dataroot or not args.clip_names:
+        raise SystemExit("real-data training needs --dataroot and --clip_names "
+                         "(or use --synthetic)")
+    mels = []
+    for name in args.clip_names.split(","):
+        clip_root = os.path.join(args.dataroot, name)
+        den = os.path.join(clip_root, name + "_denoise.wav")
+        wav = den if os.path.exists(den) else os.path.join(clip_root, name + ".wav")
+        mels.append(np.asarray(mel_ops.compute_mel_sequence(video_mod.load_wav(wav))))
+    return mels
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--task", required=True,
-                   choices=["audio2feature", "audio2headpose", "feature2face"])
+                   choices=["apc", "audio2feature", "audio2headpose",
+                            "feature2face"])
     p.add_argument("--name", default=None)
     p.add_argument("--checkpoints_dir", default="./checkpoints")
     p.add_argument("--synthetic", action="store_true",
@@ -111,7 +151,11 @@ def main() -> None:
     p.add_argument("--clip_names", default="",
                    help="comma-separated clip directory names under --dataroot")
     p.add_argument("--apc_ckpt", default="",
-                   help="APC encoder checkpoint (.model) for feature precompute")
+                   help="APC encoder for feature precompute: a reference "
+                        ".model file OR a `--task apc` run's orbax ckpt "
+                        "directory")
+    p.add_argument("--mel_window", type=int, default=480,
+                   help="apc: training window length in 120 Hz mel frames")
     p.add_argument("--n_epochs", type=int, default=2)
     p.add_argument("--n_epochs_decay", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=8)
@@ -164,7 +208,20 @@ def main() -> None:
         fused_step=args.fused_step, remat=args.remat, qat=args.qat,
     )
 
-    if args.task == "audio2feature":
+    if args.task == "apc":
+        from livespeechportraits_tpu.config import APCConfig
+
+        cfg = APCConfig()
+        mels = synthetic_mels(4, 2400) if args.synthetic else _load_mels(args)
+        n_val = max(1, len(mels) // 8) if len(mels) > 1 else 0
+        sampler = datasets.MelWindowSampler(mels[n_val:] or mels,
+                                            window=args.mel_window,
+                                            stride=args.mel_window // 2)
+        val_sampler = (datasets.MelWindowSampler(mels[:n_val],
+                                                 window=args.mel_window)
+                       if n_val else None)
+        trainer.train_apc(cfg, loop, sampler, val_sampler)
+    elif args.task == "audio2feature":
         cfg = Audio2FeatureConfig(loss=args.loss)
         clips = synthetic_clips(2, 1400) if args.synthetic else _load_real_clips(args)
         sampler = datasets.AudioVisualSampler(
@@ -210,11 +267,15 @@ def _load_real_clips(args):
         raise SystemExit("real-data training needs --dataroot and --clip_names "
                          "(or use --synthetic)")
     apc_cfg = APCConfig()
-    if args.apc_ckpt:
+    if args.apc_ckpt and os.path.isdir(args.apc_ckpt):
+        # a `train.py --task apc` run's own orbax checkpoint directory
+        apc_params = apc_model.load_pretrained_encoder(args.apc_ckpt, apc_cfg)
+    elif args.apc_ckpt:
         sd = torch_convert.load_state_dict_numpy(args.apc_ckpt)
         apc_params = torch_convert.convert_apc(sd, apc_cfg)
     else:
-        print("WARNING: no --apc_ckpt; using random-init APC features")
+        print("WARNING: no --apc_ckpt; using random-init APC features "
+              "(pretrain one: train.py --task apc)")
         apc_params = apc_model.init_apc(jax.random.PRNGKey(0), apc_cfg)
     clips = []
     for name in args.clip_names.split(","):
