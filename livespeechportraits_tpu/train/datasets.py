@@ -349,16 +349,19 @@ class FaceFrameSampler:
         return out
 
     def batches(self, batch_size: int, rng: np.random.Generator,
-                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        yield from _face_batches(self, batch_size, rng, shuffle)
+                shuffle: bool = True,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        yield from _face_batches(self, batch_size, rng, shuffle, drop_last)
 
 
 def _face_batches(sampler, batch_size: int, rng: np.random.Generator,
-                  shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                  shuffle: bool = True,
+                  drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
     order = np.arange(len(sampler))
     if shuffle:
         rng.shuffle(order)
-    for lo in range(0, len(sampler) - batch_size + 1, batch_size):
+    stop = len(sampler) - (batch_size - 1 if drop_last else 0)
+    for lo in range(0, stop, batch_size):
         samples = [sampler.sample(int(i), rng) for i in order[lo : lo + batch_size]]
         yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
@@ -386,5 +389,6 @@ class ConcatFaceSampler:
         return self.samplers[k].sample(index - base, rng)
 
     def batches(self, batch_size: int, rng: np.random.Generator,
-                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        yield from _face_batches(self, batch_size, rng, shuffle)
+                shuffle: bool = True,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        yield from _face_batches(self, batch_size, rng, shuffle, drop_last)

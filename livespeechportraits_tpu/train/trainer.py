@@ -165,11 +165,11 @@ def train_apc(
                     epoch, it, m,
                     (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            v = np.mean([
-                float(validate_fn(st.params, b))
-                for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)
-            ])
-            vis.plot_current_errors({"val_l1": float(v)}, it)
+            vs = [float(validate_fn(st.params, b))
+                  for b in val_sampler.batches(loop.batch_size, rng,
+                                               shuffle=False, drop_last=False)]
+            if vs:  # a val set smaller than the batch must not log NaN
+                vis.plot_current_errors({"val_l1": float(np.mean(vs))}, it)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
     vis.close()
@@ -222,11 +222,11 @@ def train_audio2feature(
                     epoch, it, m,
                     (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            v = np.mean([
-                float(validate_fn(st.params, b))
-                for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)
-            ])
-            vis.plot_current_errors({"val_loss": float(v)}, it)
+            vs = [float(validate_fn(st.params, b))
+                  for b in val_sampler.batches(loop.batch_size, rng,
+                                               shuffle=False, drop_last=False)]
+            if vs:  # a val set smaller than the batch must not log NaN
+                vis.plot_current_errors({"val_loss": float(np.mean(vs))}, it)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
     vis.close()
@@ -279,11 +279,11 @@ def train_audio2headpose(
                     epoch, it, m,
                     (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            v = np.mean([
-                float(validate_fn(st.params, b))
-                for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)
-            ])
-            vis.plot_current_errors({"val_gmm_nll": float(v)}, it)
+            vs = [float(validate_fn(st.params, b))
+                  for b in val_sampler.batches(loop.batch_size, rng,
+                                               shuffle=False, drop_last=False)]
+            if vs:  # a val set smaller than the batch must not log NaN
+                vis.plot_current_errors({"val_gmm_nll": float(np.mean(vs))}, it)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
     vis.close()
@@ -413,7 +413,8 @@ def train_feature2face(
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
             vals = [validate_fn(g_state.params,
                                 _device_rasterize_batch(jax.device_put(b)))[1]
-                    for b in val_sampler.batches(loop.batch_size, rng, shuffle=False)]
+                    for b in val_sampler.batches(loop.batch_size, rng,
+                                                 shuffle=False, drop_last=False)]
             if vals:
                 vm = {k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]}
                 vis.plot_current_errors(vm, it)

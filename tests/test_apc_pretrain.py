@@ -42,6 +42,13 @@ def test_mel_window_sampler_windows_and_boundaries():
     with pytest.raises(ValueError, match="no utterance"):
         datasets.MelWindowSampler([np.zeros((8, 4), np.float32)], window=16)
 
+    # validation-style iteration: a set smaller than the batch still
+    # yields (trainers pass drop_last=False so val never averages [])
+    small = datasets.MelWindowSampler(mels[1:], window=16, stride=4)  # 2 windows
+    assert list(small.batches(8, rng, shuffle=False)) == []
+    got = list(small.batches(8, rng, shuffle=False, drop_last=False))
+    assert len(got) == 1 and got[0]["mels"].shape == (2, 16, 4)
+
 
 def test_apc_pretrain_loss_falls_and_beats_random(tmp_path):
     import jax

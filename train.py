@@ -156,6 +156,7 @@ def main() -> None:
                         "directory")
     p.add_argument("--mel_window", type=int, default=480,
                    help="apc: training window length in 120 Hz mel frames")
+    p.add_argument("--print_freq", type=int, default=10)
     p.add_argument("--n_epochs", type=int, default=2)
     p.add_argument("--n_epochs_decay", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=8)
@@ -199,7 +200,7 @@ def main() -> None:
 
     loop = trainer.TrainLoopConfig(
         n_epochs=args.n_epochs, n_epochs_decay=args.n_epochs_decay,
-        lr=args.lr, batch_size=args.batch_size,
+        lr=args.lr, batch_size=args.batch_size, print_freq=args.print_freq,
         checkpoints_dir=args.checkpoints_dir,
         name=args.name or args.task,
         continue_train=args.continue_train,
