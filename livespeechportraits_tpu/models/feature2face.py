@@ -367,7 +367,7 @@ def quantize_generator(params: Params) -> Params:
     return dict(params, net=_q_stage(params["net"], outermost=True))
 
 
-def qat_generator(params: Params) -> Params:
+def qat_generator(params: Params, int8_forward: bool = False) -> Params:
     """Tag a float ResUNet generator for quantization-aware fine-tuning.
 
     Tags exactly the conv subset `quantize_generator` quantizes (all
@@ -381,22 +381,28 @@ def qat_generator(params: Params) -> Params:
     stack.  Post-training quantization is the parity path; this is the
     capability extension that recovers the int8 fidelity gap when PTQ is
     not enough (the reference has no reduced-precision training at all,
-    feature2face_model.py:59-60)."""
+    feature2face_model.py:59-60).
+
+    `int8_forward=True` tags with 'fq8' instead: the QAT forward runs
+    the real s8 x s8 -> s32 MXU kernel (bit-identical to deployment)
+    with the same STE gradients - see nn_core._conv2d_fakequant_int8."""
     size = params["size"]
     if size == "small":
         raise NotImplementedError(
             "QAT targets the ResUNet variants ('normal'/'large'), "
             "matching quantize_generator")
 
+    def _t(c: Params) -> Params:
+        return nn_core.fake_quant_conv(c, int8_forward=int8_forward)
+
     def _t_res(r: Params) -> Params:
-        return dict(r, conv1=nn_core.fake_quant_conv(r["conv1"]),
-                    conv2=nn_core.fake_quant_conv(r["conv2"]))
+        return dict(r, conv1=_t(r["conv1"]), conv2=_t(r["conv2"]))
 
     def _t_stage(p: Params, outermost: bool) -> Params:
         q = dict(p)
         if not outermost:
-            q["down"] = nn_core.fake_quant_conv(p["down"])
-            q["up"] = nn_core.fake_quant_conv(p["up"])
+            q["down"] = _t(p["down"])
+            q["up"] = _t(p["up"])
         q["res_down"] = [_t_res(r) for r in p["res_down"]]
         if "res_up" in p:
             q["res_up"] = [_t_res(r) for r in p["res_up"]]
@@ -407,11 +413,15 @@ def qat_generator(params: Params) -> Params:
     return dict(params, net=_t_stage(params["net"], outermost=True))
 
 
+_QAT_TAGS = ("fq", "fq8")
+
+
 def is_qat_generator(params: Params) -> bool:
-    """True iff any conv in the tree carries a QAT tag."""
+    """True iff any conv in the tree carries a QAT tag (either mode)."""
     def _walk(p) -> bool:
         if isinstance(p, dict):
-            return "fq" in p or any(_walk(v) for v in p.values())
+            return any(t in p for t in _QAT_TAGS) or any(
+                _walk(v) for v in p.values())
         if isinstance(p, list):
             return any(_walk(v) for v in p)
         return False
@@ -419,18 +429,67 @@ def is_qat_generator(params: Params) -> bool:
     return _walk(params["net"])
 
 
+def qat_tag_mode(params: Params) -> Optional[str]:
+    """The QAT tag present in the tree ('fq', 'fq8') or None."""
+    def _walk(p) -> Optional[str]:
+        if isinstance(p, dict):
+            for t in _QAT_TAGS:
+                if t in p:
+                    return t
+            for v in p.values():
+                m = _walk(v)
+                if m is not None:
+                    return m
+        elif isinstance(p, list):
+            for v in p:
+                m = _walk(v)
+                if m is not None:
+                    return m
+        return None
+
+    return _walk(params["net"])
+
+
 def strip_qat_generator(params: Params) -> Params:
-    """Remove QAT tags, returning a plain float tree (calibrated
-    `x_scale` leaves, if any, stay: `quantize_conv` carries them into
-    the deployed int8 layer)."""
+    """Remove QAT tags (both modes), returning a plain float tree
+    (calibrated `x_scale` leaves, if any, stay: `quantize_conv` carries
+    them into the deployed int8 layer)."""
     def _walk(p):
         if isinstance(p, dict):
-            return {k: _walk(v) for k, v in p.items() if k != "fq"}
+            return {k: _walk(v) for k, v in p.items() if k not in _QAT_TAGS}
         if isinstance(p, list):
             return [_walk(v) for v in p]
         return p
 
     return dict(params, net=_walk(params["net"]))
+
+
+def qat_discriminator(params: Params, int8_forward: bool = True) -> Params:
+    """Tag the multiscale PatchGAN's interior convs for quantized
+    training (default: the real int8 MXU kernel, STE gradients).
+
+    The discriminator is train-only - it never deploys - so this is
+    purely a training-FLOPs lever: with `int8_forward=True` the tagged
+    forward convs run s8 x s8 -> s32 at the MXU's int8 rate while every
+    gradient (including the one flowing through D into the generator)
+    stays float via the straight-through custom VJP.  Each scale's first
+    conv (reading the image pair) and final 1-channel logits conv stay
+    float, mirroring `quantize_generator`'s keep-the-ends policy.
+
+    Unlike the generator's QAT tags this transform is applied INSIDE the
+    train step (steps.make_f2f_steps / make_f2f_fused_step `qat_d`), so
+    checkpoints and optimizer state never see the tags and no resume
+    handling is needed.  The reference has no reduced-precision D at all
+    (fp16 autocast covers only the renderer, feature2face_model.py:59-60)."""
+    def _t(c: Params) -> Params:
+        return nn_core.fake_quant_conv(c, int8_forward=int8_forward)
+
+    scales = []
+    for s in params["scales"]:
+        layers = s["layers"]
+        mid = [dict(l, conv=_t(l["conv"])) for l in layers[1:-1]]
+        scales.append(dict(s, layers=[layers[0], *mid, layers[-1]]))
+    return dict(params, scales=scales)
 
 
 def calibrate_generator(params: Params, inputs, compute_dtype=None,
@@ -485,7 +544,7 @@ def calibrate_generator(params: Params, inputs, compute_dtype=None,
         # exactly like the unsplit conv it replaces; a QAT-tagged float
         # conv ('fq') records identically, so scales can be baked into
         # the training tree and ride through quantize_conv to deployment
-        if "w_q" in c or "w_a_q" in c or "fq" in c:
+        if "w_q" in c or "w_a_q" in c or "fq" in c or "fq8" in c:
             try:
                 s = next(scales)
             except StopIteration:

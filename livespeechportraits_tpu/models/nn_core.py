@@ -151,6 +151,8 @@ def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
     trainable."""
     if "w_q" in params:
         return _conv2d_q8(params, x, stride, padding)
+    if "fq8" in params:
+        return _conv2d_fakequant_int8(params, x, stride, padding)
     if "fq" in params:
         return _conv2d_fakequant(params, x, stride, padding)
     y = jax.lax.conv_general_dilated(
@@ -242,7 +244,7 @@ def _conv2d_q8(params: Params, x: jnp.ndarray, stride: int,
     return y
 
 
-def fake_quant_conv(params: Params) -> Params:
+def fake_quant_conv(params: Params, int8_forward: bool = False) -> Params:
     """Tag a float conv2d layer for quantization-aware training.
 
     The tagged layer's forward (`_conv2d_fakequant`) runs the SAME
@@ -252,10 +254,18 @@ def fake_quant_conv(params: Params) -> Params:
     keep receiving gradients and learn to sit well on the grid.  The tag
     is a unit array leaf (jit-safe pytrees carry only arrays); its value
     is unused.  The reference has no QAT (fp16 autocast is its only
-    reduced precision, feature2face_model.py:59-60)."""
+    reduced precision, feature2face_model.py:59-60).
+
+    With `int8_forward=True` the tag is `fq8` and the forward pass runs
+    the REAL deployed kernel - s8 x s8 -> s32 on the MXU's int8 path
+    (`_conv2d_fakequant_int8`), bit-identical to `_conv2d_q8` - while the
+    backward pass keeps the same straight-through-estimator gradients.
+    Training then sees exactly what deployment computes (no f32-vs-int32
+    accumulation gap) and the forward convs run at int8 speed."""
     if "w_q" in params:
         raise ValueError("fake_quant_conv expects a float conv (got int8)")
-    return dict(params, fq=jnp.ones((), jnp.float32))
+    tag = "fq8" if int8_forward else "fq"
+    return dict(params, **{tag: jnp.ones((), jnp.float32)})
 
 
 def _round_ste(v: jnp.ndarray) -> jnp.ndarray:
@@ -297,6 +307,101 @@ def _conv2d_fakequant(params: Params, x: jnp.ndarray, stride: int,
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(dt)
+
+
+def _q8_ste_primal(stride: int, padding: int, x, w, s_x):
+    """Deployed int8 conv arithmetic, shared by primal and fwd rules.
+
+    Mirrors `_conv2d_q8` expression-for-expression (including quantizing
+    x with a multiply by 1/s_x, not a divide) so an fq8-tagged layer's
+    forward is bit-identical to the layer it deploys as."""
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    u = jnp.round(x * (1.0 / s_x))
+    x_q = jnp.clip(u, -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_w * s_x).astype(jnp.float32)
+    return y, (x_q, w_q, s_x, s_w, u)
+
+
+def _q8_ste(stride: int, padding: int, x, w, s_x):
+    return _q8_ste_primal(stride, padding, x, w, s_x)[0]
+
+
+_q8_ste = jax.custom_vjp(_q8_ste, nondiff_argnums=(0, 1))
+
+
+def _q8_ste_fwd(stride: int, padding: int, x, w, s_x):
+    y, (x_q, w_q, s_x, s_w, u) = _q8_ste_primal(stride, padding, x, w, s_x)
+    # STE clip mask: the fake-quant emulation's clip(round(x/s_x)) passes
+    # gradient exactly where the rounded value is inside [-127, 127].
+    # Saved residuals are int8 + one bool per element - lighter than the
+    # f32 activations autodiff would save through the float emulation.
+    mask = jnp.abs(u) <= 127.0
+    return y, (x_q, w_q, s_x, s_w, mask)
+
+
+def _q8_ste_bwd(stride: int, padding: int, res, g):
+    """STE backward: gradients of conv(x_fq, w_fq) at the snapped values
+    (exactly what `_conv2d_fakequant` differentiates to), with the clip
+    mask applied to dx and zero cotangent for the stop-gradient scale.
+
+    One deliberate divergence from the float emulation: the per-channel
+    max-|w| weight sits EXACTLY on the +-127 grid edge, where the
+    emulation's jnp.clip (min/max tie at equal args) leaks only half the
+    cotangent through.  That 0.5 is a tie-splitting artifact, not STE
+    semantics - an unclipped value's straight-through gradient is 1, and
+    this rule passes it in full (weights never exceed the grid by
+    construction of s_w, so the weight mask is identically 1)."""
+    x_q, w_q, s_x, s_w, mask = res
+    x_fq = x_q.astype(jnp.float32) * s_x.astype(jnp.float32)
+    w_fq = w_q.astype(jnp.float32) * s_w.astype(jnp.float32)
+
+    def f(xf, wf):
+        return jax.lax.conv_general_dilated(
+            xf, wf, window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(f, x_fq, w_fq)
+    gx, gw = vjp(g.astype(jnp.float32))
+    return gx * mask, gw, jnp.zeros_like(s_x)
+
+
+_q8_ste.defvjp(_q8_ste_fwd, _q8_ste_bwd)
+
+
+def _conv2d_fakequant_int8(params: Params, x: jnp.ndarray, stride: int,
+                           padding: int) -> jnp.ndarray:
+    """QAT forward on the REAL int8 kernel (`fake_quant_conv(int8_forward=
+    True)` tag 'fq8'): s8 x s8 -> s32 on the MXU, bit-identical to the
+    deployed `_conv2d_q8`, with `_conv2d_fakequant`'s straight-through
+    gradients supplied by a custom VJP.  Closes the fake-quant path's
+    residual f32-vs-int32 accumulation gap AND runs the forward convs at
+    int8 speed (the v5e int8 MXU path is 2x bf16 peak).
+
+    During calibration the float emulation handles the layer (identical
+    amax recording order; calibration is a one-off where speed is moot
+    and leaking tracers out of a custom_vjp body is not allowed)."""
+    if _CALIB_AMAX is not None:
+        return _conv2d_fakequant(params, x, stride, padding)
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    xf = x.astype(jnp.float32)
+    if "x_scale" in params:
+        s_x = jax.lax.stop_gradient(params["x_scale"].astype(jnp.float32))
+    else:
+        s_x = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0)
+    y = _q8_ste(stride, padding, xf, params["w"].astype(jnp.float32), s_x)
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(dt)

@@ -222,8 +222,14 @@ def make_f2f_steps(
     compute_dtype=None,
     remat: bool = False,
     donate: bool = True,
+    qat_d: bool = False,
 ):
     """Returns (d_step, g_step).
+
+    qat_d=True runs the discriminator's interior convs on the real int8
+    MXU kernel with straight-through gradients (f2f.qat_discriminator,
+    applied inside the step so checkpoints stay tag-free) - a pure
+    training-FLOPs lever; D never deploys.
 
     batch: feature_map [B,H,W,1], cand_image [B,H,W,12], tgt_image
     [B,H,W,3] (NHWC; the FaceDataset sampler provides this layout).
@@ -246,6 +252,9 @@ def make_f2f_steps(
     gan_mode = cfg.gan_mode
     size = cfg.size
 
+    def d_of(d_params):
+        return f2f.qat_discriminator(d_params) if qat_d else d_params
+
     def g_forward(g_net, batch, training):
         """g_net is the generator's `net` subtree (no metadata leaves -
         the `size` string stays static via this closure)."""
@@ -265,8 +274,10 @@ def make_f2f_steps(
         inp, fake, _ = g_forward(g_net, batch, training=False)
         real_pair = jnp.concatenate([inp, batch["tgt_image"]], axis=-1)
         fake_pair = jnp.concatenate([inp, jax.lax.stop_gradient(fake)], axis=-1)
-        pred_real, aux_d = f2f.apply_discriminator(d_params, real_pair, training=True)
-        pred_fake, _ = f2f.apply_discriminator(d_params, fake_pair, training=True)
+        pred_real, aux_d = f2f.apply_discriminator(d_of(d_params), real_pair,
+                                                   training=True)
+        pred_fake, _ = f2f.apply_discriminator(d_of(d_params), fake_pair,
+                                               training=True)
         # real x2 weighting (feature2face_model.py:166-171)
         loss_real = losses.gan_loss(pred_real, True, gan_mode) * 2.0
         loss_fake = losses.gan_loss(pred_fake, False, gan_mode)
@@ -277,8 +288,10 @@ def make_f2f_steps(
         inp, fake, aux_g = g_forward(g_net, batch, training=True)
         real_pair = jnp.concatenate([inp, batch["tgt_image"]], axis=-1)
         fake_pair = jnp.concatenate([inp, fake], axis=-1)
-        pred_real, _ = f2f.apply_discriminator(d_params, real_pair, training=False)
-        pred_fake, _ = f2f.apply_discriminator(d_params, fake_pair, training=False)
+        pred_real, _ = f2f.apply_discriminator(d_of(d_params), real_pair,
+                                               training=False)
+        pred_fake, _ = f2f.apply_discriminator(d_of(d_params), fake_pair,
+                                               training=False)
 
         loss_gan = losses.gan_loss(pred_fake, True, gan_mode, for_discriminator=False)
         loss_l1 = jnp.mean(jnp.abs(fake - batch["tgt_image"])) * cfg.lambda_L1
@@ -325,6 +338,7 @@ def make_f2f_fused_step(
     compute_dtype=None,
     remat: bool = False,
     donate: bool = True,
+    qat_d: bool = False,
 ):
     """One-program GAN step updating D and G together, sharing every
     forward tower via explicit `jax.vjp` pullbacks.
@@ -377,6 +391,11 @@ def make_f2f_fused_step(
         fake_pair = jnp.concatenate([inp, fake], axis=-1)
 
         def d_apply(dp, x):
+            # qat_d: interior D convs on the int8 MXU kernel, STE grads;
+            # tags are added inside the traced step, so the cotangents and
+            # checkpoints keep the untagged float structure
+            if qat_d:
+                dp = f2f.qat_discriminator(dp)
             feats, new_p = f2f.apply_discriminator(dp, x, training=True)
             return feats, new_p
 

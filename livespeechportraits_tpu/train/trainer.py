@@ -57,6 +57,8 @@ class TrainLoopConfig:
     remat: bool = False  # rematerialise the G forward in backward (512^2 memory lever)
     fused_step: bool = False  # one-program GAN step (shared forward towers)
     qat: bool = False  # quantization-aware G: train against the int8 arithmetic
+    qat_int8: bool = False  # QAT forward on the real int8 MXU kernel (implies qat)
+    qat_d: bool = False  # D's interior convs on the int8 kernel (training-FLOPs lever)
 
 
 def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
@@ -321,12 +323,15 @@ def train_feature2face(
     kg, kd = jax.random.split(jax.random.PRNGKey(loop.seed))
     g = init_g if init_g is not None else f2f_model.init_generator(kg, cfg)
     d = init_d if init_d is not None else f2f_model.init_discriminator(kd, cfg)
-    if loop.qat and not f2f_model.is_qat_generator(g):
+    use_qat = loop.qat or loop.qat_int8
+    qat_tag = "fq8" if loop.qat_int8 else "fq"
+    if use_qat and not f2f_model.is_qat_generator(g):
         # Quantization-aware fine-tuning: G forwards (train, validation,
         # panels) run the deployed int8 arithmetic via STE fake-quant
-        # convs (f2f_model.qat_generator).  Checkpoints saved by a QAT
-        # run carry the tags; resuming keeps them (no double-tagging).
-        g = f2f_model.qat_generator(g)
+        # convs (f2f_model.qat_generator; real int8 MXU kernel when
+        # qat_int8).  Checkpoints saved by a QAT run carry the tags;
+        # resuming keeps them (no double-tagging).
+        g = f2f_model.qat_generator(g, int8_forward=loop.qat_int8)
     mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
     g_net = g["net"]
     if mesh is not None:
@@ -342,11 +347,13 @@ def train_feature2face(
     if loop.fused_step:
         gan_step = steps.make_f2f_fused_step(cfg, tx_g, tx_d, vgg_params,
                                              compute_dtype=compute_dtype,
-                                             remat=loop.remat)
+                                             remat=loop.remat,
+                                             qat_d=loop.qat_d)
     else:
         d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
                                               compute_dtype=compute_dtype,
-                                              remat=loop.remat)
+                                              remat=loop.remat,
+                                              qat_d=loop.qat_d)
     validate_fn = steps.f2f_validate(cfg, compute_dtype=compute_dtype)
 
     # Fixed panel batch: same frames every epoch so the HTML gallery shows
@@ -365,8 +372,8 @@ def train_feature2face(
     if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
         start_epoch = ckpt.latest_step(ckpt_dir)
         raw = ckpt.restore_checkpoint(ckpt_dir, start_epoch)  # plain dicts
-        ck_qat = f2f_model.is_qat_generator({"net": raw["G"]["params"]})
-        if loop.qat and not ck_qat:
+        ck_mode = f2f_model.qat_tag_mode({"net": raw["G"]["params"]})
+        if use_qat and ck_mode is None:
             # Warm-start QAT from a float checkpoint - the natural
             # "fine-tune the converged float model onto the int8 grid"
             # flow: restore through untagged templates, tag the restored
@@ -379,14 +386,30 @@ def train_feature2face(
             restored = ckpt.rebuild(float_tmpl, raw)
             d_state = restored["D"]
             tagged = f2f_model.qat_generator(
-                {"net": restored["G"].params, "size": cfg.size})
+                {"net": restored["G"].params, "size": cfg.size},
+                int8_forward=loop.qat_int8)
             g_state = state_mod.create_state(tagged["net"], tx_g)
             print(f"QAT warm-start from float checkpoint (epoch "
                   f"{start_epoch}); optimizer moments reset")
         else:
-            if ck_qat and not loop.qat:
+            if ck_mode is not None and not use_qat:
                 print("WARNING: checkpoint carries QAT tags but qat=False;"
                       " tags dropped, training continues in float")
+            if ck_mode is not None and use_qat and ck_mode != qat_tag:
+                # Same float weights, different QAT mode (float emulation
+                # vs real int8 forward): the tag is just a renamed unit
+                # leaf, so rename it everywhere in the G subtree (params
+                # AND optimizer moments share the treedef).
+                def _retag(p):
+                    if isinstance(p, dict):
+                        return {(qat_tag if k in ("fq", "fq8") else k):
+                                _retag(v) for k, v in p.items()}
+                    if isinstance(p, list):
+                        return [_retag(v) for v in p]
+                    return p
+
+                raw = dict(raw, G=_retag(raw["G"]))
+                print(f"QAT checkpoint retagged {ck_mode} -> {qat_tag}")
             restored = ckpt.rebuild({"G": g_state, "D": d_state}, raw)
             g_state, d_state = restored["G"], restored["D"]
 

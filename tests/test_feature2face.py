@@ -675,3 +675,157 @@ def test_qat_finetune_improves_deployed_int8():
     after = task_loss_int8(feature2face.strip_qat_generator(
         {"net": net, "size": "normal"})["net"])
     assert after < before, (after, before)
+
+
+# ---------------------------------------------------------------------------
+# QAT with the real int8 forward kernel (fake_quant_conv(int8_forward=True))
+# ---------------------------------------------------------------------------
+
+
+def test_fq8_conv_forward_bit_identical_to_deployed():
+    """An fq8-tagged conv's forward is the deployed int8 layer's forward
+    EXACTLY (same s8 x s8 -> s32 kernel, same scale expressions) - no
+    f32-vs-int32 accumulation gap, unlike the float fake-quant emulation."""
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(0), 16, 24, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16))
+    y_q8 = nn_core.conv2d(nn_core.quantize_conv(p), x, padding=1)
+    y_fq8 = nn_core.conv2d(nn_core.fake_quant_conv(p, int8_forward=True), x,
+                           padding=1)
+    np.testing.assert_array_equal(np.asarray(y_fq8), np.asarray(y_q8))
+
+    # static activation scale rides through identically
+    ps = dict(p, x_scale=jnp.asarray(0.02, jnp.float32))
+    y_q8s = nn_core.conv2d(nn_core.quantize_conv(ps), x, padding=1)
+    y_fq8s = nn_core.conv2d(nn_core.fake_quant_conv(ps, int8_forward=True), x,
+                            padding=1)
+    np.testing.assert_array_equal(np.asarray(y_fq8s), np.asarray(y_q8s))
+
+
+def test_fq8_gradients_match_fake_quant_ste():
+    """The custom-VJP backward reproduces the float fake-quant path's
+    straight-through gradients (same conv of cotangents at the snapped
+    values, scales stop-gradiented)."""
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(2), 8, 12, 3)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 10, 10, 8))
+
+    def grads_of(tagged):
+        def loss(w, xx, b):
+            pp = dict(tagged, w=w, b=b)
+            y = nn_core.conv2d(pp, xx, padding=1)
+            return jnp.sum(jnp.sin(y))
+
+        return jax.grad(loss, argnums=(0, 1, 2))(tagged["w"], x, tagged["b"])
+
+    gw_f, gx_f, gb_f = grads_of(nn_core.fake_quant_conv(p))
+    gw_8, gx_8, gb_8 = grads_of(nn_core.fake_quant_conv(p, int8_forward=True))
+    # forwards differ only by accumulation rounding, so the sin' cotangent
+    # (and thus the grads) agree to float tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(gb_8), np.asarray(gb_f),
+                               atol=1e-4, rtol=1e-4)
+    # weight/activation grads: equal everywhere EXCEPT the entries sitting
+    # exactly on the +-127 grid edge (each channel's max-|w|; the batch
+    # amax of x under the dynamic scale), where the float emulation's
+    # jnp.clip tie-splits and leaks only HALF the cotangent through; the
+    # custom VJP passes the full straight-through gradient (documented in
+    # nn_core._q8_ste_bwd)
+    w = np.asarray(p["w"])
+    s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    tie_w = np.abs(np.round(w / s_w)) >= 127
+    s_x = np.abs(np.asarray(x)).max() / 127.0
+    tie_x = np.abs(np.round(np.asarray(x) / s_x)) >= 127
+    assert tie_w.any() and tie_x.any()
+    gw_f, gw_8 = np.asarray(gw_f), np.asarray(gw_8)
+    gx_f, gx_8 = np.asarray(gx_f), np.asarray(gx_8)
+    np.testing.assert_allclose(gw_8[~tie_w], gw_f[~tie_w],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gw_8[tie_w], 2.0 * gw_f[tie_w],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gx_8[~tie_x], gx_f[~tie_x],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gx_8[tie_x], 2.0 * gx_f[tie_x],
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fq8_clip_mask_zeroes_saturated_activations():
+    """With a static x_scale small enough to clip, saturated input
+    positions get ZERO gradient (STE clip semantics), matching the float
+    fake-quant path position for position."""
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(4), 4, 6, 3)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 4))
+    s = float(jnp.max(jnp.abs(x))) / 300.0  # |x|/s up to ~300 >> 127
+    ps = dict(p, x_scale=jnp.asarray(s, jnp.float32))
+
+    def gx_of(tagged):
+        def loss(xx):
+            return jnp.sum(nn_core.conv2d(tagged, xx, padding=1))
+
+        return jax.grad(loss)(x)
+
+    gx_f = np.asarray(gx_of(nn_core.fake_quant_conv(ps)))
+    gx_8 = np.asarray(gx_of(nn_core.fake_quant_conv(ps, int8_forward=True)))
+    sat = np.abs(np.asarray(jnp.round(x / s))) > 127
+    assert sat.any() and not sat.all()
+    assert np.abs(gx_8[sat]).max() == 0.0
+    assert np.abs(gx_f[sat]).max() == 0.0
+    np.testing.assert_allclose(gx_8, gx_f, atol=1e-5)
+
+
+def test_qat_int8_generator_matches_deployed_bitwise():
+    """qat_generator(int8_forward=True) eval forward == the deployed
+    quantize_generator forward bit for bit (interior convs run the same
+    int8 kernel; BN/outer convs are shared float code), and the tree
+    still trains (STE grads reach the weights) and calibrates."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(50), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(51), (2, 32, 32, cfg.input_nc),
+                           minval=-1, maxval=1)
+
+    qat8 = feature2face.qat_generator(params, int8_forward=True)
+    assert feature2face.is_qat_generator(qat8)
+    assert feature2face.qat_tag_mode(qat8) == "fq8"
+    assert feature2face.qat_tag_mode(feature2face.qat_generator(params)) == "fq"
+    assert feature2face.qat_tag_mode(params) is None
+
+    y_qat8, _ = feature2face.apply_generator(qat8, x, training=False)
+    y_int8, _ = feature2face.apply_generator(
+        feature2face.quantize_generator(params), x, training=False)
+    np.testing.assert_array_equal(np.asarray(y_qat8), np.asarray(y_int8))
+
+    # strip removes fq8 tags too
+    stripped = feature2face.strip_qat_generator(qat8)
+    assert not feature2face.is_qat_generator(stripped)
+    y_float, _ = feature2face.apply_generator(params, x, training=False)
+    y_strip, _ = feature2face.apply_generator(stripped, x, training=False)
+    np.testing.assert_array_equal(np.asarray(y_strip), np.asarray(y_float))
+
+    # gradients flow (jitted, as the train step runs it)
+    tgt = jax.random.uniform(jax.random.PRNGKey(52), (2, 32, 32, 3))
+
+    @jax.jit
+    def gfn(net):
+        def loss(n):
+            y, _ = feature2face.apply_generator(
+                {"net": n, "size": "normal"}, x, training=True)
+            return jnp.mean((y - tgt) ** 2)
+
+        return jax.grad(loss)(net)
+
+    grads = gfn(qat8["net"])
+    inner = grads["sub"]["down"]
+    assert float(jnp.max(jnp.abs(inner["w"]))) > 0
+    assert np.isfinite(np.asarray(inner["w"])).all()
+    assert float(jnp.abs(inner["fq8"])) == 0.0
+
+    # calibration records through the fq8 tree (float-emulation fallback)
+    cal = feature2face.calibrate_generator(qat8, x)
+    assert "x_scale" in cal["net"]["sub"]["down"]
+    dep = feature2face.quantize_generator(feature2face.strip_qat_generator(cal))
+    y_dep, _ = feature2face.apply_generator(dep, x, training=False)
+    y_cal, _ = feature2face.apply_generator(cal, x, training=False)
+    np.testing.assert_array_equal(np.asarray(y_cal), np.asarray(y_dep))

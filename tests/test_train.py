@@ -404,3 +404,67 @@ def test_f2f_fused_step_remat_matches_plain():
         for a, b in zip(jax.tree.leaves(outs[0][0]), jax.tree.leaves(other[0])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, rtol=1e-5)
+
+
+def test_f2f_qat_d_step_runs_and_stays_tag_free():
+    """qat_d=True: the discriminator's interior convs run the int8 kernel
+    inside the step (both fused and alternating forms), gradients stay
+    finite and close to the float-D step's, and neither state tree ever
+    carries a tag leaf (the transform is step-internal)."""
+    kg, kd = jax.random.split(jax.random.PRNGKey(6))
+    g = feature2face.init_generator(kg, F2F_CFG)
+    d = feature2face.init_discriminator(kd, F2F_CFG)
+    (lr_g, bg), (lr_d, bd) = steps.ttur_learning_rates(2e-4, ttur=False)
+    tx_g = state_mod.adam(lr_g, b1=bg[0], b2=bg[1])
+    tx_d = state_mod.adam(lr_d, b1=bd[0], b2=bd[1])
+
+    rng = np.random.default_rng(6)
+    B, H = 2, 32
+    batch = {
+        "feature_map": jnp.asarray(rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32)),
+        "cand_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 12)).astype(np.float32)),
+        "tgt_image": jnp.asarray(rng.uniform(-1, 1, (B, H, H, 3)).astype(np.float32)),
+    }
+
+    def run(qat_d, fused):
+        g_state = state_mod.create_state(g["net"], tx_g)
+        d_state = state_mod.create_state(d, tx_d)
+        if fused:
+            step = steps.make_f2f_fused_step(F2F_CFG, tx_g, tx_d, donate=False,
+                                             qat_d=qat_d)
+            g_state, d_state, m = step(g_state, d_state, batch)
+        else:
+            d_step, g_step = steps.make_f2f_steps(F2F_CFG, tx_g, tx_d,
+                                                  donate=False, qat_d=qat_d)
+            d_state, _ = d_step(d_state, g_state.params, batch)
+            g_state, m = g_step(g_state, d_state.params, batch)
+        return g_state, d_state, m
+
+    for fused in (False, True):
+        gq, dq, mq = run(True, fused)
+        gf, df, mf = run(False, fused)
+        assert np.isfinite(float(mq["loss_G"])) and np.isfinite(float(mq.get("loss_D", 0.0) or 0.0))
+        # int8 D is a small perturbation of the float-D step, not a rewrite
+        lg = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(gq.params)])
+        lf = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(gf.params)])
+        assert np.abs(lg - lf).max() < 1e-2, (fused, np.abs(lg - lf).max())
+        # D params updated and stayed tag-free
+        d0 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(d)])
+        d1 = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(dq.params)])
+        assert np.abs(d0 - d1).max() > 0
+
+        def keys_of(p, acc):
+            if isinstance(p, dict):
+                acc.update(p.keys())
+                for v in p.values():
+                    keys_of(v, acc)
+            elif isinstance(p, list):
+                for v in p:
+                    keys_of(v, acc)
+            return acc
+
+        assert "fq8" not in keys_of(dq.params, set())
+        assert "fq8" not in keys_of(gq.params, set())

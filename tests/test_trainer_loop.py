@@ -346,3 +346,45 @@ def test_f2f_qat_warm_start_from_float_checkpoint(tmp_path):
                                      continue_train=True)
     g_back, _ = trainer.train_feature2face(cfg, loop_f, sampler)
     assert not f2f.is_qat_generator({"net": g_back.params})
+
+
+def test_f2f_trainer_qat_int8_loop_and_retag(tmp_path):
+    """train_feature2face(qat_int8=True): the generator trains with the
+    REAL int8 forward kernel (fq8 tags); resuming the checkpoint under
+    the float-emulation mode retags fq8 -> fq in params AND optimizer
+    moments instead of failing on a treedef mismatch."""
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.models import feature2face as f2f
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(9)
+    H = 32
+    images = rng.integers(0, 255, (40, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (40, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2)
+    base = dict(n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=2,
+                print_freq=50, checkpoints_dir=str(tmp_path), name="f2f_q8",
+                save_epoch_freq=1)
+    g1, _ = trainer.train_feature2face(
+        cfg, trainer.TrainLoopConfig(**base, qat_int8=True), sampler)
+    assert int(g1.step) > 0
+    assert f2f.qat_tag_mode({"net": g1.params}) == "fq8"
+
+    # fq8 checkpoint resumed under the float-emulation mode: retagged
+    loop_fq = trainer.TrainLoopConfig(**{**base, "n_epochs": 2},
+                                      continue_train=True, qat=True)
+    g2, _ = trainer.train_feature2face(cfg, loop_fq, sampler)
+    assert int(g2.step) > int(g1.step)
+    assert f2f.qat_tag_mode({"net": g2.params}) == "fq"
+
+    # and back: fq checkpoint resumed under the int8-forward mode
+    loop_q8 = trainer.TrainLoopConfig(**{**base, "n_epochs": 3},
+                                      continue_train=True, qat_int8=True)
+    g3, _ = trainer.train_feature2face(cfg, loop_q8, sampler)
+    assert int(g3.step) > int(g2.step)
+    assert f2f.qat_tag_mode({"net": g3.params}) == "fq8"

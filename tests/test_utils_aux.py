@@ -306,7 +306,10 @@ def test_serve_predictor_data_parallel(tmp_path):
     f8, f1 = frames_of(r8.video_path), frames_of(r1.video_path)
     # sharded and unsharded renders are different XLA programs; allow
     # LSB-level float->uint8 rounding flips (observed <=0.5% of pixels
-    # off by 1 depending on run order / oneDNN kernel choice on CPU)
+    # off by 1 depending on run order / oneDNN kernel choice on CPU; two
+    # independent flips can compound to 2 when the persistent compile
+    # cache serves a program AOT-compiled on a different host type)
     diff = np.abs(f8.astype(np.int16) - f1.astype(np.int16))
-    assert diff.max() <= 1, diff.max()
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
     assert (diff > 0).mean() < 0.01, (diff > 0).mean()

@@ -63,6 +63,13 @@ def main() -> None:
                         "deployed int8 arithmetic via STE fake-quant convs; "
                         "the report then compares the deployed int8 model "
                         "against the float A/B arm")
+    p.add_argument("--qat_int8", action="store_true",
+                   help="QAT with the forward convs on the REAL int8 MXU "
+                        "kernel (bit-identical to deployment, STE "
+                        "gradients); implies --qat")
+    p.add_argument("--qat_d", action="store_true",
+                   help="discriminator interior convs on the int8 MXU "
+                        "kernel (training-FLOPs lever)")
     args = p.parse_args()
 
     def _remat_arg(a):
@@ -94,7 +101,7 @@ def main() -> None:
         ttur=True, remat=_remat_arg(args),
         save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
         validate_epoch=max(1, n_epochs // 4), fused_step=args.fused_step,
-        qat=args.qat,
+        qat=args.qat, qat_int8=args.qat_int8, qat_d=args.qat_d,
     )
     vgg_params = losses.init_vgg19(0) if args.vgg == "random" else None
 
@@ -117,8 +124,8 @@ def main() -> None:
 
         kg, kd = jax.random.split(jax.random.PRNGKey(loop.seed))
         g0 = f2f_model.init_generator(kg, cfg)
-        if args.qat:
-            g0 = f2f_model.qat_generator(g0)
+        if args.qat or args.qat_int8:
+            g0 = f2f_model.qat_generator(g0, int8_forward=args.qat_int8)
         g_state = state_mod.create_state(g0["net"], tx_g)
         d_state = state_mod.create_state(
             f2f_model.init_discriminator(kd, cfg), tx_d)
@@ -169,7 +176,7 @@ def main() -> None:
     if args.fused_step:
         gan_step = steps_mod.make_f2f_fused_step(
             cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-            remat=_remat_arg(args))
+            remat=_remat_arg(args), qat_d=args.qat_d)
         g_state, d_state, gm = gan_step(g_state, d_state, batch)
         _ = float(gm["loss_G"])
         t0 = time.time()
@@ -181,7 +188,7 @@ def main() -> None:
     else:
         d_step, g_step = steps_mod.make_f2f_steps(
             cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-            remat=_remat_arg(args))
+            remat=_remat_arg(args), qat_d=args.qat_d)
         # warm (hits the trainer's executables via the jit cache); the
         # scalar fetch is the true barrier on the tunnelled backend
         d_state, _ = d_step(d_state, g_state.params, batch)
@@ -216,7 +223,8 @@ def main() -> None:
         "metric": "512^2 GAN train step (D+G), 1 chip",
         "size": args.size, "batch": args.batch, "vgg": args.vgg,
         "remat": _remat_arg(args), "fused_step": args.fused_step,
-        "qat": args.qat, "fidelity": fidelity,
+        "qat": args.qat, "qat_int8": args.qat_int8, "qat_d": args.qat_d,
+        "fidelity": fidelity,
         "steps_trained": int(g_state.step), "train_wall_s": round(train_wall, 1),
         "step_time_ms": round(step_s * 1e3, 1),
         "steps_per_s": round(1.0 / step_s, 3),

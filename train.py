@@ -181,6 +181,16 @@ def main() -> None:
                         "arithmetic (STE fake-quant convs) so the weights "
                         "fine-tune onto the int8 grid before "
                         "quantize_generator deployment")
+    p.add_argument("--qat_int8", action="store_true",
+                   help="feature2face: QAT with the forward convs on the "
+                        "REAL int8 MXU kernel (bit-identical to the "
+                        "deployed quantized net, STE gradients; implies "
+                        "--qat and runs the QAT forward at int8 speed)")
+    p.add_argument("--qat_d", action="store_true",
+                   help="feature2face: the discriminator's interior convs "
+                        "run the int8 MXU kernel in training (STE "
+                        "gradients; pure training-FLOPs lever - D never "
+                        "deploys, checkpoints stay float)")
     p.add_argument("--device_rasterize", action="store_true",
                    help="feature2face: rasterise edge maps on DEVICE per "
                         "batch instead of per-frame host cv2 (same kernel "
@@ -207,6 +217,7 @@ def main() -> None:
         smooth_loss=args.smooth_loss, ttur=args.TTUR,
         data_parallel=args.data_parallel,
         fused_step=args.fused_step, remat=args.remat, qat=args.qat,
+        qat_int8=args.qat_int8, qat_d=args.qat_d,
     )
 
     if args.task == "apc":
