@@ -72,3 +72,50 @@ def replicate(mesh: Mesh, tree):
     """Replicate params across the mesh (DataParallel broadcast)."""
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def zero1_sharding(mesh: Mesh, x, base_spec: Optional[Sequence] = None
+                   ) -> NamedSharding:
+    """ZeRO-1 placement for one optimizer-state leaf: shard the largest
+    FREE data-axis-divisible dimension over `data` on top of `base_spec`
+    (e.g. an existing channel sharding over `model`); replicate when no
+    dimension qualifies (scalars, odd shapes)."""
+    n = mesh.shape[DATA_AXIS]
+    shape = np.shape(x)
+    spec = list(base_spec) if base_spec is not None else []
+    spec += [None] * (len(shape) - len(spec))
+    if n > 1 and shape:
+        free = [d for d in range(len(shape))
+                if spec[d] is None and shape[d] % n == 0 and shape[d] > 0]
+        if free:
+            spec[max(free, key=lambda d: shape[d])] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero1_place(mesh: Mesh, opt_state):
+    """Partition optimizer state across the data axis (ZeRO-1).
+
+    Under data parallelism the params (and grads, after the psum that
+    falls out of the batch sharding) are replicated, but the optimizer
+    moments don't need to be: placing each Adam mu/nu leaf with a
+    data-axis sharding makes GSPMD partition the optimizer update math
+    and insert the gather for the (replicated) param update - the ZeRO
+    stage-1 memory split (Rajbhandari et al. 2020) expressed purely as a
+    placement, with no step-code changes.  Cuts optimizer memory from
+    2x params to 2x/N per chip; jit output shardings follow the input
+    placement, so the state stays partitioned across steps.
+
+    Leaves that already carry a sharding on this mesh (e.g. moments that
+    inherited the params' `model`-axis channel sharding under hybrid
+    DP+TP) keep it; the data axis lands on a free dimension.
+
+    The reference has no distributed optimizer at all (plain Adam under
+    DataParallel, feature2face_model.py / networks.py:400)."""
+    def _place(x):
+        base = None
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+            base = tuple(sh.spec)
+        return jax.device_put(x, zero1_sharding(mesh, x, base))
+
+    return jax.tree.map(_place, opt_state)

@@ -59,6 +59,16 @@ class TrainLoopConfig:
     qat: bool = False  # quantization-aware G: train against the int8 arithmetic
     qat_int8: bool = False  # QAT forward on the real int8 MXU kernel (implies qat)
     qat_d: bool = False  # D's interior convs on the int8 kernel (training-FLOPs lever)
+    zero1: bool = False  # partition optimizer state over the data axis (ZeRO-1)
+
+
+def _maybe_zero1(st, mesh, loop: "TrainLoopConfig"):
+    """Apply the ZeRO-1 optimizer-state placement (mesh.zero1_place) when
+    requested - called after creation AND after checkpoint restore, since
+    a restore re-materialises the state with default placement."""
+    if mesh is not None and loop.zero1:
+        st = st._replace(opt_state=mesh_mod.zero1_place(mesh, st.opt_state))
+    return st
 
 
 def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
@@ -150,6 +160,7 @@ def train_apc(
         st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
         print(f"resumed from epoch {start_epoch}")
 
+    st = _maybe_zero1(st, mesh, loop)
     rng = np.random.default_rng(loop.seed)
     it = 0
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
@@ -207,6 +218,7 @@ def train_audio2feature(
         st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
         print(f"resumed from epoch {start_epoch}")
 
+    st = _maybe_zero1(st, mesh, loop)
     rng = np.random.default_rng(loop.seed)
     it = 0
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
@@ -263,6 +275,7 @@ def train_audio2headpose(
         start_epoch = ckpt.latest_step(ckpt_dir)
         st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
 
+    st = _maybe_zero1(st, mesh, loop)
     rng = np.random.default_rng(loop.seed)
     key = jax.random.PRNGKey(loop.seed)
     it = 0
@@ -413,6 +426,8 @@ def train_feature2face(
             restored = ckpt.rebuild({"G": g_state, "D": d_state}, raw)
             g_state, d_state = restored["G"], restored["D"]
 
+    g_state = _maybe_zero1(g_state, mesh, loop)
+    d_state = _maybe_zero1(d_state, mesh, loop)
     rng = np.random.default_rng(loop.seed)
     it = 0
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):

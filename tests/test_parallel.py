@@ -279,3 +279,81 @@ def test_qat_gan_step_dp_tp_matches_single_device():
     assert float(m1["loss_D"]) == pytest.approx(float(m2["loss_D"]), rel=1e-4)
     for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_zero1_optimizer_sharding_matches_replicated():
+    """ZeRO-1: placing the Adam moments with a data-axis sharding
+    (mesh.zero1_place) must not change the optimizer math - Adam is
+    elementwise, so sharded-state updates are BITWISE equal to the
+    replicated run - while the moment leaves actually live partitioned,
+    stay partitioned across steps (jit propagates the input placement),
+    and cost ~1/N of the replicated optimizer bytes per chip."""
+    import optax
+
+    key = jax.random.PRNGKey(3)
+    params = audio2feature.init_audio2feature(key, A2F_CFG)
+    tx = optax.adam(1e-3)
+    m = mesh_mod.make_mesh(1)
+    params = mesh_mod.replicate(m, params)
+
+    # synthesized gradients, replicated: isolates the optimizer update
+    # from model-side reduction-order noise (see the DataParallel test)
+    ks = iter(jax.random.split(jax.random.PRNGKey(7), 100))
+    grads = jax.tree.map(
+        lambda x: jax.device_put(
+            jax.random.normal(next(ks), np.shape(x), jnp.float32) * 1e-2,
+            mesh_mod.replicated(m)),
+        params)
+
+    @jax.jit
+    def upd(p, opt, g):
+        u, new_opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, u), new_opt
+
+    opt_rep = tx.init(params)
+    opt_z = mesh_mod.zero1_place(m, tx.init(params))
+    p_rep, p_z = params, params
+    for _ in range(3):
+        p_rep, opt_rep = upd(p_rep, opt_rep, grads)
+        p_z, opt_z = upd(p_z, opt_z, grads)
+
+    for a, b in zip(jax.tree.leaves(p_rep), jax.tree.leaves(p_z)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the big moment leaves are still sharded after 3 steps
+    sharded = [x for x in jax.tree.leaves(opt_z)
+               if hasattr(x, "sharding") and np.ndim(x) > 0
+               and x.sharding.spec != P()
+               and "data" in jax.tree.leaves(tuple(x.sharding.spec))]
+    assert sharded, "no optimizer leaf stayed data-sharded"
+    one = max(sharded, key=lambda x: x.size)
+    assert len(one.addressable_shards) == 8
+    assert one.addressable_shards[0].data.size == one.size // 8
+
+    # per-chip optimizer bytes drop ~1/N for the shardable mass
+    def bytes_on_dev0(t):
+        tot = 0
+        for x in jax.tree.leaves(t):
+            if hasattr(x, "addressable_shards"):
+                for s in x.addressable_shards:
+                    if s.device == jax.devices()[0]:
+                        tot += s.data.size * s.data.dtype.itemsize
+            else:
+                tot += np.asarray(x).nbytes
+        return tot
+
+    assert bytes_on_dev0(opt_z) < 0.5 * bytes_on_dev0(opt_rep)
+
+    # end-to-end wiring: a real sharded-batch train step with ZeRO-1 state
+    # matches the replicated-optimizer step to the DP test's tolerance
+    step = steps.make_a2f_step(A2F_CFG, tx, donate=False)
+    rng = np.random.default_rng(3)
+    batch = mesh_mod.shard_batch(m, {
+        "audio": rng.normal(size=(8, 12, 8)).astype(np.float32),
+        "target": rng.normal(size=(8, 6, 6)).astype(np.float32)})
+    st_rep = state_mod.create_state(params, tx)
+    st_z = st_rep._replace(opt_state=mesh_mod.zero1_place(m, st_rep.opt_state))
+    st_rep, _ = step(st_rep, batch)
+    st_z, _ = step(st_z, batch)
+    for a, b in zip(jax.tree.leaves(st_rep.params), jax.tree.leaves(st_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -164,6 +164,9 @@ def main() -> None:
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all devices")
+    p.add_argument("--zero1", action="store_true",
+                   help="partition optimizer state over the data axis "
+                        "(ZeRO-1; needs --data_parallel)")
     p.add_argument("--smooth_loss", type=float, default=0.0)
     p.add_argument("--loss", default="L2", choices=["L2", "GMM"],
                    help="audio2feature loss: MSE or the intended GMM NLL")
@@ -217,7 +220,7 @@ def main() -> None:
         smooth_loss=args.smooth_loss, ttur=args.TTUR,
         data_parallel=args.data_parallel,
         fused_step=args.fused_step, remat=args.remat, qat=args.qat,
-        qat_int8=args.qat_int8, qat_d=args.qat_d,
+        qat_int8=args.qat_int8, qat_d=args.qat_d, zero1=args.zero1,
     )
 
     if args.task == "apc":
