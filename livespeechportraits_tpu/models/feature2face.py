@@ -306,10 +306,7 @@ def apply_generator(params: Params, x: jnp.ndarray, training: bool = False,
     net = params["net"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-        net = jax.tree.map(
-            lambda a: a.astype(compute_dtype) if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.floating) else a,
-            net,
-        )
+        net = _cast_net(net, compute_dtype)
     if size == "small":
         y, new_net = _unet_apply(net, x, training)
     else:
@@ -418,15 +415,7 @@ _QAT_TAGS = ("fq", "fq8")
 
 def is_qat_generator(params: Params) -> bool:
     """True iff any conv in the tree carries a QAT tag (either mode)."""
-    def _walk(p) -> bool:
-        if isinstance(p, dict):
-            return any(t in p for t in _QAT_TAGS) or any(
-                _walk(v) for v in p.values())
-        if isinstance(p, list):
-            return any(_walk(v) for v in p)
-        return False
-
-    return _walk(params["net"])
+    return qat_tag_mode(params) is not None
 
 
 def qat_tag_mode(params: Params) -> Optional[str]:
@@ -725,11 +714,27 @@ def split_skip_generator(params: Params) -> Params:
 
 
 def _cast_net(net: Params, compute_dtype):
-    return jax.tree.map(
-        lambda a: a.astype(compute_dtype)
-        if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.floating) else a,
-        net,
-    )
+    """Cast float leaves to the compute dtype - EXCEPT inside QAT-tagged
+    convs, whose master weights must stay f32: deployment quantizes the
+    f32 checkpoint (quantize_conv), so the fq/fq8 forward must quantize
+    f32 weights too to see the deployed arithmetic.  The conv itself
+    emulates the deployed tree's leaf casts (w_scale/b to compute dtype)
+    from x's dtype - see nn_core._conv2d_fakequant_int8."""
+    def _cast(a):
+        if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(compute_dtype)
+        return a
+
+    def _walk(p):
+        if isinstance(p, dict):
+            if any(t in p for t in _QAT_TAGS):
+                return p
+            return {k: _walk(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [_walk(v) for v in p]
+        return jax.tree.map(_cast, p)
+
+    return _walk(net)
 
 
 def precompute_cand_down(params: Params, cand_stack: jnp.ndarray,

@@ -315,12 +315,15 @@ def _conv2d_fakequant(params: Params, x: jnp.ndarray, stride: int,
 def _q8_ste_primal(stride: int, padding: int, x, w, s_x):
     """Deployed int8 conv arithmetic, shared by primal and fwd rules.
 
-    Mirrors `_conv2d_q8` expression-for-expression (including quantizing
-    x with a multiply by 1/s_x, not a divide) so an fq8-tagged layer's
-    forward is bit-identical to the layer it deploys as."""
+    Mirrors `_conv2d_q8` expression-for-expression IN x's dtype dt
+    (including quantizing x with a dt multiply by 1/s_x, not a divide,
+    and rescaling in dt) so an fq8-tagged layer's forward is
+    bit-identical to the layer it deploys as under both the f32 training
+    path and the bf16 production compute dtype."""
+    dt = x.dtype
     s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
     w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
-    u = jnp.round(x * (1.0 / s_x))
+    u = jnp.round(x * (1.0 / s_x).astype(dt))
     x_q = jnp.clip(u, -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=(stride, stride),
@@ -328,7 +331,10 @@ def _q8_ste_primal(stride: int, padding: int, x, w, s_x):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (s_w * s_x).astype(jnp.float32)
+    # s_w.astype(dt).astype(f32) emulates the deployed tree's w_scale leaf
+    # being cast to the compute dtype (feature2face._cast_net) and upcast
+    # again inside _conv2d_q8; a no-op when dt is f32
+    y = y.astype(dt) * (s_w.astype(dt).astype(jnp.float32) * s_x).astype(dt)
     return y, (x_q, w_q, s_x, s_w, u)
 
 
@@ -346,7 +352,7 @@ def _q8_ste_fwd(stride: int, padding: int, x, w, s_x):
     # Saved residuals are int8 + one bool per element - lighter than the
     # f32 activations autodiff would save through the float emulation.
     mask = jnp.abs(u) <= 127.0
-    return y, (x_q, w_q, s_x, s_w, mask)
+    return y, (x_q, w_q, s_x, s_w, mask, jnp.zeros((), x.dtype))
 
 
 def _q8_ste_bwd(stride: int, padding: int, res, g):
@@ -361,7 +367,7 @@ def _q8_ste_bwd(stride: int, padding: int, res, g):
     semantics - an unclipped value's straight-through gradient is 1, and
     this rule passes it in full (weights never exceed the grid by
     construction of s_w, so the weight mask is identically 1)."""
-    x_q, w_q, s_x, s_w, mask = res
+    x_q, w_q, s_x, s_w, mask, dt_probe = res
     x_fq = x_q.astype(jnp.float32) * s_x.astype(jnp.float32)
     w_fq = w_q.astype(jnp.float32) * s_w.astype(jnp.float32)
 
@@ -374,7 +380,7 @@ def _q8_ste_bwd(stride: int, padding: int, res, g):
 
     _, vjp = jax.vjp(f, x_fq, w_fq)
     gx, gw = vjp(g.astype(jnp.float32))
-    return gx * mask, gw, jnp.zeros_like(s_x)
+    return (gx * mask).astype(dt_probe.dtype), gw, jnp.zeros_like(s_x)
 
 
 _q8_ste.defvjp(_q8_ste_fwd, _q8_ste_bwd)
@@ -394,17 +400,25 @@ def _conv2d_fakequant_int8(params: Params, x: jnp.ndarray, stride: int,
     and leaking tracers out of a custom_vjp body is not allowed)."""
     if _CALIB_AMAX is not None:
         return _conv2d_fakequant(params, x, stride, padding)
-    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    xf = x.astype(jnp.float32)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    dt = x.dtype
+    # scale selection mirrors _quantize_activation leaf for leaf (amax in
+    # x's dtype, then f32; a calibrated x_scale passes through the
+    # deployed tree's compute-dtype cast first) so the quantized values -
+    # and hence the whole layer output - are bit-identical to the
+    # deployed _conv2d_q8 under f32 AND bf16 compute
     if "x_scale" in params:
-        s_x = jax.lax.stop_gradient(params["x_scale"].astype(jnp.float32))
+        s_x = jax.lax.stop_gradient(
+            params["x_scale"].astype(dt).astype(jnp.float32))
     else:
         s_x = jax.lax.stop_gradient(
-            jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0)
-    y = _q8_ste(stride, padding, xf, params["w"].astype(jnp.float32), s_x)
+            jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12)
+            / 127.0)
+    y = _q8_ste(stride, padding, x, jnp.asarray(params["w"], jnp.float32), s_x)
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(dt)
+        y = y + params["b"].astype(dt)  # deployed b leaf is compute-dtype
+    return y
 
 
 def conv_transpose2d(params: Params, x: jnp.ndarray, stride: int = 2,

@@ -84,7 +84,9 @@ def zero1_sharding(mesh: Mesh, x, base_spec: Optional[Sequence] = None
     shape = np.shape(x)
     spec = list(base_spec) if base_spec is not None else []
     spec += [None] * (len(shape) - len(spec))
-    if n > 1 and shape:
+    used = {a for s in spec if s is not None
+            for a in (s if isinstance(s, tuple) else (s,))}
+    if n > 1 and shape and DATA_AXIS not in used:  # idempotent re-placement
         free = [d for d in range(len(shape))
                 if spec[d] is None and shape[d] % n == 0 and shape[d] > 0]
         if free:

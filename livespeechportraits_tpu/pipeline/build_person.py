@@ -64,13 +64,14 @@ def select_candidate_frames(landmarks2d: np.ndarray, n: int = 4) -> List[int]:
     picks: List[int] = []
     for order in (np.argsort(-openness), np.argsort(openness),
                   np.argsort(-yaw), np.argsort(yaw)):
-        picks.append(next(int(i) for i in order if int(i) not in picks))
+        # a clip shorter than n frames exhausts the unpicked indices
+        fresh = next((int(i) for i in order if int(i) not in picks), None)
+        if fresh is not None:
+            picks.append(fresh)
         if len(picks) == n:
             break
-    while len(picks) < n:  # tiny clips: pad with evenly spaced frames
-        cand = int(len(lm) * (len(picks) + 1) / (n + 1))
-        picks.append(min(cand, len(lm) - 1) if cand not in picks
-                     else (picks[-1] + 1) % len(lm))
+    while len(picks) < n:  # tiny clips (< n frames): repeat round-robin
+        picks.append(picks[len(picks) % len(lm)])
     return picks[:n]
 
 

@@ -65,7 +65,13 @@ class TrainLoopConfig:
 def _maybe_zero1(st, mesh, loop: "TrainLoopConfig"):
     """Apply the ZeRO-1 optimizer-state placement (mesh.zero1_place) when
     requested - called after creation AND after checkpoint restore, since
-    a restore re-materialises the state with default placement."""
+    a restore re-materialises the state with default placement
+    (zero1_place is idempotent, so an already-partitioned state passes
+    through unchanged)."""
+    if loop.zero1 and mesh is None:
+        raise ValueError(
+            "zero1 partitions optimizer state over the data axis and "
+            "needs data_parallel=True (no mesh was built)")
     if mesh is not None and loop.zero1:
         st = st._replace(opt_state=mesh_mod.zero1_place(mesh, st.opt_state))
     return st

@@ -116,3 +116,20 @@ def test_build_pack_then_load_and_animate(tmp_path):
     out = animate_mod.animate(cfg, a, m, _sine_audio(1.0), render_batch=4)
     want = 60 - cfg.audio2headpose.frame_future  # head-pose tail trim
     assert out.frames.shape[0] == want and np.isfinite(out.frames).all()
+
+
+def test_select_candidate_frames_tiny_clips():
+    """Clips with fewer frames than candidates must pad by repetition,
+    not crash (1-3 frame clips exhaust the distinct-pick orders)."""
+    from livespeechportraits_tpu.pipeline.build_person import (
+        select_candidate_frames,
+    )
+
+    rng = np.random.default_rng(0)
+    for n_frames in (1, 2, 3, 4, 7):
+        lm = rng.uniform(0, 64, (n_frames, 73, 2)).astype(np.float32)
+        picks = select_candidate_frames(lm)
+        assert len(picks) == 4
+        assert all(0 <= p < n_frames for p in picks)
+        if n_frames >= 4:
+            assert len(set(picks)) == 4

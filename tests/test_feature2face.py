@@ -702,6 +702,20 @@ def test_fq8_conv_forward_bit_identical_to_deployed():
                             padding=1)
     np.testing.assert_array_equal(np.asarray(y_fq8s), np.asarray(y_q8s))
 
+    # and under the bf16 production compute dtype: the deployed tree's
+    # float leaves (w_scale, b) are cast to bf16 by apply_generator's
+    # _cast_net, which the fq8 conv emulates from f32 master weights
+    xb = x.astype(jnp.bfloat16)
+    q8b = {k: (v.astype(jnp.bfloat16)
+               if jnp.issubdtype(v.dtype, jnp.floating) else v)
+           for k, v in nn_core.quantize_conv(p).items()}
+    y_q8b = nn_core.conv2d(q8b, xb, padding=1)
+    y_fq8b = nn_core.conv2d(nn_core.fake_quant_conv(p, int8_forward=True), xb,
+                            padding=1)
+    assert y_fq8b.dtype == y_q8b.dtype
+    np.testing.assert_array_equal(np.asarray(y_fq8b, np.float32),
+                                  np.asarray(y_q8b, np.float32))
+
 
 def test_fq8_gradients_match_fake_quant_ste():
     """The custom-VJP backward reproduces the float fake-quant path's
@@ -796,6 +810,15 @@ def test_qat_int8_generator_matches_deployed_bitwise():
     y_int8, _ = feature2face.apply_generator(
         feature2face.quantize_generator(params), x, training=False)
     np.testing.assert_array_equal(np.asarray(y_qat8), np.asarray(y_int8))
+
+    # bit-identical under the bf16 production compute dtype too
+    y_qat8b, _ = feature2face.apply_generator(qat8, x, training=False,
+                                              compute_dtype=jnp.bfloat16)
+    y_int8b, _ = feature2face.apply_generator(
+        feature2face.quantize_generator(params), x, training=False,
+        compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(y_qat8b, np.float32),
+                                  np.asarray(y_int8b, np.float32))
 
     # strip removes fq8 tags too
     stripped = feature2face.strip_qat_generator(qat8)

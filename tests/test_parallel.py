@@ -357,3 +357,23 @@ def test_zero1_optimizer_sharding_matches_replicated():
     st_z, _ = step(st_z, batch)
     for a, b in zip(jax.tree.leaves(st_rep.params), jax.tree.leaves(st_z.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_zero1_place_is_idempotent_and_composes_with_model_sharding():
+    """Re-applying zero1_place to an already-partitioned state is a no-op
+    (the restore path calls it unconditionally), and on a hybrid mesh the
+    data axis lands on a FREE dim, preserving an existing model-axis
+    channel sharding."""
+    m = mesh_mod.make_mesh(1)
+    x = jnp.zeros((3, 3, 64, 128))
+    once = mesh_mod.zero1_place(m, {"mu": x})
+    twice = mesh_mod.zero1_place(m, once)
+    assert once["mu"].sharding == twice["mu"].sharding
+    assert "data" in jax.tree.leaves(tuple(once["mu"].sharding.spec))
+
+    hy = mesh_mod.make_mesh(4)  # 2 data x 4 model
+    base = jax.device_put(x, NamedSharding(hy, P(None, None, None, "model")))
+    placed = mesh_mod.zero1_place(hy, {"mu": base})["mu"]
+    assert placed.sharding.spec == P(None, None, "data", "model")
+    again = mesh_mod.zero1_place(hy, {"mu": placed})["mu"]
+    assert again.sharding.spec == placed.sharding.spec
