@@ -180,17 +180,45 @@ def transform_person_models(models: PersonModels,
 
 
 def load_person_models(cfg: PersonConfig) -> PersonModels:
-    """Convert the subject's reference .pkl checkpoints (demo.py:144-171)."""
-    sd_apc = torch_convert.load_state_dict_numpy(cfg.apc.ckpt_path)
-    sd_a2f = torch_convert.load_state_dict_numpy(cfg.audio2feature.ckpt_path)
-    sd_a2h = torch_convert.load_state_dict_numpy(cfg.audio2headpose.ckpt_path)
-    sd_f2f = torch_convert.load_state_dict_numpy(cfg.feature2face.ckpt_path)
+    """Convert the subject's reference .pkl checkpoints (demo.py:144-171).
+
+    A stage whose ``ckp_path`` is empty falls back to random init (with a
+    printed note) instead of crashing: a person pack built from scratch
+    by pipeline/build_person.py has data files but no torch checkpoints -
+    its trained weights arrive via ``load_trained_person_models`` (the
+    --*_ckpt demo flags), which this random-init base composes with.  A
+    NON-empty path that fails to load still raises."""
+    missing = []
+
+    def _sd(path: str, what: str):
+        if not path:
+            missing.append(what)
+            return None
+        return torch_convert.load_state_dict_numpy(path)
+
+    sd_apc = _sd(cfg.apc.ckpt_path, "APC")
+    sd_a2f = _sd(cfg.audio2feature.ckpt_path, "Audio2Feature")
+    sd_a2h = _sd(cfg.audio2headpose.ckpt_path, "Audio2Headpose")
+    sd_f2f = _sd(cfg.feature2face.ckpt_path, "Feature2Face")
+    if missing:
+        print(f"no torch checkpoint configured for {', '.join(missing)}; "
+              "random-init (override with --apc_ckpt/--a2f_ckpt/--a2h_ckpt/"
+              "--f2f_ckpt trainer checkpoints)")
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     return PersonModels(
-        apc=torch_convert.convert_apc(sd_apc, cfg.apc),
-        audio2feature=torch_convert.convert_audio2feature(sd_a2f, cfg.audio2feature),
-        audio2headpose=torch_convert.convert_audio2headpose(sd_a2h, cfg.audio2headpose),
+        apc=torch_convert.convert_apc(sd_apc, cfg.apc)
+        if sd_apc is not None else apc.init_apc(k1, cfg.apc),
+        audio2feature=torch_convert.convert_audio2feature(sd_a2f, cfg.audio2feature)
+        if sd_a2f is not None else audio2feature.init_audio2feature(
+            k2, cfg.audio2feature),
+        audio2headpose=torch_convert.convert_audio2headpose(sd_a2h, cfg.audio2headpose)
+        if sd_a2h is not None else audio2headpose.init_audio2headpose(
+            k3, cfg.audio2headpose),
         feature2face=torch_convert.convert_feature2face_g(
-            sd_f2f, cfg.feature2face.size, num_downs=cfg.feature2face.n_downsample),
+            sd_f2f, cfg.feature2face.size,
+            num_downs=cfg.feature2face.n_downsample)
+        if sd_f2f is not None else feature2face.init_generator(
+            k4, cfg.feature2face),
     )
 
 

@@ -224,4 +224,60 @@ def build_person_pack(
         manifest["candidates/"] = (
             f"4 spread frames from clip {src}" if src
             else "MISSING (no clip has an h5 frame store + 2D landmarks)")
+
+    # per-person YAML (reference config/<id>.yaml format, e.g. May.yaml):
+    # copy it to ./config/<id>.yaml and `demo.py --id <id>` boots the
+    # pack.  ckp_path fields stay empty - a from-scratch subject's
+    # weights come from this framework's trainers via the --*_ckpt flags
+    # (assets.load_trained_person_models); load_person_models random-
+    # inits stages with no torch checkpoint configured.
+    name = os.path.basename(os.path.normpath(person_root))
+    yaml_path = os.path.join(person_root, name + ".yaml")
+    write_person_yaml(yaml_path, person_root,
+                      use_lle=apc_params is not None)
+    manifest[name + ".yaml"] = "person config (copy into ./config/)"
     return manifest
+
+
+def write_person_yaml(path: str, person_root: str, use_lle: bool = True,
+                      size: str = "large") -> None:
+    """Emit the reference-format per-person YAML for a built pack
+    (config.load_person_config reads it back; same knob surface as the
+    reference's config/May.yaml)."""
+    root = person_root.rstrip("/")
+    text = f"""# Generated by pipeline/build_person.py - reference config/<id>.yaml format.
+# ckp_path fields are empty: pass this framework's trainer checkpoints to
+# demo.py via --apc_ckpt/--a2f_ckpt/--a2h_ckpt/--f2f_ckpt, or fill in
+# converted reference .pkl paths.
+model_params:
+    APC:
+        ckp_path: ''
+        mel_dim: 80
+        hidden_size: 512
+        num_layers: 3
+        residual: false
+        use_LLE: {1 if use_lle else 0}
+        Knear: 10
+        LLE_percent: 1
+    Audio2Mouth:
+        ckp_path: ''
+        smooth: 1.5
+        AMP: ['XYZ', 2, 2, 2]
+    Headpose:
+        ckp_path: ''
+        sigma: 0.3
+        smooth: [5, 10]
+        AMP: [1, 0.5]
+        shoulder_AMP: 0.5
+    Image2Image:
+        ckp_path: ''
+        size: '{size}'
+        save_input: 0
+
+dataset_params:
+    root: '{root}/'
+    fit_data_path: '{root}/3d_fit_data.npz'
+    pts3d_path: '{root}/tracked3D_normalized_pts_fix_contour.npy'
+"""
+    with open(path, "w") as f:
+        f.write(text)

@@ -133,3 +133,28 @@ def test_select_candidate_frames_tiny_clips():
         assert all(0 <= p < n_frames for p in picks)
         if n_frames >= 4:
             assert len(set(picks)) == 4
+
+
+def test_built_pack_yaml_round_trips_and_models_fallback(tmp_path):
+    """build_person_pack emits a reference-format per-person YAML that
+    load_person_config reads back pointing at the pack, and
+    load_person_models on a pack with no torch checkpoints random-inits
+    every stage instead of crashing (the from-scratch onboarding path)."""
+    from livespeechportraits_tpu.config import load_person_config
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from livespeechportraits_tpu.pipeline.build_person import build_person_pack
+
+    root = tmp_path / "NewFace"
+    _write_clip(root, "clip1", T=120)
+    manifest = build_person_pack(str(root), ["clip1"], apc_params=None,
+                                 image_size=64)
+    assert "NewFace.yaml" in manifest
+    cfg = load_person_config(str(root / "NewFace.yaml"), name="NewFace")
+    assert cfg.data_root.rstrip("/") == str(root)
+    assert not cfg.apc.use_LLE  # no APC bank was built
+    assert cfg.feature2face.ckpt_path == ""
+
+    models = assets_mod.load_person_models(cfg)
+    for stage in (models.apc, models.audio2feature, models.audio2headpose,
+                  models.feature2face):
+        assert stage is not None

@@ -61,7 +61,12 @@ def main() -> None:
         image_size=args.image_size, bank_stride=args.bank_stride)
     for k, v in manifest.items():
         print(f"  {k:45s} {v}")
+    name = os.path.basename(os.path.normpath(args.dataroot))
     print(f"pack written to {args.dataroot}")
+    print(f"next: cp {os.path.join(args.dataroot, name + '.yaml')} "
+          f"./config/{name}.yaml && python demo.py --id {name} "
+          f"--driving_audio <wav> [--f2f_ckpt ... --a2f_ckpt ... "
+          f"--a2h_ckpt ... --apc_ckpt ...]")
 
 
 if __name__ == "__main__":
