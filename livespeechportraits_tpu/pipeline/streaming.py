@@ -66,10 +66,10 @@ def _mel_sample_end(i: int) -> int:
     return int(np.floor(i * MEL_STEP)) + MEL_WIN
 
 
-@functools.partial(jax.jit, static_argnames=("n_frames",))
-def _mel_chunk(audio_span: jnp.ndarray, offsets: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+@jax.jit
+def _mel_chunk(audio_span: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     """Mel frames from a raw-sample span; offsets are frame starts relative
-    to the span (precomputed on host).  [n_frames, 80]."""
+    to the span (precomputed on host).  [len(offsets), 80]."""
     col = _reflect_index(np.arange(512) - 189, MEL_WIN)
     idx = offsets[:, None] + jnp.asarray(col)[None, :]
     w = _hann_periodic(MEL_WIN)
@@ -89,7 +89,7 @@ def _audio_feats_chunk(layers, audio_span, offsets, h_list, valid, lle_base,
     """Fused per-chunk feature program: mel framing + APC GRU stack + LLE
     projection in ONE device dispatch (they were three; per-dispatch
     latency dominates small chunk programs on a tunnelled backend)."""
-    mels = _mel_chunk(audio_span, offsets, int(offsets.shape[0]))
+    mels = _mel_chunk(audio_span, offsets)
     feats, new_h = _gru_chunk_masked(layers, mels, h_list, valid)
     if use_lle:
         feats = manifold.lle_project(feats, lle_base, K=knear, percent=percent)
@@ -270,11 +270,13 @@ class _StreamSmoother:
         n = self.total
         out = 0.0
         for j, kj in enumerate(self.kernel):
-            src = t + j - self.radius
-            if src < 0:
-                src = -src - 1  # reflect
+            # closed-form repeated reflection (period-2n triangle), exactly
+            # ops/smoothing.gaussian_filter1d's index map - a single
+            # reflection is not enough when the kernel radius exceeds the
+            # resident row count (short clips / early latency-capped rows)
+            src = (t + j - self.radius) % (2 * n)
             if src >= n:
-                src = 2 * n - src - 1  # right reflect (flush only)
+                src = 2 * n - src - 1
             out = out + kj * self._row(src)
         return out.astype(np.float32)
 
@@ -416,7 +418,7 @@ class StreamingAnimator:
             feats, self._apc_h = _audio_feats_chunk(
                 self.models.apc["layers"], jnp.asarray(span),
                 jnp.asarray(offsets_p), self._apc_h, jnp.asarray(valid),
-                jnp.asarray(self.assets.apc_feature_base),
+                self.assets.device("apc_feature_base"),
                 bool(self.cfg.apc.use_LLE), int(self.cfg.apc.Knear),
                 float(self.cfg.apc.LLE_percent))
             self._feats.append(np.asarray(feats[:n]))
@@ -507,7 +509,8 @@ class StreamingAnimator:
             cond = self._down_rows.slice(i0 + self.ff_h, i0 + n + self.ff_h)
             cond_p = np.concatenate(
                 [cond, np.zeros((C - n, cond.shape[1]), np.float32)])
-            keys = jnp.stack([jax.random.fold_in(self.key, i) for i in range(i0, i0 + C)])
+            keys = jax.vmap(lambda i: jax.random.fold_in(self.key, i))(
+                jnp.arange(i0, i0 + C))  # one dispatch, not C (relay latency)
             valid = jnp.asarray(np.arange(C) < n)
 
             state1 = jax.tree.map(lambda b: b[None], self._wn_state)
@@ -695,7 +698,9 @@ def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
     if assets.image_pad is not None:
         top, bottom, left, right = assets.image_pad
         sh2d = sh2d + jnp.asarray([right - left, top - bottom], jnp.float32)
-    cand = jnp.asarray(assets.candidate_images)
+    # device-cached subject constants: 12 MB at 512^2, re-uploading per
+    # chunk over the ~8 MB/s relay would dominate the live latency path
+    cand = assets.device("candidate_images")
     cand_stack = jnp.concatenate(list(cand), axis=-1)
     compute_dtype = jnp.bfloat16 if cfg.feature2face.precision == "bfloat16" else None
     if rasterize_pallas.supports_pallas():

@@ -182,6 +182,14 @@ class Predictor:
         true_audio = audio
         true_frames = int(len(true_audio) / 16000 * 60) - \
             self._cfg.audio2headpose.frame_future
+        if true_frames <= 0:
+            # bucket padding would let animate() run, then frames[:<=0]
+            # and a negative valid_len would silently corrupt the output
+            ff = self._cfg.audio2headpose.frame_future
+            raise ValueError(
+                f"audio too short: {len(true_audio) / 16000:.2f}s yields "
+                f"{true_frames} frames after the head-pose decoder's "
+                f"{ff}-frame lookahead; send > {(ff + 1) / 60:.2f}s")
         valid_frames = None
         if self.bucket_seconds > 0:
             bucket = int(self.bucket_seconds * 16000)

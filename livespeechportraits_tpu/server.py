@@ -22,8 +22,7 @@ import argparse
 import io
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
-from http.server import ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from livespeechportraits_tpu.serve import Predictor
 
@@ -135,8 +134,8 @@ def make_handler(predictor: Predictor):
                     except Exception:
                         pass
                 return
-            if self.path != "/animate":
-                self._send(404, b"not found", "text/plain")
+            if self.path.split("?")[0] != "/animate":  # match /stream's
+                self._send(404, b"not found", "text/plain")  # query handling
                 return
             payload = self._read_wav_body()
             if payload is None:
@@ -154,10 +153,13 @@ def make_handler(predictor: Predictor):
                 try:
                     with device_lock:
                         result = predictor.predict(wav_path)
+                        # read INSIDE the lock: the next request's
+                        # predict() starts by rmtree-ing the shared
+                        # results_dir, which would race this open()
+                        with open(result.video_path, "rb") as f:
+                            body = f.read()
                 finally:
                     os.unlink(wav_path)
-                with open(result.video_path, "rb") as f:
-                    body = f.read()
                 self.send_response(200)
                 self.send_header("Content-Type", "video/x-msvideo")
                 self.send_header("Content-Length", str(len(body)))
@@ -178,7 +180,7 @@ def serve_forever(person_id: str = "Synthetic", port: int = 8080,
                   artifact: str = "",
                   f2f_ckpt: str = "", a2f_ckpt: str = "",
                   a2h_ckpt: str = "", apc_ckpt: str = "",
-                  data_parallel: bool = False) -> HTTPServer:  # ThreadingHTTPServer
+                  data_parallel: bool = False) -> None:
     predictor = Predictor(max_audio_seconds=max_audio_seconds)
     predictor.setup(person_id, config_dir=config_dir, image_size=image_size,
                     quantize=quantize, artifact=artifact or None,
@@ -186,8 +188,7 @@ def serve_forever(person_id: str = "Synthetic", port: int = 8080,
                     apc_ckpt=apc_ckpt, data_parallel=data_parallel)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(predictor))
     print(f"serving '{person_id}' on :{port} (POST /animate, GET /healthz)")
-    server.serve_forever()
-    return server
+    server.serve_forever()  # blocks until shutdown()/KeyboardInterrupt
 
 
 def main() -> None:

@@ -232,3 +232,35 @@ def test_streaming_yuv420_transfer(person):
     assert yuv.shape == rgb.shape
     p = psnr(yuv, rgb)
     assert p > 30.0, p
+
+
+def test_stream_smoother_short_clips_match_offline():
+    """Clips SHORTER than the kernel radius (default head-pose sigmas give
+    radii 20/40) must still match scipy exactly: the boundary needs the
+    repeated-reflection (period-2T triangle) map, not a single bounce -
+    one reflection used to crash (IndexError) or silently read wrong rows."""
+    from scipy.ndimage import gaussian_filter1d as sg
+
+    rng = np.random.default_rng(1)
+    for sigma, T in ((10.0, 13), (10.0, 25), (5.0, 3), (2.0, 1), (10.0, 41)):
+        x = rng.normal(size=(T, 3)).astype(np.float32)
+        sm = _StreamSmoother(sigma)
+        outs = [sm.push(x[lo : lo + 4]) for lo in range(0, T, 4)]
+        outs.append(sm.flush())
+        ours = np.concatenate([o for o in outs if len(o)])
+        ref = sg(x, sigma, axis=0)
+        assert ours.shape == ref.shape, (sigma, T, ours.shape)
+        np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"{sigma},{T}")
+
+
+def test_stream_smoother_latency_cap_short_stream_no_crash():
+    """A latency-capped smoother emits rows while fewer than `radius` rows
+    exist; the reflected window must stay in-bounds (finite, no crash)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(30, 2)).astype(np.float32)
+    sm = _StreamSmoother(10.0, max_radius=5)  # radius 40, future 5
+    outs = [sm.push(x[lo : lo + 16]) for lo in (0, 16)]
+    outs.append(sm.flush())
+    ours = np.concatenate([o for o in outs if len(o)])
+    assert ours.shape == x.shape
+    assert np.isfinite(ours).all()
