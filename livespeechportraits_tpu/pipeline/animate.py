@@ -22,7 +22,7 @@ from __future__ import annotations
 import functools
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +111,15 @@ def compute_motion(
     """
     sm = stage_ms if stage_ms is not None else {}
 
+    if valid_frames is not None and \
+            int(valid_frames) <= cfg.audio2headpose.frame_future:
+        # a negative valid_len would wrap Python negative indexing through
+        # the padded tail and silently corrupt every downstream stage
+        raise ValueError(
+            f"valid_frames={valid_frames} must exceed the head-pose "
+            f"lookahead frame_future={cfg.audio2headpose.frame_future} "
+            "(audio too short for the bucket)")
+
     if fused and not profile:
         t0 = time.perf_counter()
         n_mel = 2 * int(np.asarray(audio).shape[0] / 16000 * 60)
@@ -118,17 +127,22 @@ def compute_motion(
         nframe = t_frames - cfg.audio2headpose.frame_future
         post_valid = None
         valid_len = None
+        feat_valid = None
         if valid_frames is not None:
             post_valid = int(valid_frames) - cfg.audio2headpose.frame_future
             if post_valid < nframe:
                 valid_len = jnp.asarray(post_valid, jnp.int32)
+                # the feature repeat-pad clamps at the true FRAME count,
+                # not the post-stage count - the staged path's 2*valid_frames-1
+                feat_valid = jnp.asarray(int(valid_frames), jnp.int32)
         aa = {k: assets.device(k) for k in _MOTION_ASSET_KEYS}
         aa["scale"] = assets.scale
         brow_idx = jnp.asarray(
             np.arange(nframe) % assets.candidate_eye_brow.shape[0])
         landmarks2d, shoulders2d, head, final = _jit_motion(
             cfg, models.apc, models.audio2feature, models.audio2headpose,
-            aa, jnp.asarray(audio), key, n_mel, brow_idx, valid_len)
+            aa, jnp.asarray(audio), key, n_mel, brow_idx, valid_len,
+            feat_valid)
         sm["motion"] = (time.perf_counter() - t0) * 1e3
         if post_valid is not None:
             nframe = min(nframe, post_valid)
@@ -218,7 +232,7 @@ def compute_motion(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_mel"))
 def _jit_motion(cfg, apc_p, a2f_p, a2h_p, aa, audio, key, n_mel, brow_idx,
-                valid_len=None):
+                valid_len=None, feat_valid=None):
     """Stages 1-5 as ONE device program (serving fast path).
 
     The staged path (compute_motion with profile semantics) dispatches
@@ -234,8 +248,11 @@ def _jit_motion(cfg, apc_p, a2f_p, a2h_p, aa, audio, key, n_mel, brow_idx,
         feats = manifold.lle_project(
             feats, aa["apc_feature_base"], K=cfg.apc.Knear,
             percent=cfg.apc.LLE_percent)
-    if valid_len is not None:
-        last = 2 * valid_len - 1
+    if feat_valid is not None:
+        # repeat-pad features past the true end at the FRAME count (the
+        # staged path's 2*valid_frames-1); clamping at the post-stage
+        # valid_len would freeze the last 2*frame_future real rows early
+        last = 2 * feat_valid - 1
         feats = feats[jnp.minimum(jnp.arange(feats.shape[0]), last)]
     pred_feat = a2f_model.generate_sequence(
         a2f_p, feats, frame_future=cfg.audio2feature.frame_future,

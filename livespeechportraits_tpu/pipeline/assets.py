@@ -365,7 +365,14 @@ def make_synthetic_person(
     camera at fx=fy=image_size*2.4, cx=cy=image_size/2, face at z ~ 1.
     """
     if key is None:
-        key = jax.random.PRNGKey(cfg.name == "Synthetic" and 0 or hash(cfg.name) % 2**31)
+        # deterministic per-name seed: Python's hash() is salted per
+        # process (and `x and 0 or y` always takes y), which made every
+        # keyless synthetic boot nondeterministic across runs
+        import zlib
+
+        seed = 0 if cfg.name == "Synthetic" else \
+            zlib.crc32(cfg.name.encode()) % 2**31
+        key = jax.random.PRNGKey(seed)
     rng = np.random.default_rng(0)
 
     mean_pts3d = _synthetic_face_landmarks()

@@ -30,12 +30,24 @@ from livespeechportraits_tpu.pipeline import video as video_mod
 from livespeechportraits_tpu.train import datasets
 
 
-def compute_apc_features(audio: np.ndarray, apc_params, batch_frames: int = 0) -> np.ndarray:
+def compute_apc_features(audio: np.ndarray, apc_params) -> np.ndarray:
     """wav [-1,1] -> [2T, hidden] APC features (one mel jit + one GRU jit)."""
     import jax.numpy as jnp
 
     mel80 = mel_ops.compute_mel_sequence(audio)
     return np.asarray(apc_model.encode(apc_params, jnp.asarray(mel80)[None])[0])
+
+
+def _params_digest(params) -> str:
+    """Cheap stable digest of a param pytree (crc32 over leaf bytes)."""
+    import zlib
+
+    import jax
+
+    crc = 0
+    for leaf in jax.tree.leaves(params):
+        crc = zlib.crc32(np.ascontiguousarray(np.asarray(leaf)).tobytes(), crc)
+    return f"{crc:08x}"
 
 
 def prepare_clip(
@@ -55,7 +67,11 @@ def prepare_clip(
     """
     den = os.path.join(clip_root, clip_name + "_denoise.wav")
     wav_path = den if os.path.exists(den) else os.path.join(clip_root, clip_name + ".wav")
-    cache = os.path.join(clip_root, f"{clip_name}_APC_feature_{cache_tag}.npy")
+    # the cache key carries a digest of the encoder params: switching
+    # --apc_ckpt must not silently reuse features another encoder produced
+    cache = os.path.join(
+        clip_root,
+        f"{clip_name}_APC_feature_{cache_tag}_{_params_digest(apc_params)}.npy")
     if os.path.exists(cache):
         feats = np.load(cache).astype(np.float32)
     else:
@@ -71,7 +87,8 @@ def prepare_clip(
         pts3d = fit["pts_3d"].astype(np.float32)
     if use_delta_pts:
         if mean_pts3d is None:
-            mean_path = os.path.join(os.path.dirname(clip_root), "mean_pts3d.npy")
+            mean_path = os.path.join(
+                os.path.dirname(os.path.normpath(clip_root)), "mean_pts3d.npy")
             mean_pts3d = np.load(mean_path)
         pts3d = pts3d - mean_pts3d
 
@@ -192,8 +209,11 @@ def load_face_clip(
             img = np.asarray(Image.open(norm_path))
         else:  # normalise + cache on first run (face_dataset.py:119-129)
             raw = np.asarray(Image.open(os.path.join(clip_root, "candidates", f"full_{j}.jpg")))
-            img = normalise(raw)
-            Image.fromarray(img).save(norm_path)
+            Image.fromarray(normalise(raw)).save(norm_path)
+            # read the JPEG back so the FIRST run trains on the same
+            # (lossily cached) pixels every later run - and serve-time
+            # assets.load_person - will read
+            img = np.asarray(Image.open(norm_path))
         cands.append((img.astype(np.float32) / 255.0 - 0.5) / 0.5)
 
     return datasets.FaceFrameSampler(

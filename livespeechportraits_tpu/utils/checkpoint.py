@@ -56,6 +56,17 @@ def _rebuild(template: Any, restored: Any) -> Any:
         }
         return type(template)(**kwargs)
     if isinstance(template, dict):
+        # Mirror the sequence branch's "never silently truncate": restored
+        # keys the template lacks are a config mismatch and must raise -
+        # EXCEPT the known per-conv annotation leaves (QAT tags, baked
+        # activation scales), which are deliberately droppable: restoring
+        # a QAT/calibrated checkpoint into a plain float template is the
+        # documented strip path (trainer.py / load_trained_person_models).
+        extra = set(restored) - set(template) - {"fq", "fq8", "x_scale"}
+        if extra:
+            raise ValueError(
+                f"checkpoint carries keys the template lacks: "
+                f"{sorted(extra)[:5]} - architecture/config mismatch")
         return {k: _rebuild(v, restored[k]) for k, v in template.items()}
     if isinstance(template, (list, tuple)):
         if isinstance(restored, dict):  # orbax may dict-ify sequences

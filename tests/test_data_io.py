@@ -41,11 +41,19 @@ def test_prepare_clip_caches_apc(clip_dir):
     assert clip.audio_features.shape == (240, 16)  # 2 s * 120 Hz
     assert clip.pts3d.shape[1:] == (73, 3)
     assert clip.headpose.shape[1] == 6 and clip.velocity.shape[1] == 6
-    cache = clip_dir / "clip1_APC_feature_tpu.npy"
-    assert cache.exists()
+    # cache name carries a digest of the encoder params (switching
+    # --apc_ckpt must not reuse another encoder's features)
+    caches = list(clip_dir.glob("clip1_APC_feature_tpu_*.npy"))
+    assert len(caches) == 1
+    cache = caches[0]
     # second load hits the cache (same values)
     clip2 = data_io.prepare_clip(str(clip_dir), "clip1", params, cfg)
     np.testing.assert_array_equal(clip.audio_features, clip2.audio_features)
+    # a DIFFERENT encoder writes a new cache instead of reusing the old
+    params2 = apc.init_apc(jax.random.PRNGKey(1), cfg)
+    clip3 = data_io.prepare_clip(str(clip_dir), "clip1", params2, cfg)
+    assert len(list(clip_dir.glob("clip1_APC_feature_tpu_*.npy"))) == 2
+    assert np.abs(clip3.audio_features - clip.audio_features).max() > 0
 
 
 def _make_face_clip_dir(tmp_path, name="c", N=8, H=64, seed=0):

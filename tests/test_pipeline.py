@@ -164,13 +164,23 @@ def test_fused_motion_matches_staged(person):
     assert diff.max() <= 1
     assert "motion" in fused.stage_ms
 
-    # fused + bucket padding still reproduces the exact run
-    padded = np.pad(audio, (0, 16000 - len(audio) % 16000))
-    true_total = int(len(audio) / 16000 * 60)
+    # fused + bucket padding still reproduces the exact run.  Use a CHIRP,
+    # not the stationary sine: a wrong feature repeat-pad clamp (e.g. at
+    # the post-stage count instead of the frame count, freezing the last
+    # 2*frame_future real rows) is invisible on stationary audio
+    chirp = (0.3 * np.sin(2 * np.pi * (120 + 400 * np.linspace(0, 0.9, len(audio)))
+                          * np.arange(len(audio)) / 16000)).astype(np.float32)
+    f_exact = animate_mod.animate(cfg, a, m, chirp, seed=11, render_batch=4,
+                                  fused=True)
+    padded = np.pad(chirp, (0, 16000 - len(chirp) % 16000))
+    true_total = int(len(chirp) / 16000 * 60)
     fb = animate_mod.animate(cfg, a, m, padded, seed=11, render_batch=4,
                              fused=True, valid_frames=true_total)
-    np.testing.assert_allclose(fb.landmarks, fused.landmarks, atol=1e-4, rtol=0)
-    assert fb.nframe == fused.nframe
+    np.testing.assert_allclose(fb.landmarks, f_exact.landmarks,
+                               atol=1e-5, rtol=0)
+    np.testing.assert_allclose(fb.headpose, f_exact.headpose,
+                               atol=1e-5, rtol=0)
+    assert fb.nframe == f_exact.nframe
 
 
 def test_demo_cli_bucketed_fused(tmp_path, monkeypatch):

@@ -468,3 +468,22 @@ def test_f2f_qat_d_step_runs_and_stays_tag_free():
 
         assert "fq8" not in keys_of(dq.params, set())
         assert "fq8" not in keys_of(gq.params, set())
+
+
+def test_rebuild_rejects_extra_keys_but_drops_annotations():
+    """checkpoint.rebuild mirrors the sequence branch's never-silently-
+    truncate rule for dicts: unknown checkpoint keys raise (config
+    mismatch), while the per-conv annotation leaves (QAT tags, baked
+    x_scale) are deliberately droppable - the documented strip path."""
+    from livespeechportraits_tpu.utils import checkpoint as ckpt
+
+    tmpl = {"a": jnp.zeros(2), "conv": {"w": jnp.zeros(3), "b": jnp.zeros(3)}}
+    ok = ckpt.rebuild(tmpl, {"a": np.ones(2),
+                             "conv": {"w": np.ones(3), "b": np.ones(3),
+                                      "fq": np.ones(()), "fq8": np.ones(()),
+                                      "x_scale": np.ones(())}})
+    assert set(ok["conv"].keys()) == {"w", "b"}
+
+    with pytest.raises(ValueError, match="keys the template lacks"):
+        ckpt.rebuild(tmpl, {"a": np.ones(2), "extra_stage": np.ones(4),
+                            "conv": {"w": np.ones(3), "b": np.ones(3)}})
