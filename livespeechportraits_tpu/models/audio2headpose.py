@@ -121,6 +121,11 @@ def _decode_scan(
     step_idx = jnp.asarray(np.arange(nframe) + f)
     cond_steps = audio_ds[step_idx][None]  # [1, nframe, C]
     cond_proj = wavenet.precompute_cond_projections(wparams, cond_steps)
+    if any(p is None for p in cond_proj):
+        raise ValueError(
+            "audio2headpose decoding needs a conditioned WaveNet "
+            "(cfg.wavenet.cond=True); an unconditioned head-pose model "
+            "would ignore the audio entirely")
     f_stack = jnp.stack([p[0][0] for p in cond_proj], axis=1)  # [nframe, L, C]
     g_stack = jnp.stack([p[1][0] for p in cond_proj], axis=1)
     # Per-step keys are fold_in(key, i): decode step i draws the same

@@ -107,6 +107,11 @@ def forward(
         keep = jax.random.bernoulli(dropout_rng, 0.5, (x.shape[0], 1, x.shape[2]))
         x = jnp.where(keep, x / 0.5, 0.0)
 
+    if cond is None and cfg.cond:
+        # the reference's residual_block raises here (networks.py:300-302);
+        # silently training audio-independent poses would be far worse
+        raise ValueError("cfg.cond=True but no conditioning was passed")
+
     h = _activation(cfg, nn_core.conv1d(params["start1"], x))
     h = _activation(cfg, nn_core.conv1d(params["start2"], h))
 
@@ -204,7 +209,7 @@ def stream_step(
         if "b" in blk["filter"]:
             f = f + blk["filter"]["b"]
             g = g + blk["gate"]["b"]
-        if cond_proj_t is not None:
+        if cond_proj_t is not None and cond_proj_t[li] is not None:
             f = f + cond_proj_t[li][0]
             g = g + cond_proj_t[li][1]
         elif cond_t is not None and "cond_filter" in blk:

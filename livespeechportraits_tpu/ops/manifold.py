@@ -54,6 +54,9 @@ def knn_chunked(
     """
     T = feats.shape[0]
     N = feat_database.shape[0]
+    K = min(K, N)  # same graceful degradation as knn_indices: without the
+    # clamp, banks smaller than K would keep -inf sentinel columns whose
+    # index-0 duplicates feed LLE a singular Gram
     n_chunks = -(-N // chunk)
     pad = n_chunks * chunk - N
     # Pad the bank with +inf-distance sentinels (zeros rows, inf mask).
@@ -107,7 +110,15 @@ def solve_lle_weights(feats: jnp.ndarray, neighbors: jnp.ndarray):
     w_rest = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # [T, K-1]
     w0 = 1.0 - w_rest.sum(axis=-1, keepdims=True)
     w = jnp.concatenate([w0, w_rest], axis=-1)  # [T, K]
-    recon = jnp.einsum("tk,tkd->td", w, neighbors)
+    # a singular Gram (duplicate neighbor rows - e.g. a feature bank with
+    # repeated still frames) yields NaN weights from the exact solve; the
+    # reference's numpy solve raises there.  Raising is impossible under
+    # jit, so degrade per-frame to uniform weights (the 1/K barycentre of
+    # the duplicated neighborhood) instead of propagating NaN landmarks.
+    finite = jnp.all(jnp.isfinite(w), axis=-1, keepdims=True)
+    w = jnp.where(finite, w, 1.0 / w.shape[-1])
+    recon = jnp.einsum("tk,tkd->td", w, neighbors,
+                       precision=jax.lax.Precision.HIGHEST)
     return w, recon
 
 

@@ -138,6 +138,12 @@ def audio_to_mel(
         audio = audio[None]
     B, T = audio.shape
     pad = (n_fft - hop_length) // 2
+    if T <= pad:
+        # torch's reflect pad requires pad < input size; past that the
+        # index map below would silently clamp instead of reflecting
+        raise ValueError(
+            f"audio too short for the mel front-end: {T} samples <= "
+            f"reflect pad {pad} (~{pad / sr * 1000:.0f} ms minimum)")
     Tp = T + 2 * pad
     n_frames = 1 + (Tp - n_fft) // hop_length
 
@@ -256,6 +262,10 @@ def frame_energy(
         audio = audio[None]
     B, T = audio.shape
     pad = (n_fft - hop_length) // 2
+    if T <= pad:
+        raise ValueError(
+            f"audio too short for frame_energy: {T} samples <= reflect "
+            f"pad {pad}")
     n_frames = 1 + (T + 2 * pad - win_length) // hop_length
     idx = _reflect_index(
         np.arange(n_frames)[:, None] * hop_length + np.arange(win_length)[None, :] - pad, T
@@ -316,39 +326,47 @@ def mel_to_audio(
         log_mel = mel
     power = jnp.exp(log_mel) ** 2  # magnitude**2 spectrum in mel space
 
-    basis = jnp.asarray(mel_filterbank(sr, n_fft, mel.shape[0], fmin, fmax))
     # NNLS-lite: pseudo-inverse projection clipped at 0 (librosa uses nnls).
     pinv = jnp.asarray(np.linalg.pinv(mel_filterbank(sr, n_fft, mel.shape[0], fmin, fmax)))
     spec_power = jnp.clip(pinv @ power, 0.0)  # [F, T']
     mag = jnp.sqrt(spec_power)
 
     T_frames = mel.shape[1]
+    # Synthesise at the full frame extent; an explicit `length` trims (or
+    # zero-extends) only the RETURNED waveform - a shorter length must not
+    # shrink the internal STFT, whose frame count the GL loop relies on.
+    full = hop_length * T_frames
     if length is None:
-        length = hop_length * T_frames
+        length = full
     pad = (n_fft - hop_length) // 2
 
-    w = _hann_periodic(win_length)
+    w_np = _hann_periodic(win_length)
     lpad = (n_fft - win_length) // 2
-    window = jnp.asarray(np.pad(w, (lpad, n_fft - win_length - lpad)))
+    window_np = np.pad(w_np, (lpad, n_fft - win_length - lpad))
+    window = jnp.asarray(window_np)
 
-    # frame placement for iSTFT overlap-add
+    # iSTFT overlap-add as ONE scatter-add: [T', n_fft] target indices and
+    # the input-independent window-power normaliser are trace-time
+    # constants (the old per-frame dynamic_update_slice unroll traced
+    # 2 ops per frame PER GL ITERATION - minutes of compile on long clips)
     frame_starts = np.arange(T_frames) * hop_length  # in padded coords
+    ola_idx_np = frame_starts[:, None] + np.arange(n_fft)[None, :]
+    wsum_np = np.zeros(full + 2 * pad, np.float64)
+    np.add.at(wsum_np, ola_idx_np,
+              np.broadcast_to(window_np.astype(np.float64) ** 2,
+                              (T_frames, n_fft)))
+    ola_idx = jnp.asarray(ola_idx_np)
+    inv_wsum = jnp.asarray(1.0 / np.maximum(wsum_np, 1e-8), jnp.float32)
 
     def istft(spec):
         frames = jnp.fft.irfft(spec, n=n_fft, axis=0).T  # [T', n_fft]
         frames = frames * window
-        y = jnp.zeros(length + 2 * pad)
-        wsum = jnp.zeros(length + 2 * pad)
-        for t, s in enumerate(frame_starts):  # static unroll over frames
-            y = jax.lax.dynamic_update_slice(
-                y, jax.lax.dynamic_slice(y, (s,), (n_fft,)) + frames[t], (s,))
-            wsum = jax.lax.dynamic_update_slice(
-                wsum, jax.lax.dynamic_slice(wsum, (s,), (n_fft,)) + window**2, (s,))
-        y = y / jnp.maximum(wsum, 1e-8)
-        return y[pad : pad + length]
+        y = jnp.zeros(full + 2 * pad).at[ola_idx].add(frames)
+        y = y * inv_wsum
+        return y[pad : pad + full]
 
     def stft_c(audio):
-        return _stft_frames(audio, n_fft, hop_length, win_length, window, length)
+        return _stft_frames(audio, n_fft, hop_length, win_length, window, full)
 
     key_angles = jnp.zeros_like(mag)  # zero-phase init (deterministic)
     angles = jnp.exp(1j * key_angles)
@@ -361,4 +379,9 @@ def mel_to_audio(
         return spec / jnp.maximum(jnp.abs(spec), 1e-16)
 
     angles = jax.lax.fori_loop(0, n_iter, gl_step, angles)
-    return istft(mag * angles)
+    y = istft(mag * angles)
+    if length == full:
+        return y
+    if length < full:
+        return y[:length]
+    return jnp.pad(y, (0, length - full))

@@ -62,7 +62,10 @@ def gaussian_filter1d(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
         m = np.mod(i, 2 * T)
         idx = jnp.asarray(np.where(m < T, m, 2 * T - 1 - m))
     else:
-        period = 2 * valid_len
+        # max(., 1): a (traced) valid_len of 0 would mod by zero, which is
+        # undefined; callers reject empty valid prefixes upstream, this
+        # just keeps the compiled program well-defined for every input
+        period = jnp.maximum(2 * valid_len, 1)
         m = jnp.mod(jnp.asarray(i), period)
         idx = jnp.where(m < valid_len, m, period - 1 - m)
     xp = x[idx]  # [T + 2r, D]

@@ -73,3 +73,29 @@ def test_lle_project_blend():
     self_q = bank[:3]
     proj = np.asarray(manifold.lle_project(jnp.asarray(self_q), jnp.asarray(bank), K=10, percent=1.0))
     np.testing.assert_allclose(proj, self_q, atol=1e-3)
+
+
+def test_knn_chunked_clamps_k_to_bank_size():
+    """Banks smaller than K must degrade exactly like knn_indices (without
+    the clamp, -inf sentinel columns survive as duplicated index-0
+    neighbors and feed LLE a singular Gram)."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    bank = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    a = manifold.knn_indices(feats, bank, K=7)
+    b = manifold.knn_chunked(feats, bank, K=7, chunk=4)
+    assert a.shape == b.shape == (6, 5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lle_weights_degenerate_neighbors_stay_finite():
+    """Duplicate neighbor rows make the Gram exactly singular; the solve
+    must degrade to finite (uniform) weights instead of NaN landmarks."""
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+    row = rng.normal(size=(4,)).astype(np.float32)
+    neighbors = jnp.asarray(np.broadcast_to(row, (3, 5, 4)).copy())
+    w, recon = manifold.solve_lle_weights(feats, neighbors)
+    assert np.isfinite(np.asarray(w)).all()
+    assert np.isfinite(np.asarray(recon)).all()
+    np.testing.assert_allclose(np.asarray(w), 0.2, atol=1e-6)

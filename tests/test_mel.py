@@ -121,3 +121,26 @@ def test_mel_energy():
     e = mel_ops.mel_energy(mels)
     assert e.shape == (1, 5)
     np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-6)
+
+
+def test_mel_to_audio_explicit_short_length():
+    """length shorter than hop*T' must trim the RETURNED waveform only
+    (the internal STFT keeps its frame count); longer zero-extends."""
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+    audio = rng.uniform(-0.3, 0.3, 4096).astype(np.float32)
+    m = mel_ops.audio_to_mel(jnp.asarray(audio), win_length=512)[0]
+    full = np.asarray(mel_ops.mel_to_audio(m, n_iter=2, win_length=512))
+    short = np.asarray(mel_ops.mel_to_audio(m, n_iter=2, win_length=512, length=1000))
+    np.testing.assert_array_equal(short, full[:1000])
+    longer = np.asarray(mel_ops.mel_to_audio(m, n_iter=2, win_length=512, length=len(full) + 64))
+    np.testing.assert_array_equal(longer[: len(full)], full)
+    np.testing.assert_array_equal(longer[len(full):], 0.0)
+
+
+def test_audio_to_mel_rejects_sub_pad_audio():
+    import jax.numpy as jnp
+    with pytest.raises(ValueError, match="too short"):
+        mel_ops.audio_to_mel(jnp.zeros(100), win_length=512)
+    with pytest.raises(ValueError, match="too short"):
+        mel_ops.frame_energy(jnp.zeros(100))
