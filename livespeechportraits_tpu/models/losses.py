@@ -174,11 +174,19 @@ def vgg19_features(params: Params, x: jnp.ndarray,
 
 
 def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
-    """Gram matrix normalised by total element count (losses.py:202-210).
-    NHWC input; returns [C, C] per the reference's batch-flattened form."""
+    """Batch-mean per-sample Gram matrix, [C, C].
+
+    Intended-behaviour divergence from the reference (losses.py:202-210),
+    per this repo's documented-bugs policy: the reference flattens NCHW to
+    [b*c, h*w] and grams THAT, so for batch > 1 the matrix carries
+    cross-batch blocks - an artifact of lifting the b=1 neural-style
+    tutorial code to batches, not a style statistic (sample A's channels
+    correlated with sample B's carry no information about either image's
+    style).  This [C, C] form equals (1/b) * sum_b gram_b / (c*h*w): the
+    per-sample statistic the b=1 reference computes, averaged over the
+    batch, and identical to the reference at b=1."""
     b, h, w, c = feat.shape
     f = feat.reshape(b * h * w, c)
-    # reference flattens to [b*c, h*w] and divides by b*c*h*w
     g = jnp.einsum("nc,nd->cd", f, f)
     return g / (b * c * h * w)
 

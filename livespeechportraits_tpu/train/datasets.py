@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import bisect
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -110,10 +110,18 @@ class AudioVisualSampler:
         for clip in self.clips:
             usable = clip.n_frames - 60 - self.start_point - (tail_margin - 60)
             need = self._min_frames_needed()
-            if usable < 1:
+            # enforce the window actually fits: the LAST sampleable start
+            # (start_point + usable - 1) still reads `need` frames forward;
+            # without this, oversized seq_len/item_length configs slice out
+            # of range mid-epoch on a random shuffled index instead of
+            # failing at construction
+            if usable < 1 or self.start_point + (usable - 1) + need > clip.n_frames:
                 raise ValueError(
-                    f"clip too short: {clip.n_frames} frames (needs > "
-                    f"{self.start_point + (tail_margin - 60) + 60 + need})"
+                    f"clip too short for the window: {clip.n_frames} frames "
+                    f"(start_point {self.start_point} + tail guard "
+                    f"{clip.n_frames - self.start_point - max(usable, 0)} "
+                    f"leaves {max(usable, 0)} starts, each needing {need} "
+                    "forward frames)"
                 )
             self.sample_start.append(
                 0 if not self.sample_start else self.sample_start[-1] + self.len_[-1] - 1
@@ -324,7 +332,13 @@ class FaceFrameSampler:
         elif img.shape[0] != H:
             import cv2
 
+            sy = H / float(img.shape[0])
+            sx = W / float(img.shape[1])
             img = cv2.resize(img, (W, H))
+            # landmarks live in source-pixel coordinates; a whole-frame
+            # resize must rescale them too or the mask/feature map are
+            # built misaligned with the target image
+            lm = lm * np.array([sx, sy], np.float32)
 
         mask = rasterize.facial_weight_mask(lm, H, W)
         cand = np.concatenate([self._to_float(c) for c in self.candidates], axis=-1)

@@ -77,10 +77,6 @@ def _maybe_zero1(st, mesh, loop: "TrainLoopConfig"):
     return st
 
 
-def _epoch_lr_scale(tx_base_lr: float, schedule, epoch: int) -> float:
-    return schedule(epoch) / tx_base_lr if tx_base_lr else 1.0
-
-
 def _device_rasterize_batch(batch):
     """Materialise the feature_map on DEVICE from raw landmark/shoulder
     coords (FaceFrameSampler(device_rasterize=True)): the whole batch is
@@ -184,8 +180,10 @@ def train_apc(
                     epoch, it, m,
                     (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
+            # training stream's rng: deterministic eval, unchanged batches
             vs = [float(validate_fn(st.params, b))
-                  for b in val_sampler.batches(loop.batch_size, rng,
+                  for b in val_sampler.batches(loop.batch_size, rng_val,
                                                shuffle=False, drop_last=False)]
             if vs:  # a val set smaller than the batch must not log NaN
                 vis.plot_current_errors({"val_l1": float(np.mean(vs))}, it)
@@ -242,8 +240,10 @@ def train_audio2feature(
                     epoch, it, m,
                     (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
+            # training stream's rng: deterministic eval, unchanged batches
             vs = [float(validate_fn(st.params, b))
-                  for b in val_sampler.batches(loop.batch_size, rng,
+                  for b in val_sampler.batches(loop.batch_size, rng_val,
                                                shuffle=False, drop_last=False)]
             if vs:  # a val set smaller than the batch must not log NaN
                 vis.plot_current_errors({"val_loss": float(np.mean(vs))}, it)
@@ -300,8 +300,10 @@ def train_audio2headpose(
                     epoch, it, m,
                     (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
+            # training stream's rng: deterministic eval, unchanged batches
             vs = [float(validate_fn(st.params, b))
-                  for b in val_sampler.batches(loop.batch_size, rng,
+                  for b in val_sampler.batches(loop.batch_size, rng_val,
                                                shuffle=False, drop_last=False)]
             if vs:  # a val set smaller than the batch must not log NaN
                 vis.plot_current_errors({"val_gmm_nll": float(np.mean(vs))}, it)
@@ -375,6 +377,14 @@ def train_feature2face(
                                               qat_d=loop.qat_d)
     validate_fn = steps.f2f_validate(cfg, compute_dtype=compute_dtype)
 
+    # Eval-side placement: under a mesh, validation/panel batches are
+    # REPLICATED (no batch-divisibility constraint, and mixing a
+    # device-0-committed batch with mesh-sharded params would crash the
+    # jitted validate with "incompatible devices").
+    def _eval_place(b):
+        return mesh_mod.replicate(mesh, b) if mesh is not None \
+            else jax.device_put(b)
+
     # Fixed panel batch: same frames every epoch so the HTML gallery shows
     # actual progress, not sampling noise.
     panel_batch = None
@@ -383,7 +393,7 @@ def train_feature2face(
         panel_batch = next(iter(sampler.batches(
             min(loop.batch_size, 2, len(sampler)), panel_rng, shuffle=False)), None)
         if panel_batch is not None:
-            panel_batch = _device_rasterize_batch(jax.device_put(panel_batch))
+            panel_batch = _device_rasterize_batch(_eval_place(panel_batch))
 
     vis = Visualizer(loop.checkpoints_dir, loop.name)
     ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
@@ -455,9 +465,14 @@ def train_feature2face(
                 vis.print_current_errors(epoch, it, m,
                                          (time.time() - t0) / max(it - epoch_it0, 1))
         if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            # dedicated rng: evaluation must neither see random train-time
+            # augmentation (noisy, non-comparable val metrics) nor advance
+            # the training stream's generator (enabling validation would
+            # change the next epoch's batch order)
+            rng_val = np.random.default_rng(loop.seed + 7919)
             vals = [validate_fn(g_state.params,
-                                _device_rasterize_batch(jax.device_put(b)))[1]
-                    for b in val_sampler.batches(loop.batch_size, rng,
+                                _device_rasterize_batch(_eval_place(b)))[1]
+                    for b in val_sampler.batches(loop.batch_size, rng_val,
                                                  shuffle=False, drop_last=False)]
             if vals:
                 vm = {k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]}

@@ -487,3 +487,15 @@ def test_rebuild_rejects_extra_keys_but_drops_annotations():
     with pytest.raises(ValueError, match="keys the template lacks"):
         ckpt.rebuild(tmpl, {"a": np.ones(2), "extra_stage": np.ones(4),
                             "conv": {"w": np.ones(3), "b": np.ones(3)}})
+
+
+def test_audiovisual_sampler_rejects_oversized_windows():
+    """A window that cannot fit the clip must fail at CONSTRUCTION, not
+    slice out of range on a random shuffled index mid-epoch."""
+    clip = _toy_clip(T=900)
+    with pytest.raises(ValueError, match="too short"):
+        datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=480)
+    # the boundary case that fits still constructs
+    s = datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=240)
+    item = s.sample(len(s) - 1)
+    assert item["target"].shape[0] == 240

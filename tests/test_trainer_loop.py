@@ -388,3 +388,33 @@ def test_f2f_trainer_qat_int8_loop_and_retag(tmp_path):
     g3, _ = trainer.train_feature2face(cfg, loop_q8, sampler)
     assert int(g3.step) > int(g2.step)
     assert f2f.qat_tag_mode({"net": g3.params}) == "fq8"
+
+
+def test_f2f_trainer_data_parallel_eval_paths(tmp_path):
+    """data_parallel + device_rasterize + validation + epoch panels: the
+    eval-side batches must be placed compatibly with the mesh-sharded
+    params (they are replicated; a device-0-committed batch used to crash
+    the jitted validate with 'incompatible devices')."""
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.train.datasets import FaceFrameSampler
+
+    rng = np.random.default_rng(11)
+    H = 32
+    images = rng.integers(0, 255, (40, H, H, 3), dtype=np.uint8)
+    lms = rng.uniform(5, 27, (40, 73, 2)).astype(np.float32)
+    sh = rng.uniform(5, 27, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    sampler = FaceFrameSampler(images, lms, sh, cands, load_size=H,
+                               device_rasterize=True)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=H,
+                             num_D=2, n_layers_D=2)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=1, n_epochs_decay=0, lr=2e-4, batch_size=8, print_freq=50,
+        checkpoints_dir=str(tmp_path), name="f2f_dp_eval", save_epoch_freq=1,
+        data_parallel=True, validate_epoch=1, display_epoch_freq=1,
+    )
+    g, d = trainer.train_feature2face(cfg, loop, sampler, val_sampler=sampler)
+    assert int(g.step) > 0
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "f2f_dp_eval"))
