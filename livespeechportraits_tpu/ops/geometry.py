@@ -81,10 +81,15 @@ def euler_to_rotation_grad(angles_deg: jnp.ndarray):
     """(R, [dR/dx, dR/dy, dR/dz]) like utils.py:210-227 gradient='true'.
 
     Provided for API parity; under JAX the analytic gradient also falls out
-    of jax.jacfwd(euler_to_rotation).
+    of jax.jacfwd(euler_to_rotation).  Batched [T, 3] input vmaps the
+    per-frame jacobian (a full jacfwd would produce cross-batch axes and
+    O(T^2) work).
     """
     R = euler_to_rotation(angles_deg)
-    jac = jax.jacfwd(euler_to_rotation)(angles_deg)  # [3,3,3] (last = angle)
+    if angles_deg.ndim == 1:
+        jac = jax.jacfwd(euler_to_rotation)(angles_deg)  # [3,3,3]
+    else:
+        jac = jax.vmap(jax.jacfwd(euler_to_rotation))(angles_deg)
     return R, [jac[..., 0], jac[..., 1], jac[..., 2]]
 
 

@@ -61,19 +61,23 @@ def shoulder_segments(n_points: int) -> np.ndarray:
     (face_dataset.py:301-309: points split into 2 rows of n/2)."""
     half = n_points // 2
     segs = [(i * half + j, i * half + j + 1) for i in range(2) for j in range(half - 1)]
-    return np.asarray(segs, dtype=np.int32)
+    # < 4 points yield no segments; keep the [0, 2] shape so callers can
+    # still index segs[:, 0] without a special case
+    return np.asarray(segs, dtype=np.int32).reshape(-1, 2)
 
 
 def _segment_endpoints(
     landmarks: jnp.ndarray, shoulders: jnp.ndarray | None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather per-frame segment endpoints [T, S, 2] (int-cast like cv2)."""
-    lm = jnp.floor(landmarks).astype(jnp.float32)  # int() truncation parity
+    # trunc, not floor: cv2/int() truncate toward ZERO, so a -0.5
+    # endpoint must become 0, not -1 (host/device parity at the border)
+    lm = jnp.trunc(landmarks).astype(jnp.float32)
     p1 = lm[:, _FACE_SEGMENTS[:, 0], :]
     p2 = lm[:, _FACE_SEGMENTS[:, 1], :]
-    if shoulders is not None and shoulders.shape[1] > 0:
+    if shoulders is not None and shoulders.shape[1] > 1:
         segs = shoulder_segments(shoulders.shape[1])
-        sh = jnp.floor(shoulders).astype(jnp.float32)
+        sh = jnp.trunc(shoulders).astype(jnp.float32)
         p1 = jnp.concatenate([p1, sh[:, segs[:, 0], :]], axis=1)
         p2 = jnp.concatenate([p2, sh[:, segs[:, 1], :]], axis=1)
     return p1, p2
@@ -149,7 +153,7 @@ def rasterize_feature_map_host(
         on = np.asarray(
             rasterize_feature_maps(jnp.asarray(landmarks)[None],
                                    None if shoulders is None else jnp.asarray(shoulders)[None],
-                                   size)[0]
+                                   (h, w))[0]  # device fn takes (H, W); this fn takes cv2's (w, h)
         )
         return (on * 255).astype(np.uint8)
     for a, b in _FACE_SEGMENTS:
@@ -177,5 +181,7 @@ def facial_weight_mask(points: np.ndarray, h: int = 512, w: int = 512) -> np.nda
     x0, y0 = poly.min(axis=0) - 22
     x1, y1 = poly.max(axis=0) + 22
     out = np.zeros((h, w), np.float32)
-    out[max(y0, 0) : y1, max(x0, 0) : x1] = 1.0
+    # clamp ENDS too: a fully off-canvas polygon gives negative x1/y1,
+    # which would wrap around and fill almost the whole row/column span
+    out[max(y0, 0) : max(y1, 0), max(x0, 0) : max(x1, 0)] = 1.0
     return out

@@ -82,14 +82,23 @@ def write_video(
         save_wav(wav_path, audio_clip, sr)
         ffmpeg = shutil.which("ffmpeg")
         if ffmpeg is not None:
-            subprocess.call(
-                [ffmpeg, "-y", "-i", tmp_path, "-i", wav_path, "-codec", "copy",
-                 "-shortest", output_path],
+            # mp4 cannot carry pcm_s16le under '-codec copy' - transcode
+            # the audio to aac there; avi keeps the straight copy
+            acodec = ["-c:a", "aac"] if output_path.lower().endswith(".mp4") \
+                else ["-c:a", "copy"]
+            rc = subprocess.call(
+                [ffmpeg, "-y", "-i", tmp_path, "-i", wav_path, "-c:v", "copy",
+                 *acodec, "-shortest", output_path],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
-            os.remove(tmp_path)
-            os.remove(wav_path)
-            return output_path
+            if rc == 0 and os.path.getsize(output_path) > 0:
+                os.remove(tmp_path)
+                os.remove(wav_path)
+                return output_path
+            # mux failed: NEVER destroy the rendered video - ship it
+            # un-muxed with the wav beside it, like the no-ffmpeg path
+            print(f"ffmpeg mux failed (rc={rc}); writing video without "
+                  f"embedded audio, wav kept at {wav_path}")
     os.replace(tmp_path, output_path)
     return output_path
 

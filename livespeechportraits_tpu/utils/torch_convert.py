@@ -375,10 +375,13 @@ def export_audio2headpose(params) -> StateDict:
 
 def export_feature2face_g(params, num_downs: int = 8,
                           n_res: Optional[int] = None) -> StateDict:
-    """Inverse of convert_feature2face_g: emits 'netG.model...' keys."""
+    """Inverse of convert_feature2face_g: emits 'netG.model...' keys.
+
+    num_downs/n_res are accepted for signature symmetry with the import
+    direction but unused: the export walks the actual pytree structure,
+    which already encodes the depth and residual counts."""
     size = params["size"]
-    if n_res is None:
-        n_res = {"small": 0, "normal": 1, "large": 2}[size]
+    del num_downs, n_res
     out: StateDict = {}
 
     def inv_resblock(p, name):
@@ -438,7 +441,17 @@ def export_feature2face_g(params, num_downs: int = 8,
 
 
 def save_state_dict_torch(sd: StateDict, path: str) -> None:
-    """Write a reference-format .pkl (torch.save of a tensor state dict)."""
+    """Write a reference-format .pkl (torch.save of a tensor state dict).
+
+    bf16 leaves (e.g. a tree restored from a bf16 serving artifact) are
+    widened to f32 first: numpy's ml_dtypes bfloat16 has no torch
+    conversion, and the reference checkpoints are f32 anyway."""
     import torch
 
-    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+    def _t(v):
+        arr = np.asarray(v)
+        if arr.dtype.kind not in "fiub":  # ml_dtypes (bfloat16 etc.)
+            arr = arr.astype(np.float32)
+        return torch.from_numpy(arr)
+
+    torch.save({k: _t(v) for k, v in sd.items()}, path)

@@ -55,3 +55,36 @@ def test_facial_weight_mask():
     mask = rasterize.facial_weight_mask(pts)
     assert mask.max() <= 1.0 and mask.min() >= 0.0
     assert mask.sum() > 0
+
+
+def test_segment_endpoints_truncate_toward_zero():
+    """cv2/int() truncate toward zero: a -0.5 endpoint must rasterise as 0,
+    not -1 (host/device parity when landmarks go slightly off-canvas)."""
+    import jax.numpy as jnp
+
+    lm = np.zeros((1, 73, 2), np.float32)
+    lm[0, :, 0] = -0.5  # x just off-canvas
+    lm[0, :, 1] = np.linspace(1, 30, 73)
+    dev = np.asarray(rasterize.rasterize_feature_maps(jnp.asarray(lm), None,
+                                                      (64, 64))[0]) > 0.5
+    host = rasterize.rasterize_feature_map_host(lm[0], None, (64, 64)) > 127
+    inter = float(np.logical_and(dev, host).sum())
+    union = float(np.logical_or(dev, host).sum())
+    assert union > 0 and inter / union > 0.90, inter / union
+    # with floor() instead of trunc(), the whole line shifted a pixel and
+    # column 0 (where int(-0.5) lands) lost coverage entirely
+    assert dev[:, 0].sum() > 0
+
+
+def test_facial_weight_mask_off_canvas_polygon():
+    """A fully off-canvas mouth polygon must weight (almost) nothing, not
+    wrap negative slice ends around the whole image (numpy fallback)."""
+    pts = np.full((73, 2), -40.0, np.float32)
+    m = rasterize.facial_weight_mask(pts, 64, 64)
+    assert np.asarray(m).sum() <= 64 * 22 * 3  # tiny corner at most
+
+
+def test_shoulder_segments_tiny_counts():
+    for n in (0, 1, 2, 3):
+        segs = rasterize.shoulder_segments(n)
+        assert segs.shape[1] == 2  # indexable even when empty
