@@ -47,12 +47,15 @@ Params = Dict[str, Any]
 
 
 def _resblock_init(key, ch: int) -> Params:
+    # BN scales draw N(1, 0.02) like the reference's init_weights
+    # (networks.py:373-375); keys fold off the conv keys so the conv
+    # init streams stay unchanged
     k1, k2 = jax.random.split(key)
     return {
         "conv1": nn_core.conv2d_init(k1, ch, ch, 3, bias=False),
-        "bn1": nn_core.batchnorm_init(ch),
+        "bn1": nn_core.batchnorm_init(ch, jax.random.fold_in(k1, 1)),
         "conv2": nn_core.conv2d_init(k2, ch, ch, 3, bias=False),
-        "bn2": nn_core.batchnorm_init(ch),
+        "bn2": nn_core.batchnorm_init(ch, jax.random.fold_in(k2, 1)),
     }
 
 
@@ -83,11 +86,13 @@ def _resunet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[in
         "res_down": [_resblock_init(ks[2 + i], inner_nc) for i in range(n_res)],
     }
     if not outermost and not innermost:
-        p["down_bn"] = nn_core.batchnorm_init(inner_nc)
+        p["down_bn"] = nn_core.batchnorm_init(
+            inner_nc, jax.random.fold_in(ks[0], 1))
     up_in = inner_nc if innermost else inner_nc * 2
     p["up"] = nn_core.conv2d_init(ks[1], up_in, outer_nc, 3, bias=False)
     if not outermost:
-        p["up_bn"] = nn_core.batchnorm_init(outer_nc)
+        p["up_bn"] = nn_core.batchnorm_init(
+            outer_nc, jax.random.fold_in(ks[1], 1))
         p["res_up"] = [_resblock_init(ks[2 + n_res + i], outer_nc) for i in range(n_res)]
     return p
 
@@ -220,9 +225,11 @@ def _unet_stage_init(key, outer_nc: int, inner_nc: int, input_nc: Optional[int],
     up_in = inner_nc if innermost else inner_nc * 2
     p["up"] = nn_core.conv2d_init(k2, up_in, outer_nc, 4, bias=outermost)
     if not outermost and not innermost:
-        p["down_bn"] = nn_core.batchnorm_init(inner_nc)
+        p["down_bn"] = nn_core.batchnorm_init(
+            inner_nc, jax.random.fold_in(k1, 1))
     if not outermost:
-        p["up_bn"] = nn_core.batchnorm_init(outer_nc)
+        p["up_bn"] = nn_core.batchnorm_init(
+            outer_nc, jax.random.fold_in(k2, 1))
     return p
 
 
@@ -496,9 +503,11 @@ def calibrate_generator(params: Params, inputs, compute_dtype=None,
 
     On the calibration inputs themselves, static and dynamic
     quantization see the same scales, so (at margin=1, compute_dtype
-    None) the forwards are bit-identical - the ordering guarantee is
-    tested, not assumed.  The reference has no quantized path at all
-    (fp16 autocast only, feature2face_model.py:59-60)."""
+    None) the forwards agree to the last f32 bit of the inter-conv float
+    chains (the two programs fuse differently; observed <= 2e-9) - the
+    conv-ordering guarantee is tested, not assumed (a misordered scale
+    flips whole int8 grid steps).  The reference has no quantized path
+    at all (fp16 autocast only, feature2face_model.py:59-60)."""
     if params["size"] == "small":
         raise NotImplementedError(
             "int8 calibration targets the ResUNet variants; quantize the "
@@ -506,7 +515,9 @@ def calibrate_generator(params: Params, inputs, compute_dtype=None,
 
     net, size = params["net"], params["size"]
 
-    def _amaxes(net_in, x):
+    batches = inputs if isinstance(inputs, (list, tuple)) else [inputs]
+
+    def _amaxes_checked(net_in, x):
         nn_core.begin_calibration()
         try:
             apply_generator({"net": net_in, "size": size}, x,
@@ -514,10 +525,14 @@ def calibrate_generator(params: Params, inputs, compute_dtype=None,
             rec = nn_core.end_calibration()
         finally:
             nn_core.end_calibration()
+        if not rec:
+            raise ValueError(
+                "calibration recorded no activations: the tree has no "
+                "quantized or QAT-tagged convs - run quantize_generator "
+                "or qat_generator first")
         return jnp.stack(rec)
 
-    batches = inputs if isinstance(inputs, (list, tuple)) else [inputs]
-    fn = jax.jit(_amaxes)
+    fn = jax.jit(_amaxes_checked)
     amax = None
     for b in batches:
         a = fn(net, b)
@@ -814,14 +829,16 @@ def init_discriminator(key: jax.Array, cfg: Feature2FaceConfig) -> Params:
         layers.append({"conv": nn_core.conv2d_init(next(ks), input_nc, nf, 4)})
         for n in range(1, cfg.n_layers_D):
             nf_prev, nf = nf, min(nf * 2, 512)
+            kc = next(ks)
             layers.append({
-                "conv": nn_core.conv2d_init(next(ks), nf_prev, nf, 4),
-                "bn": nn_core.batchnorm_init(nf),
+                "conv": nn_core.conv2d_init(kc, nf_prev, nf, 4),
+                "bn": nn_core.batchnorm_init(nf, jax.random.fold_in(kc, 1)),
             })
         nf_prev, nf = nf, min(nf * 2, 512)
+        kc = next(ks)
         layers.append({
-            "conv": nn_core.conv2d_init(next(ks), nf_prev, nf, 4),
-            "bn": nn_core.batchnorm_init(nf),
+            "conv": nn_core.conv2d_init(kc, nf_prev, nf, 4),
+            "bn": nn_core.batchnorm_init(nf, jax.random.fold_in(kc, 1)),
         })
         layers.append({"conv": nn_core.conv2d_init(next(ks), nf, 1, 4)})
         scales.append({"layers": layers})

@@ -48,10 +48,14 @@ def kaiming_normal_init(key, shape, gain: float = 0.02, dtype=jnp.float32):
 
 
 def orthogonal_init(key, shape, gain: float = 0.02, dtype=jnp.float32):
-    flat = (int(np.prod(shape[:-1])), shape[-1])
-    a = jax.random.normal(key, flat, dtype)
+    rows, cols = int(np.prod(shape[:-1])), shape[-1]
+    # QR needs the tall orientation; transpose back for widening layers
+    # (rows < cols), like torch.nn.init.orthogonal_
+    a = jax.random.normal(key, (max(rows, cols), min(rows, cols)), dtype)
     q, r = jnp.linalg.qr(a)
     q = q * jnp.sign(jnp.diagonal(r))
+    if rows < cols:
+        q = q.T
     return gain * q.reshape(shape)
 
 
@@ -165,12 +169,23 @@ def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
     return y
 
 
+def quantize_weight_int8(w: jnp.ndarray, axes=(0, 1, 2)):
+    """Shared per-channel symmetric int8 weight quantizer: returns
+    (w_q int8 in [-127, 127], scale) with scale = amax/127 floored at
+    1e-12.  Every int8 form (deployed conv, QAT custom-VJP, subpixel /
+    dilated rewrites) MUST quantize through this one expression - the
+    bit-identity guarantees between them depend on it."""
+    w = jnp.asarray(w, jnp.float32)
+    s_k = jnp.maximum(jnp.max(jnp.abs(w), axis=axes, keepdims=True),
+                      1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / s_k), -127, 127).astype(jnp.int8)
+    return w_q, jnp.squeeze(s_k, axis=axes)
+
+
 def quantize_conv(params: Params) -> Params:
     """Per-output-channel symmetric int8 weight quantization of a conv2d
     layer: w = w_q * w_scale[c], w_q in [-127, 127]."""
-    w = jnp.asarray(params["w"], jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
-    w_q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    w_q, s = quantize_weight_int8(params["w"])
     q: Params = {"w_q": w_q, "w_scale": s}
     if "b" in params:
         q["b"] = params["b"]
@@ -264,6 +279,10 @@ def fake_quant_conv(params: Params, int8_forward: bool = False) -> Params:
     accumulation gap) and the forward convs run at int8 speed."""
     if "w_q" in params:
         raise ValueError("fake_quant_conv expects a float conv (got int8)")
+    if "fq" in params or "fq8" in params:
+        raise ValueError(
+            "conv already carries a QAT tag; strip it first (a double tag "
+            "would make the dispatch and qat_tag_mode disagree)")
     tag = "fq8" if int8_forward else "fq"
     return dict(params, **{tag: jnp.ones((), jnp.float32)})
 
@@ -321,8 +340,7 @@ def _q8_ste_primal(stride: int, padding: int, x, w, s_x):
     bit-identical to the layer it deploys as under both the f32 training
     path and the bf16 production compute dtype."""
     dt = x.dtype
-    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
-    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    w_q, s_w = quantize_weight_int8(w)
     u = jnp.round(x * (1.0 / s_x).astype(dt))
     x_q = jnp.clip(u, -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
@@ -482,10 +500,7 @@ def subpixel_from_conv3x3(params: Params) -> Params:
     w_ph = jnp.stack(phases)  # [4 (a*2+b), 2, 2, Ci, Co]
     q: Params = {}
     if "w_q" in params:
-        s = jnp.maximum(jnp.max(jnp.abs(w_ph), axis=(1, 2, 3)), 1e-12) / 127.0
-        q["w_ph_q"] = jnp.clip(
-            jnp.round(w_ph / s[:, None, None, None, :]), -127, 127
-        ).astype(jnp.int8)
+        q["w_ph_q"], s = quantize_weight_int8(w_ph, axes=(1, 2, 3))
         q["w_ph_scale"] = s  # [4, Co]
         if "x_scale" in params:
             q["x_scale"] = params["x_scale"]
@@ -557,8 +572,7 @@ def subpixel1_from_conv3x3(params: Params) -> Params:
     w4 = w4.transpose(0, 1, 2, 4, 3).reshape(kh, kw, ci, 4 * co)
     q: Params = {}
     if "w_q" in params:
-        s = jnp.maximum(jnp.max(jnp.abs(w4), axis=(0, 1, 2)), 1e-12) / 127.0
-        q["w_sp1_q"] = jnp.clip(jnp.round(w4 / s), -127, 127).astype(jnp.int8)
+        q["w_sp1_q"], s = quantize_weight_int8(w4)
         q["w_sp1_scale"] = s  # [4*Co]
         if "x_scale" in params:
             q["x_scale"] = params["x_scale"]
@@ -631,8 +645,7 @@ def dilated_from_conv3x3(params: Params) -> Params:
     w4 = jnp.stack(rows)  # [4, 4, Ci, Co]
     q: Params = {}
     if "w_q" in params:
-        s = jnp.maximum(jnp.max(jnp.abs(w4), axis=(0, 1, 2)), 1e-12) / 127.0
-        q["w_dl_q"] = jnp.clip(jnp.round(w4 / s), -127, 127).astype(jnp.int8)
+        q["w_dl_q"], s = quantize_weight_int8(w4)
         q["w_dl_scale"] = s
         if "x_scale" in params:
             q["x_scale"] = params["x_scale"]

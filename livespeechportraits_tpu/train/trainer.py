@@ -346,6 +346,12 @@ def train_feature2face(
     d = init_d if init_d is not None else f2f_model.init_discriminator(kd, cfg)
     use_qat = loop.qat or loop.qat_int8
     qat_tag = "fq8" if loop.qat_int8 else "fq"
+    if use_qat and f2f_model.is_qat_generator(g) and \
+            f2f_model.qat_tag_mode(g) != qat_tag:
+        # init_g pre-tagged in the OTHER mode: retag to the requested one
+        # (fake_quant_conv refuses double tags, so strip first)
+        g = f2f_model.qat_generator(f2f_model.strip_qat_generator(g),
+                                    int8_forward=loop.qat_int8)
     if use_qat and not f2f_model.is_qat_generator(g):
         # Quantization-aware fine-tuning: G forwards (train, validation,
         # panels) run the deployed int8 arithmetic via STE fake-quant

@@ -221,9 +221,12 @@ def test_fold_bn_generator_matches_unfolded():
 
 def test_calibrated_static_int8_matches_dynamic_on_calib_batch():
     """Activation-static int8: calibrating on batch X and then running the
-    static forward on X must reproduce the dynamic-quantization forward
-    bit-for-bit (the scales are by construction the same numbers), which
-    also proves the calibration walk visits convs in exact forward order."""
+    static forward on X reproduces the dynamic-quantization forward (the
+    scales are by construction the same numbers; the two programs fuse
+    differently so the float BN/relu chains between convs can differ at
+    the last f32 bit, observed <= 2e-9) - which also proves the
+    calibration walk visits convs in exact forward order (a misordered
+    scale would flip whole int8 grid steps, ~1e-2 here)."""
     cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
     params = feature2face.init_generator(jax.random.PRNGKey(10), cfg)
     qp = feature2face.quantize_generator(params)
@@ -238,7 +241,8 @@ def test_calibrated_static_int8_matches_dynamic_on_calib_batch():
     assert "x_scale" in cp["net"]["res_down"][0]["conv1"]
     assert "x_scale" not in cp["net"]["down"]
     y_sta, _ = feature2face.apply_generator(cp, x)
-    np.testing.assert_array_equal(np.asarray(y_sta), np.asarray(y_dyn))
+    np.testing.assert_allclose(np.asarray(y_sta), np.asarray(y_dyn),
+                               atol=1e-7, rtol=0)
 
 
 def test_calibrated_static_int8_generalizes():
@@ -852,3 +856,61 @@ def test_qat_int8_generator_matches_deployed_bitwise():
     y_dep, _ = feature2face.apply_generator(dep, x, training=False)
     y_cal, _ = feature2face.apply_generator(cal, x, training=False)
     np.testing.assert_array_equal(np.asarray(y_cal), np.asarray(y_dep))
+
+
+def test_fake_quant_conv_refuses_double_tag_and_calibrate_precondition():
+    from livespeechportraits_tpu.models import nn_core
+
+    p = nn_core.conv2d_init(jax.random.PRNGKey(0), 4, 6, 3)
+    tagged = nn_core.fake_quant_conv(p)
+    with pytest.raises(ValueError, match="already carries"):
+        nn_core.fake_quant_conv(tagged, int8_forward=True)
+
+    cfg = Feature2FaceConfig(size="normal", ngf=4, n_downsample=5, load_size=32)
+    params = feature2face.init_generator(jax.random.PRNGKey(1), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, cfg.input_nc))
+    with pytest.raises(ValueError, match="no quantized or QAT-tagged"):
+        feature2face.calibrate_generator(params, x)
+
+
+def test_orthogonal_init_widening_shapes():
+    from livespeechportraits_tpu.models import nn_core
+
+    for shape in ((3, 3, 3, 64), (8, 64), (64, 8), (3, 3, 64, 32)):
+        w = nn_core.orthogonal_init(jax.random.PRNGKey(0), shape)
+        assert w.shape == shape
+        flat = np.asarray(w).reshape(-1, shape[-1]) / 0.02
+        # orthonormal columns (or rows for widening layers)
+        if flat.shape[0] >= flat.shape[1]:
+            g = flat.T @ flat
+        else:
+            g = flat @ flat.T
+        np.testing.assert_allclose(g, np.eye(g.shape[0]), atol=1e-4)
+
+
+def test_bn_scale_init_matches_reference_distribution():
+    """init_weights draws BatchNorm scale from N(1, 0.02)
+    (networks.py:373-375): the generator/discriminator BN scales must not
+    all be exactly 1."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=32)
+    g = feature2face.init_generator(jax.random.PRNGKey(0), cfg)
+    d = feature2face.init_discriminator(jax.random.PRNGKey(1), cfg)
+    for tree in (g["net"], d):
+        scales = []
+
+        def walk(p):
+            if isinstance(p, dict):
+                if "mean" in p and "scale" in p:  # BN params
+                    scales.append(np.asarray(p["scale"]))
+                for v in p.values():
+                    walk(v)
+            elif isinstance(p, list):
+                for v in p:
+                    walk(v)
+
+        walk(tree)
+        assert scales
+        flat = np.concatenate([s.ravel() for s in scales])
+        assert np.abs(flat - 1.0).max() > 1e-3  # actually noisy
+        assert abs(flat.mean() - 1.0) < 0.02
+        assert 0.005 < flat.std() < 0.05
