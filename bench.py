@@ -69,9 +69,9 @@ def main() -> None:
         cfg, key=jax.random.PRNGKey(0), image_size=512, bank_size=4096)
     float_models = person_models
 
-    t = np.arange(int(seconds * 16000)) / 16000
-    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
-             * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    from livespeechportraits_tpu.pipeline import video as video_mod
+
+    audio = video_mod.make_test_tone(seconds)
 
     if quantize:
         # int8 renderer (per-channel weights; fidelity-tested vs the float
@@ -127,7 +127,7 @@ def main() -> None:
     # into ONE device program, everything dispatched asynchronously, one
     # device barrier before the frame fetch (per-stage profiling barriers
     # cost ~6 relay round-trips and belong in the attribution run below,
-    # not in the headline).  Three measured runs: relay variance is
+    # not in the headline).  Five measured runs: relay variance is
     # large, so report the spread.
     runs = []
     for i in range(5):
@@ -188,7 +188,10 @@ def main() -> None:
         # MFU, which can legitimately exceed the bf16-peak fraction
         lowered = animate_mod._jit_render.lower(
             float_models.feature2face["net"], "large", inp, jnp.bfloat16)
-        cost = lowered.compile().cost_analysis()
+        try:  # pre-compile estimate first: this float RGB variant is not
+            cost = lowered.cost_analysis()  # otherwise compiled (~4 min
+        except Exception:                   # cold through the relay)
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         if cost and cost.get("flops"):
@@ -208,7 +211,9 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-        "fps_min_med_max": [round(f, 2) for f in fps_all],
+        "fps_min_med_max": [round(fps_all[0], 2), round(fps, 2),
+                            round(fps_all[-1], 2)],
+        "fps_runs": [round(f, 2) for f in fps_all],
         "mfu": round(mfu, 4) if mfu is not None else None,
         "render_gflops_per_frame": round(flops_per_frame / 1e9, 2) if flops_per_frame else None,
         "peak_tflops_bf16": peak_tflops,

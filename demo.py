@@ -108,11 +108,15 @@ def main() -> None:
         audio = video_mod.load_wav(args.driving_audio)
     else:
         print(f"driving audio {args.driving_audio!r} not found; using a 3 s test tone")
-        t = np.arange(int(3 * 16000)) / 16000
-        audio = (0.3 * np.sin(2 * np.pi * 220 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        audio = video_mod.make_test_tone(3.0)
     if args.duration > 0:
         audio = audio[: int(args.duration * 16000)]
 
+    if args.image_size and args.image_size & (args.image_size - 1):
+        raise SystemExit(
+            f"--image_size {args.image_size} must be a power of two: the "
+            "U-Net halves the resolution per stage and odd intermediate "
+            "sizes break the skip concatenation")
     if args.id == "Synthetic" or not cfg.data_root:
         if args.image_size:
             import math
@@ -171,6 +175,13 @@ def main() -> None:
     print(f"Animating {len(audio)/16000:.2f}s of audio for '{args.id}' ...")
     t0 = time.perf_counter()
     if args.streaming:
+        ignored = [n for n, v in (("--save_intermediates",
+                                   args.save_intermediates),
+                                  ("--bucket_seconds", args.bucket_seconds),
+                                  ("--fused", args.fused)) if v]
+        if ignored:
+            print(f"note: {', '.join(ignored)} have no effect with "
+                  "--streaming (offline-path flags)")
         from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
 
         stream = StreamingAnimator(cfg, person_assets, person_models,

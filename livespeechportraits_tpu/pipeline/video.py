@@ -103,6 +103,13 @@ def write_video(
     return output_path
 
 
+def make_test_tone(seconds: float = 3.0, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """220 Hz AM test tone - the shared no-audio fallback (demo/bench)."""
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.3 * np.sin(2 * np.pi * 220 * t)
+            * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+
 def save_frames(frames: np.ndarray, save_root: str, prefix: str = "pred_") -> None:
     """Dump numbered jpgs like Visualizer.save_images (demo.py:268-272)."""
     if cv2 is None:  # pragma: no cover

@@ -127,11 +127,18 @@ class GetData:
             os.makedirs(save_path)
         archive = join(save_path, basename(dataset))
         self._print(f"Downloading data from {url}")
+        h = hashlib.sha256()
         with urllib.request.urlopen(url) as r, open(archive, "wb") as f:
-            data = r.read()
-            f.write(data)
+            # stream in chunks: subject archives are multi-GB and r.read()
+            # would buffer the whole file (2x at the write) in memory
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                h.update(chunk)
+                f.write(chunk)
         if sha256 is not None:
-            got = hashlib.sha256(data).hexdigest()
+            got = h.hexdigest()
             if got != sha256:
                 os.remove(archive)
                 raise ValueError(f"checksum mismatch for {dataset}: "

@@ -34,16 +34,39 @@ def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
     return float(10.0 * np.log10(max_val**2 / mse))
 
 
-def perceptual_distance(vgg_params, a: np.ndarray, b: np.ndarray) -> float:
+def perceptual_distance(vgg_params, a: np.ndarray, b: np.ndarray,
+                        chunk: int = 8) -> float:
     """LPIPS-style distance between uint8 RGB frames [T, H, W, 3]:
-    channel-normalised VGG features, mean squared difference per slice."""
-    xa = jnp.asarray(a, jnp.float32) / 127.5 - 1.0
-    xb = jnp.asarray(b, jnp.float32) / 127.5 - 1.0
-    fa = losses_mod.vgg19_features(vgg_params, xa)
-    fb = losses_mod.vgg19_features(vgg_params, xb)
-    total = 0.0
-    for ya, yb in zip(fa, fb):
-        na = ya / (jnp.linalg.norm(ya, axis=-1, keepdims=True) + 1e-10)
-        nb = yb / (jnp.linalg.norm(yb, axis=-1, keepdims=True) + 1e-10)
-        total = total + jnp.mean((na - nb) ** 2)
-    return float(total / len(fa))
+    channel-normalised VGG features, mean squared difference per slice.
+
+    Frames run through VGG in fixed `chunk`-size batches: a whole clip at
+    once would materialise ~25 GB of relu_1 features for 10 s of 512^2
+    video, and every distinct T would trace a new program."""
+    T = a.shape[0]
+
+    def _dist(xa, xb):
+        fa = losses_mod.vgg19_features(vgg_params, xa)
+        fb = losses_mod.vgg19_features(vgg_params, xb)
+        total = 0.0
+        for ya, yb in zip(fa, fb):
+            na = ya / (jnp.linalg.norm(ya, axis=-1, keepdims=True) + 1e-10)
+            nb = yb / (jnp.linalg.norm(yb, axis=-1, keepdims=True) + 1e-10)
+            total = total + jnp.mean((na - nb) ** 2)
+        return total / len(fa)
+
+    vals = []
+    for i in range(0, T, chunk):
+        xa = jnp.asarray(a[i:i + chunk], jnp.float32) / 127.5 - 1.0
+        xb = jnp.asarray(b[i:i + chunk], jnp.float32) / 127.5 - 1.0
+        n = xa.shape[0]
+        if n < chunk:  # pad to the fixed compile shape
+            pad = ((0, chunk - n), (0, 0), (0, 0), (0, 0))
+            xa, xb = jnp.pad(xa, pad), jnp.pad(xb, pad)
+            # padded frames are identical in both inputs, so they add 0 to
+            # the feature difference but dilute the batch mean by n/chunk;
+            # undo the dilution
+            vals.append(float(_dist(xa, xb)) * chunk / n)
+        else:
+            vals.append(float(_dist(xa, xb)))
+    return float(np.average(vals, weights=[min(chunk, T - i)
+                                           for i in range(0, T, chunk)]))

@@ -105,6 +105,7 @@ class Visualizer:
         except Exception:
             self._tb = None
         self._epoch_images: Dict[int, List[str]] = {}
+        self._csv_keys: Optional[List[str]] = None
 
     # -- scalars ----------------------------------------------------------
 
@@ -112,11 +113,17 @@ class Visualizer:
         if self._tb is not None:
             for k, v in errors.items():
                 self._tb.add_scalar(k, float(v), step)
-        new = not os.path.exists(self.csv_path)
+        # A fresh header precedes every KEY-SET change (train metrics and
+        # periodic validation metrics interleave in the same file, and a
+        # resumed run may log different keys): rows always align with the
+        # nearest header above them instead of being silently misread
+        # under the first call's columns.
+        keys = list(errors.keys())
         with open(self.csv_path, "a", newline="") as f:
             w = csv.writer(f)
-            if new:
-                w.writerow(["step"] + list(errors.keys()))
+            if keys != self._csv_keys:
+                w.writerow(["step"] + keys)
+                self._csv_keys = keys
             w.writerow([step] + [float(v) for v in errors.values()])
 
     def print_current_errors(self, epoch: int, iters: int,
@@ -160,8 +167,11 @@ class Visualizer:
         img = np.asarray(img)
         if img.dtype != np.uint8:
             img = tensor2im(img)
+        if img.ndim == 3 and img.shape[-1] == 1:
+            img = img[..., 0]  # cvtColor rejects 1-channel "RGB"
         if cv2 is not None:
-            cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR) if img.ndim == 3 else img)
+            cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+                        if img.ndim == 3 else img)
         else:  # pragma: no cover
             from PIL import Image
 
