@@ -97,6 +97,10 @@ def rasterize_segments_pallas(
     """segments: [T, S, 4] float32 (ax, ay, bx, by; S <= SEG_PAD, padded by
     the caller or here) -> [T, H, W] float32 in {0, 1}."""
     T, S, _ = segments.shape
+    if S > SEG_PAD:
+        raise ValueError(
+            f"{S} segments exceed the kernel's SEG_PAD={SEG_PAD}: raise "
+            "SEG_PAD (block shape) rather than silently dropping the tail")
     if S < SEG_PAD:
         pad = jnp.full((T, SEG_PAD - S, 4), -1e6, segments.dtype)
         segments = jnp.concatenate([segments, pad], axis=1)

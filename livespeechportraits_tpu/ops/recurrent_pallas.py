@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK_T = 1024
 
 
-def _gru_kernel(xp_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hT_ref, *, n_valid_ref=None):
+def _gru_kernel(xp_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hT_ref):
     """xp: [C, 3H] projected inputs; whh: [H, 3H]; bhh: [1, 3H];
     h0: [1, H] -> ys: [C, H], hT: [1, H]."""
     C = xp_ref.shape[0]
@@ -108,7 +108,9 @@ def gru_layer_pallas(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
         ys, h = _gru_chunk_call(chunk, w_hh, b_hh, h, interpret=interpret)
         outs.append(ys)
     ys = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return ys[None], h[0]
+    # final state keeps the [B, H] rank of nn_core.gru_layer (the function
+    # this is a drop-in for) so cross-backend state carrying round-trips
+    return ys[None], h
 
 
 def apc_encode_pallas(params: Dict, mels: jnp.ndarray,
@@ -206,4 +208,4 @@ def lstm_layer_pallas(params, x, state=None, interpret: bool = False):
                                     interpret=interpret)
         outs.append(ys)
     ys = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return ys[None], (h[0], c[0])
+    return ys[None], (h, c)

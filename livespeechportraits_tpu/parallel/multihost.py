@@ -52,7 +52,13 @@ def local_batch_slice(global_batch: int) -> slice:
     """The rows of a global batch this host should feed its local devices
     (hosts load disjoint shards; jax.make_array_from_process_local_data or
     device_put with a NamedSharding assembles the global array)."""
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n or global_batch < n:
+        raise ValueError(
+            f"global_batch={global_batch} must be a positive multiple of "
+            f"process_count={n}: truncating would silently drop rows and "
+            "break the mesh's data-axis layout")
+    per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
 
@@ -68,11 +74,18 @@ def shard_host_batch(mesh, batch):
     (tested on the 8-device virtual mesh; tests/test_parallel.py).
     """
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from livespeechportraits_tpu.parallel import mesh as mesh_mod
 
     def _place(x):
-        sh = NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1))))
-        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        x = np.asarray(x)
+        if x.ndim == 0:
+            raise ValueError(
+                "batch leaves must have a leading batch dimension to shard "
+                "over the data axis (got a scalar)")
+        # reuse the single source of truth for the data-axis spec
+        sh = mesh_mod.batch_sharding(mesh, x.ndim)
+        return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree.map(_place, batch)
 
@@ -81,7 +94,13 @@ def global_batch_iter(sampler, global_batch: int, rng, mesh):
     """Multi-host training batch stream: every host draws the SAME index
     order (same rng seed on every process), keeps only its own rows, and
     assembles the global array.  Single-process this degrades to plain
-    data-parallel sharding."""
+    data-parallel sharding.
+
+    Known cost at scale: the sampler materialises the FULL global batch
+    on every host before the slice, so host-side decode does P times the
+    needed work - acceptable for the motion stages' small rows; a
+    renderer-scale multi-host run should give the sampler an index-range
+    API so each host decodes only its slice."""
     sl = local_batch_slice(global_batch)
     for batch in sampler.batches(global_batch, rng):
         local = jax.tree.map(lambda x: x[sl], batch)

@@ -50,6 +50,10 @@ def merge_bn_stats(params: Any, aux: Any) -> Any:
     if isinstance(params, dict):
         return {k: merge_bn_stats(v, aux[k]) if k in aux else v for k, v in params.items()}
     if isinstance(params, (list, tuple)):
+        if len(aux) != len(params):
+            raise ValueError(
+                f"aux tree sequence length {len(aux)} != params "
+                f"{len(params)}: refusing to silently truncate layers")
         t = type(params)
         return t(merge_bn_stats(p, a) for p, a in zip(params, aux))
     return params

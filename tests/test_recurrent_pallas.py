@@ -17,7 +17,9 @@ def test_gru_kernel_matches_scan():
     ref, h_ref = nn_core.gru_layer(p, x)
     ys, hT = rp.gru_layer_pallas(p, x, interpret=True)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(hT), np.asarray(h_ref[0]), atol=1e-5)
+    # state keeps nn_core's [B, H] rank (cross-backend carrying)
+    assert np.asarray(hT).shape == np.asarray(h_ref).shape
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(h_ref), atol=1e-5)
 
 
 def test_gru_kernel_chunking_carries_state():
@@ -41,8 +43,9 @@ def test_lstm_kernel_matches_scan():
     ref, (h_ref, c_ref) = nn_core.lstm_layer(p, x)
     ys, (h, c) = rp.lstm_layer_pallas(p, x, interpret=True)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref[0]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref[0]), atol=1e-5)
+    assert np.asarray(h).shape == np.asarray(h_ref).shape
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-5)
 
 
 def test_apc_encode_pallas_matches_encode():

@@ -499,3 +499,25 @@ def test_audiovisual_sampler_rejects_oversized_windows():
     s = datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=240)
     item = s.sample(len(s) - 1)
     assert item["target"].shape[0] == 240
+
+
+def test_prefetch_releases_worker_on_abandonment():
+    """A consumer abandoning the generator mid-epoch must unblock the
+    worker thread (it used to stay parked on q.put holding device-resident
+    batches for the life of the process); size=0 is rejected outright."""
+    import threading
+    import time as _time
+
+    from livespeechportraits_tpu.train import prefetch as pf
+
+    with pytest.raises(ValueError, match="UNBOUNDED"):
+        next(pf.prefetch(iter(range(10)), size=0))
+
+    n_before = threading.active_count()
+    gen = pf.prefetch(iter(range(1000)), size=1)
+    assert next(gen) == 0
+    gen.close()  # abandon mid-epoch
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n_before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n_before + 1  # worker exited
