@@ -357,12 +357,15 @@ def _synthetic_face_landmarks() -> np.ndarray:
 
 def make_synthetic_person(
     cfg: PersonConfig, key: Optional[jax.Array] = None, image_size: int = 512,
-    bank_size: int = 256,
-) -> tuple[PersonAssets, PersonModels]:
+    bank_size: int = 256, skip_models: bool = False,
+) -> tuple[PersonAssets, Optional[PersonModels]]:
     """Fabricate an asset pack + random-init models.
 
     The geometry is arranged so the projected face lands inside the image:
     camera at fx=fy=image_size*2.4, cx=cy=image_size/2, face at z ~ 1.
+    skip_models=True returns (assets, None) - for artifact-first serving
+    boots where the model trees come from a saved .npz and the init here
+    would be discarded work (a 512^2 generator init is not free).
     """
     if key is None:
         # deterministic per-name seed: Python's hash() is salted per
@@ -412,6 +415,8 @@ def make_synthetic_person(
         scale=1.0,
     )
 
+    if skip_models:
+        return assets, None
     k1, k2, k3, k4 = jax.random.split(key, 4)
     models = PersonModels(
         apc=apc.init_apc(k1, cfg.apc),

@@ -101,8 +101,13 @@ class Predictor:
             n_down = min(8, int(math.log2(image_size)))
             cfg = replace(cfg, feature2face=replace(
                 cfg.feature2face, load_size=image_size, n_downsample=n_down))
-            self._assets, self._models = assets_mod.make_synthetic_person(
-                cfg, image_size=image_size)
+            self._assets, models = assets_mod.make_synthetic_person(
+                cfg, image_size=image_size,
+                # artifact-first boot skips the model init here too (the
+                # trees would be discarded for the .npz below)
+                skip_models=bool(artifact and os.path.exists(artifact)))
+            if models is not None:
+                self._models = models
         else:
             self._assets = assets_mod.load_person(cfg)
             # With a saved artifact, boot is assets + one .npz read: the
@@ -145,9 +150,9 @@ class Predictor:
             if calibrate:
                 import jax.numpy as jnp
 
-                t = np.arange(16000) / 16000.0  # 1 s amplitude-modulated sweep
-                tone = (0.3 * np.sin(2 * np.pi * 220 * t)
-                        * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+                from livespeechportraits_tpu.pipeline import video as _video
+
+                tone = _video.make_test_tone(1.0)  # 1 s AM sweep
                 calib = animate_mod.build_render_inputs(
                     cfg, self._assets, self._models, tone, max_frames=16)
                 if cfg.feature2face.precision == "bfloat16":

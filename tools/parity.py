@@ -38,7 +38,12 @@ def load_video(path: str, max_frames: int = 0) -> np.ndarray:
         frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         if max_frames and len(frames) >= max_frames:
             break
-    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+    if not frames:
+        raise SystemExit(
+            f"no frames decoded from {path!r} (missing file or unreadable "
+            "codec) - refusing to report an empty parity comparison as "
+            "success")
+    return np.stack(frames)
 
 
 def main() -> None:

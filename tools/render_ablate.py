@@ -76,7 +76,10 @@ def main() -> None:
                               or (d == 2 and k == "res_up")],
         "minus_64sq_256ch": [lambda d, k: (d == 2 and k == "res_down")
                              or (d == 3 and k == "res_up")],
-        "minus_leq32sq": [lambda d, k: d >= 3],
+        # depth-3 res_up sits at 64^2 (already covered above); only
+        # res_down from depth 3 and res_up from depth 4 are <= 32^2
+        "minus_leq32sq": [lambda d, k: (d >= 3 and k == "res_down")
+                          or (d >= 4 and k == "res_up")],
     }
 
     x = jax.random.uniform(jax.random.PRNGKey(2),

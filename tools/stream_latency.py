@@ -51,9 +51,9 @@ def main() -> None:
     assets, models = assets_mod.make_synthetic_person(
         cfg, key=jax.random.PRNGKey(0), image_size=H, bank_size=4096)
 
-    t = np.arange(int(seconds * 16000)) / 16000
-    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
-             * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    from livespeechportraits_tpu.pipeline import video as video_mod
+
+    audio = video_mod.make_test_tone(seconds)
 
     if quantize:
         from livespeechportraits_tpu.pipeline import animate as animate_mod
@@ -81,6 +81,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 frames += len(st.flush())
                 flush_s = time.perf_counter() - t0
+            if len(times) <= 2:
+                print(f"chunk={chunk}: audio too short for a steady-state "
+                      f"measurement ({len(times)} pushes); skipping")
+                continue
             times_ms = np.asarray(times[2:]) * 1e3  # skip stream-start ramp
             print(json.dumps({
                 "metric": f"streaming per-push wall (chunk={chunk} frames, {H}^2)",

@@ -94,6 +94,9 @@ def main() -> None:
     sampler = train_cli.synthetic_face_data(
         args.frames, H, device_rasterize=args.device_rasterize)
     steps_per_epoch = len(sampler) // args.batch
+    if steps_per_epoch < 1:
+        raise SystemExit(f"--batch {args.batch} exceeds --frames "
+                         f"{args.frames}: no full batch fits an epoch")
     n_epochs = max(1, -(-args.steps // steps_per_epoch))
     loop = trainer.TrainLoopConfig(
         n_epochs=n_epochs, n_epochs_decay=0, lr=args.lr, batch_size=args.batch,
