@@ -44,3 +44,25 @@ def shard_params(mesh: Mesh, params, model_size: int | None = None):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(_place, params)
+
+
+def shard_spatial(mesh: Mesh, x, axis: int = 1):
+    """Spatial partitioning (SP) of an NHWC image batch: shard the height
+    axis over `model`, replicate the rest.
+
+    GSPMD inserts the 3x3-conv halo exchanges and the resharding around
+    the strided/upsampling stages automatically, so the SAME
+    apply_generator program renders one image cooperatively across chips
+    - the lever for frames too large for one chip's HBM (the
+    frame-sharded `data` axis scales throughput but caps resolution at
+    one chip; this caps neither).  Forward equivalence vs the unsharded
+    program is tested on the virtual mesh (test_parallel.py).
+
+    The reference's only parallelism is batch-split DataParallel
+    (networks.py:400) - no spatial partitioning of any kind."""
+    def _place(v):
+        spec = [None] * np.ndim(v)
+        spec[axis] = MODEL_AXIS
+        return jax.device_put(v, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(_place, x)

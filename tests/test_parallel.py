@@ -377,3 +377,34 @@ def test_zero1_place_is_idempotent_and_composes_with_model_sharding():
     assert placed.sharding.spec == P(None, None, "data", "model")
     again = mesh_mod.zero1_place(hy, {"mu": placed})["mu"]
     assert again.sharding.spec == placed.sharding.spec
+
+
+def test_spatial_partitioned_renderer_matches_single_device():
+    """Spatial partitioning (SP): sharding the image HEIGHT over the
+    model axis must reproduce the unsharded renderer (GSPMD inserts the
+    3x3 halo exchanges and strided-stage reshardings), stay sharded at
+    the output, and compose with the data axis on the batch dim."""
+    cfg = Feature2FaceConfig(size="normal", ngf=8, n_downsample=5, load_size=64)
+    params = feature2face.init_generator(jax.random.PRNGKey(4), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, cfg.input_nc))
+    y_ref, _ = feature2face.apply_generator(params, x)
+
+    m = mesh_mod.make_mesh(4)  # 2 data x 4 model
+    xs = shard_mod.shard_spatial(m, x)
+    assert xs.sharding.spec == P(None, "model", None, None)
+    net = mesh_mod.replicate(m, params["net"])
+
+    @jax.jit
+    def fwd(net, inp):
+        y, _ = feature2face.apply_generator({"net": net, "size": "normal"}, inp)
+        return y
+
+    y = fwd(net, xs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+    # the output stays model-sharded: no implicit full gather
+    assert "model" in jax.tree.leaves(tuple(y.sharding.spec))
+
+    # SP composes with batch sharding over `data`
+    xds = jax.device_put(x, NamedSharding(m, P("data", "model", None, None)))
+    y2 = fwd(net, xds)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=2e-5)
