@@ -125,6 +125,72 @@ def _batch_iter(sampler, loop: "TrainLoopConfig", rng, mesh):
     return map(transform, it)
 
 
+def _train_single_state(loop: TrainLoopConfig, sampler, val_sampler,
+                        init_params, *, init_fn, make_step, validate_fn,
+                        val_key: str, step_rng: bool = False
+                        ) -> state_mod.TrainState:
+    """Shared driver for the three single-state trainers (APC / A2F /
+    A2H): schedule + Adam, optional DP mesh + ZeRO-1, resume, epoch loop
+    with prefetched batches, scalar logging, dedicated-rng validation,
+    per-epoch checkpoints.  The public train_* wrappers differ only in
+    the init/step factories, the validation metric name, and whether the
+    step threads a PRNG key (A2H's WaveNet input dropout)."""
+    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
+                                        loop.n_epochs_decay)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
+    )(learning_rate=loop.lr)
+    params = init_params if init_params is not None else \
+        init_fn(jax.random.PRNGKey(loop.seed))
+    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
+    if mesh is not None:
+        params = mesh_mod.replicate(mesh, params)
+    st = state_mod.create_state(params, tx)
+    step_fn = make_step(tx)
+    vis = Visualizer(loop.checkpoints_dir, loop.name)
+    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
+    start_epoch = 0
+    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
+        start_epoch = ckpt.latest_step(ckpt_dir)
+        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
+        print(f"resumed from epoch {start_epoch}")
+
+    st = _maybe_zero1(st, mesh, loop)
+    rng = np.random.default_rng(loop.seed)
+    key = jax.random.PRNGKey(loop.seed)
+    it = 0
+    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
+        lr_now = schedule(epoch)
+        st = _set_lr(st, lr_now)
+        t0 = time.time()
+        epoch_it0 = it
+        for batch in _batch_iter(sampler, loop, rng, mesh):
+            if step_rng:
+                key, sub = jax.random.split(key)
+                st, metrics = step_fn(st, batch, sub)
+            else:
+                st, metrics = step_fn(st, batch)
+            it += 1
+            if it % loop.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()} | {"lr": lr_now}
+                vis.plot_current_errors(m, it)
+                vis.print_current_errors(
+                    epoch, it, m,
+                    (time.time() - t0) / max(it - epoch_it0, 1))
+        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
+            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
+            # training stream's rng: deterministic eval, unchanged batches
+            vs = [float(validate_fn(st.params, b))
+                  for b in val_sampler.batches(loop.batch_size, rng_val,
+                                               shuffle=False, drop_last=False)]
+            if vs:  # a val set smaller than the batch must not log NaN
+                vis.plot_current_errors({val_key: float(np.mean(vs))}, it)
+        if (epoch + 1) % loop.save_epoch_freq == 0:
+            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
+    vis.close()
+    return st
+
+
 def train_apc(
     cfg,
     loop: TrainLoopConfig,
@@ -141,56 +207,13 @@ def train_apc(
     --apc_ckpt with an orbax directory)."""
     from livespeechportraits_tpu.models import apc as apc_mod
 
-    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
-                                        loop.n_epochs_decay)
-    tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
-    )(learning_rate=loop.lr)
-    params = init_params if init_params is not None else apc_mod.init_apc_pretrain(
-        jax.random.PRNGKey(loop.seed), cfg)
-    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
-    if mesh is not None:
-        params = mesh_mod.replicate(mesh, params)
-    st = state_mod.create_state(params, tx)
-    step_fn = steps.make_apc_step(cfg, tx)
-    validate_fn = steps.apc_validate(cfg)
-    vis = Visualizer(loop.checkpoints_dir, loop.name)
-    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
-    start_epoch = 0
-    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
-        start_epoch = ckpt.latest_step(ckpt_dir)
-        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
-        print(f"resumed from epoch {start_epoch}")
-
-    st = _maybe_zero1(st, mesh, loop)
-    rng = np.random.default_rng(loop.seed)
-    it = 0
-    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
-        lr_now = schedule(epoch)
-        st = _set_lr(st, lr_now)
-        t0 = time.time()
-        epoch_it0 = it
-        for batch in _batch_iter(sampler, loop, rng, mesh):
-            st, metrics = step_fn(st, batch)
-            it += 1
-            if it % loop.print_freq == 0:
-                m = {k: float(v) for k, v in metrics.items()} | {"lr": lr_now}
-                vis.plot_current_errors(m, it)
-                vis.print_current_errors(
-                    epoch, it, m,
-                    (time.time() - t0) / max(it - epoch_it0, 1))
-        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
-            # training stream's rng: deterministic eval, unchanged batches
-            vs = [float(validate_fn(st.params, b))
-                  for b in val_sampler.batches(loop.batch_size, rng_val,
-                                               shuffle=False, drop_last=False)]
-            if vs:  # a val set smaller than the batch must not log NaN
-                vis.plot_current_errors({"val_l1": float(np.mean(vs))}, it)
-        if (epoch + 1) % loop.save_epoch_freq == 0:
-            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
-    vis.close()
-    return st
+    return _train_single_state(
+        loop, sampler, val_sampler, init_params,
+        init_fn=lambda k: apc_mod.init_apc_pretrain(k, cfg),
+        make_step=lambda tx: steps.make_apc_step(cfg, tx),
+        validate_fn=steps.apc_validate(cfg),
+        val_key="val_l1",
+    )
 
 
 def train_audio2feature(
@@ -201,56 +224,13 @@ def train_audio2feature(
     init_params: Optional[Any] = None,
 ) -> state_mod.TrainState:
     """Audio2Feature trainer (per SURVEY.md §3.2)."""
-    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
-                                        loop.n_epochs_decay)
-    lr_scale = optax.inject_hyperparams(
-        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
-    )(learning_rate=loop.lr)
-    params = init_params if init_params is not None else a2f_model.init_audio2feature(
-        jax.random.PRNGKey(loop.seed), cfg)
-    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
-    if mesh is not None:
-        params = mesh_mod.replicate(mesh, params)
-    st = state_mod.create_state(params, lr_scale)
-    step_fn = steps.make_a2f_step(cfg, lr_scale)
-    validate_fn = steps.a2f_validate(cfg)
-    vis = Visualizer(loop.checkpoints_dir, loop.name)
-    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
-    start_epoch = 0
-    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
-        start_epoch = ckpt.latest_step(ckpt_dir)
-        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
-        print(f"resumed from epoch {start_epoch}")
-
-    st = _maybe_zero1(st, mesh, loop)
-    rng = np.random.default_rng(loop.seed)
-    it = 0
-    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
-        lr_now = schedule(epoch)
-        st = _set_lr(st, lr_now)
-        t0 = time.time()
-        epoch_it0 = it
-        for batch in _batch_iter(sampler, loop, rng, mesh):
-            st, metrics = step_fn(st, batch)
-            it += 1
-            if it % loop.print_freq == 0:
-                m = {k: float(v) for k, v in metrics.items()} | {"lr": lr_now}
-                vis.plot_current_errors(m, it)
-                vis.print_current_errors(
-                    epoch, it, m,
-                    (time.time() - t0) / max(it - epoch_it0, 1))
-        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
-            # training stream's rng: deterministic eval, unchanged batches
-            vs = [float(validate_fn(st.params, b))
-                  for b in val_sampler.batches(loop.batch_size, rng_val,
-                                               shuffle=False, drop_last=False)]
-            if vs:  # a val set smaller than the batch must not log NaN
-                vis.plot_current_errors({"val_loss": float(np.mean(vs))}, it)
-        if (epoch + 1) % loop.save_epoch_freq == 0:
-            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
-    vis.close()
-    return st
+    return _train_single_state(
+        loop, sampler, val_sampler, init_params,
+        init_fn=lambda k: a2f_model.init_audio2feature(k, cfg),
+        make_step=lambda tx: steps.make_a2f_step(cfg, tx),
+        validate_fn=steps.a2f_validate(cfg),
+        val_key="val_loss",
+    )
 
 
 def train_audio2headpose(
@@ -260,57 +240,17 @@ def train_audio2headpose(
     val_sampler=None,
     init_params: Optional[Any] = None,
 ) -> state_mod.TrainState:
-    """Audio2Headpose trainer (GMM NLL + optional smooth term)."""
-    schedule = schedulers.make_schedule(loop.lr_policy, loop.lr, loop.n_epochs,
-                                        loop.n_epochs_decay)
-    tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
-    )(learning_rate=loop.lr)
-    params = init_params if init_params is not None else a2h_model.init_audio2headpose(
-        jax.random.PRNGKey(loop.seed), cfg)
-    mesh = mesh_mod.make_mesh(1) if loop.data_parallel else None
-    if mesh is not None:
-        params = mesh_mod.replicate(mesh, params)
-    st = state_mod.create_state(params, tx)
-    step_fn = steps.make_a2h_step(cfg, tx, smooth_loss_weight=loop.smooth_loss)
-    validate_fn = steps.a2h_validate(cfg)
-    vis = Visualizer(loop.checkpoints_dir, loop.name)
-    ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
-    start_epoch = 0
-    if loop.continue_train and ckpt.latest_step(ckpt_dir) is not None:
-        start_epoch = ckpt.latest_step(ckpt_dir)
-        st = ckpt.restore_checkpoint(ckpt_dir, start_epoch, template=st)
-
-    st = _maybe_zero1(st, mesh, loop)
-    rng = np.random.default_rng(loop.seed)
-    key = jax.random.PRNGKey(loop.seed)
-    it = 0
-    for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
-        st = _set_lr(st, schedule(epoch))
-        t0 = time.time()
-        epoch_it0 = it
-        for batch in _batch_iter(sampler, loop, rng, mesh):
-            key, sub = jax.random.split(key)
-            st, metrics = step_fn(st, batch, sub)
-            it += 1
-            if it % loop.print_freq == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                vis.plot_current_errors(m, it)
-                vis.print_current_errors(
-                    epoch, it, m,
-                    (time.time() - t0) / max(it - epoch_it0, 1))
-        if val_sampler is not None and (epoch + 1) % loop.validate_epoch == 0:
-            rng_val = np.random.default_rng(loop.seed + 7919)  # never the
-            # training stream's rng: deterministic eval, unchanged batches
-            vs = [float(validate_fn(st.params, b))
-                  for b in val_sampler.batches(loop.batch_size, rng_val,
-                                               shuffle=False, drop_last=False)]
-            if vs:  # a val set smaller than the batch must not log NaN
-                vis.plot_current_errors({"val_gmm_nll": float(np.mean(vs))}, it)
-        if (epoch + 1) % loop.save_epoch_freq == 0:
-            ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
-    vis.close()
-    return st
+    """Audio2Headpose trainer (GMM NLL + optional smooth term; the step
+    threads a PRNG key for WaveNet input dropout)."""
+    return _train_single_state(
+        loop, sampler, val_sampler, init_params,
+        init_fn=lambda k: a2h_model.init_audio2headpose(k, cfg),
+        make_step=lambda tx: steps.make_a2h_step(
+            cfg, tx, smooth_loss_weight=loop.smooth_loss),
+        validate_fn=steps.a2h_validate(cfg),
+        val_key="val_gmm_nll",
+        step_rng=True,
+    )
 
 
 def train_feature2face(
