@@ -61,6 +61,7 @@ def apply_audio2feature(
     params: Dict[str, Any],
     audio_feats: jnp.ndarray,
     training: bool = False,
+    lstm_layer=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """[B, 2T, H] paired APC features -> [B, T, output_dim] predictions.
 
@@ -69,8 +70,13 @@ def apply_audio2feature(
     downsample, LSTM, project.  BatchNorm1d runs over the flattened
     [B*T, C] rows exactly like the reference's `.reshape(-1, ndim*2)`.
 
+    lstm_layer overrides the recurrence implementation (identical math
+    expected - e.g. the Pallas VMEM kernel for batch-1 inference).
+
     Returns (preds, params_with_updated_bn_stats).
     """
+    if lstm_layer is None:
+        lstm_layer = nn_core.lstm_layer
     B, T2, H = audio_feats.shape
     T = T2 // 2
     x = audio_feats.reshape(B * T, 2 * H)
@@ -82,7 +88,7 @@ def apply_audio2feature(
     y = y.reshape(B, T, H)
 
     for layer in params["lstm"]:
-        y, _ = nn_core.lstm_layer(layer, y)
+        y, _ = lstm_layer(layer, y)
 
     z = y.reshape(B * T, -1)
     z = nn_core.dense(params["fc1"], z)
@@ -142,28 +148,13 @@ def _infer(params: Dict[str, Any], audio_feats: jnp.ndarray) -> jnp.ndarray:
 
 def _infer_fast(params: Dict[str, Any], audio_feats: jnp.ndarray) -> jnp.ndarray:
     """Batch-1 inference with the LSTM recurrences on the Pallas VMEM
-    kernel (ops/recurrent_pallas.py); identical math to apply_audio2feature
-    in eval mode."""
+    kernel (ops/recurrent_pallas.py) - the SAME forward with only the
+    recurrence implementation swapped, so the two paths cannot drift."""
     from livespeechportraits_tpu.ops import recurrent_pallas as rp
 
-    B, T2, H = audio_feats.shape
-    T = T2 // 2
-    x = audio_feats.reshape(B * T, 2 * H)
-    y = nn_core.dense(params["down1"], x)
-    y, _ = nn_core.batchnorm(params["down_bn"], y, training=False)
-    y = nn_core.leaky_relu(y)
-    y = nn_core.dense(params["down2"], y).reshape(B, T, H)
-    for layer in params["lstm"]:
-        y, _ = rp.lstm_layer_pallas(layer, y)
-    z = y.reshape(B * T, -1)
-    z = nn_core.dense(params["fc1"], z)
-    z, _ = nn_core.batchnorm(params["fc1_bn"], z, training=False)
-    z = nn_core.leaky_relu(z)
-    z = nn_core.dense(params["fc2"], z)
-    z, _ = nn_core.batchnorm(params["fc2_bn"], z, training=False)
-    z = nn_core.leaky_relu(z)
-    z = nn_core.dense(params["fc3"], z)
-    return z.reshape(B, T, -1)
+    preds, _ = apply_audio2feature(params, audio_feats, training=False,
+                                   lstm_layer=rp.lstm_layer_pallas)
+    return preds
 
 
 def generate_sequence(
