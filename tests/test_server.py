@@ -224,3 +224,24 @@ def test_healthz_responds_during_render(server_port):
     th.join()
     assert ok == 5
     assert result["frames"] == int(0.6 * 60) - 15
+
+
+def test_predictor_synthetic_artifact_boot(tmp_path):
+    """Synthetic artifact-first boot: the first setup builds + saves the
+    serving trees; a second Predictor boots from the .npz WITHOUT
+    re-initialising the synthetic models (make_synthetic_person
+    skip_models) and predicts identical frame counts."""
+    from livespeechportraits_tpu.serve import Predictor
+
+    art = str(tmp_path / "synth_models.npz")
+    p1 = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "r1"))
+    p1.setup("Synthetic", image_size=64, artifact=art)
+    assert os.path.exists(art)
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    r1 = p1.predict(audio, render_batch=4)
+
+    p2 = Predictor(max_audio_seconds=1.0, results_dir=str(tmp_path / "r2"))
+    p2.setup("Synthetic", image_size=64, artifact=art)
+    r2 = p2.predict(audio, render_batch=4)
+    assert r2.nframe == r1.nframe

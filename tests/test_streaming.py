@@ -264,3 +264,27 @@ def test_stream_smoother_latency_cap_short_stream_no_crash():
     ours = np.concatenate([o for o in outs if len(o)])
     assert ours.shape == x.shape
     assert np.isfinite(ours).all()
+
+
+def test_streaming_matches_offline_short_clip(person):
+    """A clip SHORTER than the head-pose smoothing radius (40 frames =
+    0.67 s) exercises the multi-reflection flush boundary through the
+    FULL streaming pipeline, not just the smoother unit."""
+    cfg, a, m = person
+    audio = _sine_audio(0.9)  # 54 frames < trans radius 40*... boundary-bound
+    offline = animate_mod.animate(cfg, a, m, audio, seed=9, render_batch=4)
+
+    stream = StreamingAnimator(cfg, a, m, seed=9, chunk=16, render_batch=4)
+    frames = []
+    for lo in range(0, len(audio), 2559):
+        out = stream.push_audio(audio[lo : lo + 2559])
+        if len(out):
+            frames.append(out)
+    out = stream.flush()
+    if len(out):
+        frames.append(out)
+    streamed = np.concatenate(frames)
+    assert streamed.shape == offline.frames.shape
+    diff = np.abs(streamed.astype(int) - offline.frames.astype(int))
+    assert diff.max() <= 1, f"max frame diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01
