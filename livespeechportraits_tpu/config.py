@@ -233,14 +233,6 @@ class PipelineConfig:
 # ---------------------------------------------------------------------------
 
 
-def _get(d: Any, *keys: str, default: Any = None) -> Any:
-    for k in keys:
-        if not isinstance(d, dict) or k not in d:
-            return default
-        d = d[k]
-    return d
-
-
 def person_config_from_dict(cfg: dict, name: str = "") -> PersonConfig:
     """Build a :class:`PersonConfig` from a reference-format YAML dict."""
     mp = cfg.get("model_params", {})

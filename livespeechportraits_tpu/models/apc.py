@@ -15,6 +15,7 @@ one full-length utterance (demo.py:187-191 always passes the full length).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -50,11 +51,14 @@ def apply_apc(params: Dict[str, Any], mels: jnp.ndarray, residual: bool = False)
     return x
 
 
-@jax.jit
-def encode(params: Dict[str, Any], mels: jnp.ndarray) -> jnp.ndarray:
-    """Frozen-encoder entry point (no residual - the released subject
-    configs all set residual: false)."""
-    return apply_apc(params, mels, residual=False)
+@functools.partial(jax.jit, static_argnames=("residual",))
+def encode(params: Dict[str, Any], mels: jnp.ndarray,
+           residual: bool = False) -> jnp.ndarray:
+    """Frozen-encoder entry point.  `residual` MUST match the flag the
+    encoder was trained with (cfg.apc.residual; the released subject
+    configs all set residual: false) - serving a residual-trained encoder
+    without the adds silently produces wrong features."""
+    return apply_apc(params, mels, residual=residual)
 
 
 def init_apc_pretrain(key: jax.Array, cfg: APCConfig) -> Dict[str, Any]:
@@ -94,12 +98,15 @@ def load_pretrained_encoder(ckpt_dir: str, cfg: APCConfig, step=None) -> Dict[st
     return ckpt_mod.rebuild(tmpl, raw["params"])["encoder"]
 
 
-def encode_fast(params: Dict[str, Any], mels: jnp.ndarray) -> jnp.ndarray:
+def encode_fast(params: Dict[str, Any], mels: jnp.ndarray,
+                residual: bool = False) -> jnp.ndarray:
     """[T, mel] -> [T, H]: the batch-1 inference path, routed through the
     VMEM-resident Pallas recurrence kernel on TPU (~2x the XLA scan;
-    ops/recurrent_pallas.py) with the scan fallback elsewhere."""
+    ops/recurrent_pallas.py) with the scan fallback elsewhere.  A
+    residual-trained encoder (cfg.apc.residual) takes the scan path -
+    the Pallas kernel has no residual form."""
     from livespeechportraits_tpu.ops import recurrent_pallas as rp
 
-    if rp.supports_pallas():
+    if rp.supports_pallas() and not residual:
         return rp.apc_encode_pallas(params, mels)
-    return encode(params, mels[None])[0]
+    return encode(params, mels[None], residual=residual)[0]

@@ -37,8 +37,11 @@ def inject_gaussian_noise(data: np.ndarray, noise_factor: float,
 def add_gauss_noise(wav: np.ndarray, noise_std: float = 0.03,
                     max_wav_value: float = 1.0,
                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """audio_funcs.py:373-382: the effective std is U(0,1) * noise_std
+    (the reference scales the drawn std by another uniform draw)."""
     rng = rng or np.random.default_rng()
-    out = wav + rng.normal(0, noise_std, wav.shape)
+    real_std = float(rng.uniform()) * noise_std
+    out = wav + rng.normal(0, real_std, wav.shape)
     return np.clip(out, -max_wav_value, max_wav_value).astype(np.float32)
 
 
@@ -151,15 +154,24 @@ def add_background_noise(wav: np.ndarray, noises: Sequence[np.ndarray],
     audio_funcs.py:385-418."""
     rng = rng or np.random.default_rng()
     noise = noises[int(rng.integers(len(noises)))]
-    if len(noise) < len(wav):
-        reps = -(-len(wav) // len(noise))
-        noise = np.tile(noise, reps)
-    start = int(rng.integers(0, len(noise) - len(wav) + 1))
-    noise = noise[start : start + len(wav)]
+    if len(noise) > len(wav):
+        start = int(rng.integers(0, len(noise) - len(wav)))
+        noise = noise[start : start + len(wav)]
+    else:
+        # reference semantics (audio_funcs.py:405-411): a SHORT noise clip
+        # is zero-padded and inserted ONCE at a random offset - the rest
+        # of the utterance stays clean - not tiled over the whole wav
+        n = np.zeros(len(wav), noise.dtype)
+        start = int(rng.integers(0, len(wav) - len(noise) + 1))
+        n[start : start + len(noise)] = noise
+        noise = n
     snr_db = float(rng.uniform(min_snr, max_snr))
     e_w, e_n = _voice_energy(wav), _voice_energy(noise)
     if e_n <= 0:
         return wav.astype(np.float32)
+    # sqrt is an intended fix of a reference bug: audio_funcs.py:394-399
+    # applies the ENERGY ratio as an AMPLITUDE scale, which lands the mix
+    # at twice the requested SNR in dB (README divergences)
     scale = math.sqrt(e_w / (e_n * 10.0 ** (snr_db / 10.0)))
     return np.clip(wav + scale * noise, -1.0, 1.0).astype(np.float32)
 
@@ -170,5 +182,8 @@ def noise_augment(wav: np.ndarray, wav_noises: Optional[Sequence[np.ndarray]] = 
     """Randomly pick gaussian vs background noise (audio_funcs.py:420-426)."""
     rng = rng or np.random.default_rng()
     if wav_noises is None or rng.uniform() < gaussian_prob:
-        return add_gauss_noise(wav, noise_std=float(rng.uniform(0.005, 0.03)), rng=rng)
+        # reference draw: std ~ U(0.001, 0.02), further scaled by U(0,1)
+        # inside add_gauss_noise (audio_funcs.py:421-422)
+        return add_gauss_noise(wav, noise_std=float(rng.uniform(0.001, 0.02)),
+                               rng=rng)
     return add_background_noise(wav, wav_noises, rng=rng)

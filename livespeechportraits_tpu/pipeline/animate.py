@@ -151,7 +151,8 @@ def compute_motion(
     # ---- 1. deep audio features (demo.py:183-192)
     t0 = time.perf_counter()
     mel80 = mel.compute_mel_sequence(audio)  # [2T, 80]
-    feats = apc_model.encode_fast(models.apc, mel80)  # [2T, 512]
+    feats = apc_model.encode_fast(models.apc, mel80,
+                                  residual=cfg.apc.residual)  # [2T, 512]
     if profile:
         _sync(feats)
     sm["mel_apc"] = (time.perf_counter() - t0) * 1e3
@@ -243,7 +244,8 @@ def _jit_motion(cfg, apc_p, a2f_p, a2h_p, aa, audio, key, n_mel, brow_idx,
     dynamic bucket-padding length (see compute_motion).
     """
     mel80 = mel._mel_sequence_impl(audio, n_mel)
-    feats = apc_model.encode(apc_p, mel80[None])[0]
+    feats = apc_model.apply_apc(apc_p, mel80[None],
+                                residual=cfg.apc.residual)[0]
     if cfg.apc.use_LLE:
         feats = manifold.lle_project(
             feats, aa["apc_feature_base"], K=cfg.apc.Knear,

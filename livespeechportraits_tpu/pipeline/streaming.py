@@ -83,14 +83,16 @@ def _mel_chunk(audio_span: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     return (log_mel - LOG_MEL_MIN) / -LOG_MEL_MIN
 
 
-@functools.partial(jax.jit, static_argnames=("use_lle", "knear", "percent"))
+@functools.partial(jax.jit,
+                   static_argnames=("use_lle", "knear", "percent", "residual"))
 def _audio_feats_chunk(layers, audio_span, offsets, h_list, valid, lle_base,
-                       use_lle, knear, percent):
+                       use_lle, knear, percent, residual=False):
     """Fused per-chunk feature program: mel framing + APC GRU stack + LLE
     projection in ONE device dispatch (they were three; per-dispatch
     latency dominates small chunk programs on a tunnelled backend)."""
     mels = _mel_chunk(audio_span, offsets)
-    feats, new_h = _gru_chunk_masked(layers, mels, h_list, valid)
+    feats, new_h = _gru_chunk_masked(layers, mels, h_list, valid,
+                                     residual=residual)
     if use_lle:
         feats = manifold.lle_project(feats, lle_base, K=knear, percent=percent)
     return feats, new_h
@@ -129,15 +131,18 @@ class _RowBuffer:
             self.base += k
 
 
-@jax.jit
-def _gru_chunk_masked(layers, mels, h_list, valid):
+@functools.partial(jax.jit, static_argnames=("residual",))
+def _gru_chunk_masked(layers, mels, h_list, valid, residual=False):
     """APC GRU stack over a (padded) chunk with masked carry updates.
 
     mels: [C, 80]; valid: [C] bool.  Returns ([C, H], new h_list).
+    residual adds the layer input between hidden-sized layers, exactly
+    apc.apply_apc's gating (never after the top layer).
     """
     x = mels[None]  # [1, C, 80]
+    n = len(layers)
     new_h = []
-    for layer, h0 in zip(layers, h_list):
+    for li, (layer, h0) in enumerate(zip(layers, h_list)):
         x_proj = x[0] @ layer["w_ih"] + layer["b_ih"]  # [C, 3H]
 
         def step(h, xs):
@@ -153,6 +158,8 @@ def _gru_chunk_masked(layers, mels, h_list, valid):
 
         hT, ys = jax.lax.scan(step, h0, (x_proj, valid))
         new_h.append(hT)
+        if li + 1 < n and residual and x.shape[-1] == ys.shape[-1]:
+            ys = ys + x[0]
         x = ys[None]
     return x[0], new_h
 
@@ -420,7 +427,8 @@ class StreamingAnimator:
                 jnp.asarray(offsets_p), self._apc_h, jnp.asarray(valid),
                 self.assets.device("apc_feature_base"),
                 bool(self.cfg.apc.use_LLE), int(self.cfg.apc.Knear),
-                float(self.cfg.apc.LLE_percent))
+                float(self.cfg.apc.LLE_percent),
+                residual=bool(self.cfg.apc.residual))
             self._feats.append(np.asarray(feats[:n]))
             self._mel_done = b
             # retire consumed audio: nothing before the next mel frame's

@@ -30,12 +30,16 @@ from livespeechportraits_tpu.pipeline import video as video_mod
 from livespeechportraits_tpu.train import datasets
 
 
-def compute_apc_features(audio: np.ndarray, apc_params) -> np.ndarray:
-    """wav [-1,1] -> [2T, hidden] APC features (one mel jit + one GRU jit)."""
+def compute_apc_features(audio: np.ndarray, apc_params,
+                         residual: bool = False) -> np.ndarray:
+    """wav [-1,1] -> [2T, hidden] APC features (one mel jit + one GRU jit).
+
+    `residual` must match the encoder's training flag (cfg.apc.residual)."""
     import jax.numpy as jnp
 
     mel80 = mel_ops.compute_mel_sequence(audio)
-    return np.asarray(apc_model.encode(apc_params, jnp.asarray(mel80)[None])[0])
+    return np.asarray(apc_model.encode(apc_params, jnp.asarray(mel80)[None],
+                                       residual=residual)[0])
 
 
 def _params_digest(params) -> str:
@@ -76,7 +80,8 @@ def prepare_clip(
         feats = np.load(cache).astype(np.float32)
     else:
         audio = video_mod.load_wav(wav_path)
-        feats = compute_apc_features(audio, apc_params)
+        feats = compute_apc_features(audio, apc_params,
+                                     residual=apc_cfg.residual)
         np.save(cache, feats)
 
     fit = np.load(os.path.join(clip_root, "3d_fit_data.npz"))

@@ -35,7 +35,11 @@ def step_schedule(base_lr: float, step_size: int, gamma: float) -> Callable[[int
 
 def cosine_schedule(base_lr: float, n_epochs: int, eta_min: float = 0.0) -> Callable[[int], float]:
     def lr(epoch: int) -> float:
-        return eta_min + (base_lr - eta_min) * 0.5 * (1 + np.cos(np.pi * epoch / n_epochs))
+        # clamp past T_max: the trainers run n_epochs + n_epochs_decay
+        # epochs, and an unclamped cosine would climb BACK toward base_lr
+        # after annealing to eta_min
+        e = min(epoch, n_epochs)
+        return eta_min + (base_lr - eta_min) * 0.5 * (1 + np.cos(np.pi * e / n_epochs))
 
     return lr
 
@@ -66,6 +70,11 @@ class ReduceOnPlateau:
             if self.num_bad > self.patience:
                 self.lr *= self.factor
                 self.num_bad = 0
+        return self.lr
+
+    def __call__(self, epoch: int) -> float:
+        """Schedule-callable interface: the current lr (epoch-independent;
+        plateau state advances via update(metric) after validation)."""
         return self.lr
 
 

@@ -184,7 +184,10 @@ def _train_single_state(loop: TrainLoopConfig, sampler, val_sampler,
                   for b in val_sampler.batches(loop.batch_size, rng_val,
                                                shuffle=False, drop_last=False)]
             if vs:  # a val set smaller than the batch must not log NaN
-                vis.plot_current_errors({val_key: float(np.mean(vs))}, it)
+                val_mean = float(np.mean(vs))
+                vis.plot_current_errors({val_key: val_mean}, it)
+                if hasattr(schedule, "update"):  # plateau: feed the metric
+                    schedule.update(val_mean)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
     vis.close()
@@ -424,6 +427,10 @@ def train_feature2face(
                 vm = {k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]}
                 vis.plot_current_errors(vm, it)
                 vis.print_current_errors(epoch, it, vm)
+                if "val_L1" in vm:  # plateau policies track the G val loss
+                    for s in (schedule_g, schedule_d):
+                        if hasattr(s, "update"):
+                            s.update(vm["val_L1"])
         if panel_batch is not None and (epoch + 1) % loop.display_epoch_freq == 0:
             fake, _ = validate_fn(g_state.params, panel_batch)
             fm = np.asarray(panel_batch["feature_map"][0, ..., 0])

@@ -39,6 +39,10 @@ class Stopwatch:
             self.ms[name] = self.ms.get(name, 0.0) + (time.perf_counter() - t0) * 1e3
 
     def report(self) -> str:
+        if not self.ms:
+            return "no stages recorded"
         total = sum(self.ms.values())
-        lines = [f"{k}: {v:.1f} ms ({100*v/total:.0f}%)" for k, v in self.ms.items()]
+        denom = total or 1.0  # sub-resolution stages must not divide by 0
+        lines = [f"{k}: {v:.1f} ms ({100*v/denom:.0f}%)"
+                 for k, v in self.ms.items()]
         return " | ".join(lines) + f" | total {total:.1f} ms"

@@ -290,3 +290,34 @@ def test_discriminator_matches_reference_torch():
             np.testing.assert_allclose(
                 np.asarray(ours[si][li]),
                 out_ref[si][li].numpy().transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_apc_residual_serving_paths_match_training_forward():
+    """A residual-trained APC must be SERVED with the residual adds:
+    encode/encode_fast and the streaming chunk stack all reproduce
+    apply_apc(residual=True)."""
+    from livespeechportraits_tpu.config import APCConfig
+    from livespeechportraits_tpu.models import apc as apc_mod
+    from livespeechportraits_tpu.pipeline.streaming import _gru_chunk_masked
+
+    cfg = APCConfig(mel_dim=8, hidden_size=16, num_layers=3, residual=True)
+    params = apc_mod.init_apc(jax.random.PRNGKey(0), cfg)
+    mels = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 8))
+
+    ref = apc_mod.apply_apc(params, mels, residual=True)
+    np.testing.assert_allclose(
+        np.asarray(apc_mod.encode(params, mels, residual=True)),
+        np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(apc_mod.encode_fast(params, mels[0], residual=True)),
+        np.asarray(ref[0]), atol=1e-6)
+    # and it actually differs from the non-residual forward
+    assert np.abs(np.asarray(ref)
+                  - np.asarray(apc_mod.apply_apc(params, mels))).max() > 1e-3
+
+    h0 = [jnp.zeros((16,)) for _ in range(3)]
+    valid = jnp.ones((12,), bool)
+    feats, _ = _gru_chunk_masked(params["layers"], mels[0], h0, valid,
+                                 residual=True)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref[0]),
+                               atol=1e-5)

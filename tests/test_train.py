@@ -521,3 +521,19 @@ def test_prefetch_releases_worker_on_abandonment():
     while threading.active_count() > n_before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= n_before + 1  # worker exited
+
+
+def test_plateau_policy_usable_and_cosine_clamps():
+    """make_schedule('plateau') is callable like every other policy (it
+    used to crash the trainers at epoch 0) and anneals on update();
+    cosine clamps at n_epochs instead of climbing back toward base_lr
+    during the decay epochs the trainers always run."""
+    pl = schedulers.make_schedule("plateau", 1e-3)
+    assert pl(0) == pytest.approx(1e-3)
+    for _ in range(7):
+        pl.update(1.0)
+    assert pl(3) < 1e-3
+
+    cos = schedulers.make_schedule("cosine", 1e-3, n_epochs=10)
+    assert cos(10) == pytest.approx(0.0, abs=1e-12)
+    assert cos(19) == pytest.approx(0.0, abs=1e-12)  # no rise-back
