@@ -176,35 +176,33 @@ def main() -> None:
             pass
 
     # Achieved FLOP/s vs peak (MFU) for the dominant program (the 512^2
-    # U-Net render step): per-frame FLOPs from XLA's cost model on the
-    # exact compiled executable, peak from the device kind.
-    flops_per_frame = mfu = peak_tflops = None
-    try:
-        import jax.numpy as jnp
+    # U-Net render step).  Per-frame FLOPs are counted ANALYTICALLY from
+    # the float params tree (utils/flops.py - pinned to XLA's own
+    # cost_analysis for all generator sizes in tests/test_flops.py), so
+    # the number never depends on the live backend: round 2 shipped
+    # mfu:null because the axon backend's cost model threw inside a bare
+    # except.  With the int8 renderer this is an EFFECTIVE
+    # bf16-equivalent MFU (same math, cheaper arithmetic), which can
+    # legitimately exceed the bf16-peak fraction.
+    from livespeechportraits_tpu.utils.flops import (
+        generator_flops, render_peak_flops,
+    )
 
-        inp = jnp.zeros((render_batch, 512, 512, 13), jnp.float32)
-        # FLOPs of the float program (the work one frame represents);
-        # with the int8 renderer this yields an EFFECTIVE bf16-equivalent
-        # MFU, which can legitimately exceed the bf16-peak fraction
-        lowered = animate_mod._jit_render.lower(
-            float_models.feature2face["net"], "large", inp, jnp.bfloat16)
-        try:  # pre-compile estimate first: this float RGB variant is not
-            cost = lowered.cost_analysis()  # otherwise compiled (~4 min
-        except Exception:                   # cold through the relay)
-            cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        if cost and cost.get("flops"):
-            flops_per_frame = float(cost["flops"]) / render_batch
-            kind = jax.devices()[0].device_kind.lower()
-            peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
-                     "v5p": 459e12, "v6e": 918e12, "trillium": 918e12}
-            peak = next((v for k, v in peaks.items() if k in kind), None)
-            if peak:
-                peak_tflops = peak / 1e12
-                mfu = fps * flops_per_frame / peak
-    except Exception:
-        pass
+    flops_per_frame = mfu = bf16_mfu = peak_tflops = None
+    mfu_error = None
+    flops_per_frame = generator_flops(
+        float_models.feature2face["net"], float_models.feature2face["size"],
+        512)
+    peak, _kind = render_peak_flops(jax.devices()[0].device_kind)
+    if peak is None:
+        mfu_error = (f"unknown device kind "
+                     f"{jax.devices()[0].device_kind!r}: no bf16 peak table "
+                     f"entry, MFU not computable")
+    else:
+        peak_tflops = peak / 1e12
+        mfu = fps * flops_per_frame / peak
+        if bf16_fps:
+            bf16_mfu = bf16_fps * flops_per_frame / peak
 
     out = {
         "metric": "end-to-end fps (audio->512^2 uint8 frame), May-size pipeline, 1 chip",
@@ -215,6 +213,8 @@ def main() -> None:
                             round(fps_all[-1], 2)],
         "fps_runs": [round(f, 2) for f in fps_all],
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "bf16_mfu": round(bf16_mfu, 4) if bf16_mfu is not None else None,
+        "mfu_error": mfu_error,
         "render_gflops_per_frame": round(flops_per_frame / 1e9, 2) if flops_per_frame else None,
         "peak_tflops_bf16": peak_tflops,
         "incl_relay_fetch_fps": [round(r["incl_relay_fps"], 2) for r in runs],
