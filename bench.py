@@ -59,6 +59,10 @@ def main() -> None:
     s2d_input = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
     # concat-free split up convs (no materialised skip concats)
     split_skip = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+    # host-link frame format: 'jpeg' (default; on-device zonal-DCT code,
+    # ~11x fewer egress bytes than RGB, fidelity-gated >30 dB in
+    # tests/test_compress.py), 'yuv420', or 'rgb'
+    transfer = sys.argv[9] if len(sys.argv) > 9 else "jpeg"
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -101,16 +105,17 @@ def main() -> None:
     # measured run reuses the executables.  profile=True inserts a device
     # barrier per stage so the attribution is truthful (block_until_ready
     # is unreliable over the tunnelled backend).
-    # Frames cross the host link as planar YUV 4:2:0 (what any video
-    # encoder ingests; PSNR > 30 dB vs exact RGB - see
-    # tests/test_pipeline.py::test_yuv420_transfer_visually_identical).
+    # Frames cross the host link in the `transfer` format (default: the
+    # on-device zonal-DCT 'jpeg' code, ~11x fewer bytes than RGB; PSNR >
+    # 30 dB vs exact RGB - tests/test_compress.py; 'yuv420' and exact
+    # 'rgb' remain selectable via argv[9]).
     warm = animate_mod.animate(cfg, person_assets, person_models, audio,
                                seed=0, render_batch=render_batch, profile=True,
-                               transfer="yuv420", split_cand=split_cand)
+                               transfer=transfer, split_cand=split_cand)
     del warm
     warm = animate_mod.animate(cfg, person_assets, person_models, audio,
                                seed=0, render_batch=render_batch, fused=True,
-                               transfer="yuv420", split_cand=split_cand)
+                               transfer=transfer, split_cand=split_cand)
     del warm
 
     def _device_fetch_split(result):
@@ -133,7 +138,7 @@ def main() -> None:
     for i in range(5):
         result = animate_mod.animate(cfg, person_assets, person_models, audio,
                                      seed=0, render_batch=render_batch,
-                                     fused=True, transfer="yuv420",
+                                     fused=True, transfer=transfer,
                                      split_cand=split_cand)
         device_ms, fetch_ms = _device_fetch_split(result)
         runs.append({
@@ -150,7 +155,7 @@ def main() -> None:
     # unreliable over the tunnelled backend)
     prof = animate_mod.animate(cfg, person_assets, person_models, audio,
                                seed=0, render_batch=render_batch,
-                               profile=True, transfer="yuv420",
+                               profile=True, transfer=transfer,
                                split_cand=split_cand)
     prof_device_ms, _ = _device_fetch_split(prof)
     result = prof
@@ -162,7 +167,7 @@ def main() -> None:
         for _ in range(2):
             r = animate_mod.animate(cfg, person_assets, float_models, audio,
                                     seed=0, render_batch=render_batch,
-                                    fused=True, transfer="yuv420",
+                                    fused=True, transfer=transfer,
                                     split_cand=split_cand)
         dev_ms, _ = _device_fetch_split(r)
         bf16_fps = r.nframe / (dev_ms / 1e3)
@@ -232,9 +237,25 @@ def main() -> None:
         "split_skip_upconvs": split_skip,
         "bf16_fps": round(bf16_fps, 2) if bf16_fps else None,
         "psnr_int8_vs_bf16_db": psnr_vs_bf16,
-        "transfer": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
+        "transfer": {
+            "jpeg": "jpeg (on-device zonal DCT, PSNR>30dB vs RGB)",
+            "yuv420": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
+        }.get(transfer, transfer),
+        "egress_bytes_per_frame": _egress_bytes_per_frame(transfer),
     }
     print(json.dumps(out))
+
+
+def _egress_bytes_per_frame(transfer: str, h: int = 512, w: int = 512) -> int:
+    if transfer == "jpeg":
+        from livespeechportraits_tpu.pipeline.compress import (
+            encoded_bytes_per_frame,
+        )
+
+        return encoded_bytes_per_frame(h, w)
+    if transfer == "yuv420":
+        return h * w * 3 // 2
+    return h * w * 3
 
 
 if __name__ == "__main__":

@@ -35,8 +35,10 @@ def main() -> None:
                         help="override render resolution (synthetic only; 0 = config)")
     parser.add_argument("--duration", type=float, default=0.0,
                         help="optional cap on driving-audio seconds (0 = full)")
-    parser.add_argument("--transfer", default="rgb", choices=["rgb", "yuv420"],
-                        help="frame host-transfer format (yuv420 halves link bytes)")
+    parser.add_argument("--transfer", default="rgb",
+                        choices=["rgb", "yuv420", "jpeg"],
+                        help="frame host-transfer format (yuv420 halves link "
+                             "bytes; jpeg = on-device DCT code, ~11x fewer)")
     parser.add_argument("--streaming", action="store_true",
                         help="drive the live streaming pipeline (audio pushed "
                              "in 100ms chunks, frames emitted incrementally)")

@@ -198,16 +198,72 @@ def vgg_style_loss(
     weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0),
     style_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0),
     style: bool = True,
+    microbatch: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Perceptual (per-slice L1) + style (gram MSE x 3e7) losses
-    (losses.py:164-220); y is treated as the detached target."""
-    fx = vgg19_features(vgg_params, x)
-    fy = vgg19_features(vgg_params, jax.lax.stop_gradient(y))
-    p_loss = 0.0
-    s_loss = 0.0
-    for i in range(len(fx)):
-        p_loss = p_loss + weights[i] * jnp.mean(jnp.abs(fx[i] - fy[i]))
+    (losses.py:164-220); y is treated as the detached target.
+
+    microbatch=m bounds the VGG tower's activation memory to one m-sample
+    chunk: the batch is scanned in chunks with the tower REMATERIALISED
+    per chunk (jax.checkpoint inside lax.scan).  The tower carries no
+    trainable params, so its activations are pure backward-pass ballast -
+    this is what lets the 512^2 production recipe (B=16/chip) afford a
+    perceptual loss at all (B=16 with the unchunked tower OOMs at 17.97G
+    vs 15.75G HBM).  Losses are numerically equivalent to the unchunked
+    form: per-slice L1 means and batch-mean grams both decompose into
+    equal-chunk means (tests/test_losses_vgg.py)."""
+    if microbatch is None or x.shape[0] <= microbatch:
+        fx = vgg19_features(vgg_params, x)
+        fy = vgg19_features(vgg_params, jax.lax.stop_gradient(y))
+        p_loss = 0.0
+        s_loss = 0.0
+        for i in range(len(fx)):
+            p_loss = p_loss + weights[i] * jnp.mean(jnp.abs(fx[i] - fy[i]))
+            if style:
+                gx, gy = gram_matrix(fx[i]), gram_matrix(fy[i])
+                s_loss = s_loss + style_weights[i] * jnp.mean((gx - gy) ** 2) * 3e7
+        return p_loss, s_loss
+
+    b = x.shape[0]
+    if b % microbatch:
+        raise ValueError(
+            f"vgg microbatch {microbatch} must divide the batch ({b})")
+    n = b // microbatch
+    xs = x.reshape(n, microbatch, *x.shape[1:])
+    ys = jax.lax.stop_gradient(y).reshape(n, microbatch, *y.shape[1:])
+    conv_specs = [s for s in vgg_params["convs"] if not isinstance(s, str)]
+    tap_ch = [int(conv_specs[e - 1]["w"].shape[-1]) for e in _SLICE_ENDS]
+    nslices = len(_SLICE_ENDS)
+
+    @jax.checkpoint
+    def chunk_stats(xc, yc):
+        fx = vgg19_features(vgg_params, xc)
+        fy = vgg19_features(vgg_params, yc)
+        p = jnp.zeros(())
+        gx = []
+        gy = []
+        for i in range(nslices):
+            p = p + weights[i] * jnp.mean(jnp.abs(fx[i] - fy[i]))
+            if style:
+                gx.append(gram_matrix(fx[i]))
+                gy.append(gram_matrix(fy[i]))
+        return p, gx, gy
+
+    def body(carry, xy):
+        p_sum, gx_sum, gy_sum = carry
+        p, gx, gy = chunk_stats(*xy)
         if style:
-            gx, gy = gram_matrix(fx[i]), gram_matrix(fy[i])
-            s_loss = s_loss + style_weights[i] * jnp.mean((gx - gy) ** 2) * 3e7
+            gx_sum = [a + g for a, g in zip(gx_sum, gx)]
+            gy_sum = [a + g for a, g in zip(gy_sum, gy)]
+        return (p_sum + p, gx_sum, gy_sum), None
+
+    zeros = [jnp.zeros((c, c), x.dtype) for c in tap_ch]
+    (p_sum, gx_sum, gy_sum), _ = jax.lax.scan(
+        body, (jnp.zeros((), x.dtype), zeros, [z for z in zeros]), (xs, ys))
+    p_loss = p_sum / n
+    s_loss = jnp.zeros(())
+    if style:
+        for i in range(nslices):
+            s_loss = s_loss + style_weights[i] * jnp.mean(
+                (gx_sum[i] / n - gy_sum[i] / n) ** 2) * 3e7
     return p_loss, s_loss

@@ -348,7 +348,9 @@ def render_frames(
 
     transfer='yuv420' fetches frames as planar 4:2:0 (half the host-link
     bytes; chroma subsampled like any video encoding) and reassembles RGB
-    on the host; 'rgb' (default) is exact.
+    on the host; 'jpeg' encodes a zonal-DCT code on device (~5.5x fewer
+    bytes than yuv420, >30 dB fidelity-gated - pipeline/compress.py);
+    'rgb' (default) is exact.
 
     With a `jax.sharding.Mesh`, each render batch is sharded over the
     mesh's `data` axis (frames are independent, so rendering scales
@@ -407,45 +409,59 @@ def render_frames(
     else:
         rasterize_fn = rasterize.rasterize_feature_maps
 
-    pending: List[Any] = []
-    maps_pending: List[Any] = []
-    for start in range(0, pad_to, render_batch):
-        lm_b = lm[start : start + render_batch]
-        sh_b = sh[start : start + render_batch]
-        if mesh is not None:
-            lm_b = jax.device_put(lm_b, batch_sh)
-            sh_b = jax.device_put(sh_b, batch_sh)
-        edge = rasterize_fn(lm_b, sh_b, (H, W))  # [B, H, W]
-        if split_cand:
-            fn = _jit_render_yuv420_edge if transfer == "yuv420" else _jit_render_edge
-            fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
-                         edge[..., None], cand_down, compute_dtype)
-        else:
-            inp = jnp.concatenate(
-                [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
-                axis=-1,
-            )
-            if transfer == "yuv420":
-                fake_u8 = _jit_render_yuv420(
-                    models.feature2face["net"], models.feature2face["size"], inp,
-                    compute_dtype)
-            else:
-                fake_u8 = _jit_render(
-                    models.feature2face["net"], models.feature2face["size"], inp,
-                    compute_dtype)
-        pending.append(fake_u8)
-        if keep_feature_maps:
-            maps_pending.append(edge)
-    if pending:
-        _sync(pending[-1])  # true barrier: device stream is in-order
-    sm["render_device"] = (time.perf_counter() - t0) * 1e3
+    from concurrent.futures import ThreadPoolExecutor
+
+    from livespeechportraits_tpu.pipeline import compress
 
     if transfer == "yuv420":
-        frames_u8 = np.concatenate([
-            yuv420_to_rgb(*yuv420_unpack(np.asarray(p), H, W)) for p in pending
-        ])[:nframe]
+        decode = lambda p: compress.i420_to_rgb(np.asarray(p), H, W)  # noqa: E731
+    elif transfer == "jpeg":
+        decode = lambda p: compress.decode_to_rgb(np.asarray(p), H, W)  # noqa: E731
     else:
-        frames_u8 = np.concatenate([np.asarray(p) for p in pending])[:nframe]
+        decode = np.asarray
+
+    # Fetch+decode runs on ONE worker thread, submitted per batch as it
+    # is dispatched: the host transfer and (for compressed transfers) the
+    # fused CPU decode of batch i overlap the device compute of batches
+    # i+1.., so the host adds only its excess over the device pipeline to
+    # the wall clock.  (A deeper fetch/decode thread split measured
+    # SLOWER on this one-core host - thread churn eats the overlap.)  The
+    # main thread keeps the device barrier for truthful render_device
+    # attribution.
+    pending: List[Any] = []
+    maps_pending: List[Any] = []
+    with ThreadPoolExecutor(1) as ex_dec:
+        futs = []
+        for start in range(0, pad_to, render_batch):
+            lm_b = lm[start : start + render_batch]
+            sh_b = sh[start : start + render_batch]
+            if mesh is not None:
+                lm_b = jax.device_put(lm_b, batch_sh)
+                sh_b = jax.device_put(sh_b, batch_sh)
+            edge = rasterize_fn(lm_b, sh_b, (H, W))  # [B, H, W]
+            if split_cand:
+                fn = {"yuv420": _jit_render_yuv420_edge,
+                      "jpeg": _jit_render_jpeg_edge}.get(transfer, _jit_render_edge)
+                fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
+                             edge[..., None], cand_down, compute_dtype)
+            else:
+                inp = jnp.concatenate(
+                    [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
+                    axis=-1,
+                )
+                fn = {"yuv420": _jit_render_yuv420,
+                      "jpeg": _jit_render_jpeg}.get(transfer, _jit_render)
+                fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
+                             inp, compute_dtype)
+            pending.append(fake_u8)
+            futs.append(ex_dec.submit(decode, fake_u8))
+            if keep_feature_maps:
+                maps_pending.append(edge)
+        if pending:
+            _sync(pending[-1])  # true barrier: device stream is in-order
+        sm["render_device"] = (time.perf_counter() - t0) * 1e3
+
+        frames_u8 = np.concatenate([f.result() for f in futs])[:nframe]
     sm["render"] = (time.perf_counter() - t0) * 1e3 - sm["render_device"]
 
     fmap_u8 = None
@@ -526,6 +542,34 @@ def _jit_render(net, size, inp, compute_dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_jpeg(net, size, inp, compute_dtype):
+    """Render and emit the JPEG-class zonal-DCT code on device (~5.5x
+    fewer egress bytes than yuv420 at the default quality; fidelity-gated
+    >30 dB like the yuv420 path - see pipeline/compress.py).  The DCT is
+    two batched 8x8 matmuls, so the whole encoder fuses into the render
+    program's epilogue."""
+    from livespeechportraits_tpu.pipeline import compress
+
+    img, _ = f2f_model.apply_generator(
+        {"net": net, "size": size}, inp, training=False, compute_dtype=compute_dtype
+    )
+    y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
+    return compress.encode_yuv420(y, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_jpeg_edge(net, size, edge, cand_down, compute_dtype):
+    from livespeechportraits_tpu.pipeline import compress
+
+    img = f2f_model.apply_generator_edge(
+        {"net": net, "size": size}, edge, cand_down, training=False,
+        compute_dtype=compute_dtype,
+    )
+    y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
+    return compress.encode_yuv420(y, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
 def _jit_render_yuv420(net, size, inp, compute_dtype):
     """Render and emit planar YUV 4:2:0 (BT.601 full range) on device.
 
@@ -601,7 +645,8 @@ def animate(
 
     mesh: optional jax.sharding.Mesh; rendering (the dominant stage) is
     then frame-sharded over its `data` axis.
-    transfer: 'rgb' (exact) or 'yuv420' (half the host-link bytes).
+    transfer: 'rgb' (exact), 'yuv420' (half the host-link bytes) or
+    'jpeg' (on-device zonal-DCT code, ~11x fewer bytes than RGB).
     valid_frames: the unpadded audio's video-frame count when `audio` is
     bucket-padded (serve.py); outputs are bit-identical to the unpadded
     run, trimmed to valid_frames - frame_future, and only the needed

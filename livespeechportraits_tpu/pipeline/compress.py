@@ -1,0 +1,334 @@
+"""Device-side JPEG-class frame compression for thin-link egress.
+
+The render pipeline's frames leave the chip as raw planar YUV 4:2:0
+(~0.4 MB each at 512^2).  Over any thin host link - and this harness's
+~8 MB/s loopback relay is exactly that - raw egress caps the deliverable
+frame rate far below the device pipeline's.  The reference itself never
+ships raw frames: its demo writes per-frame jpgs
+(/root/reference/demo.py:35-45, util/visualizer.py:120-143).
+
+This module is the TPU-native equivalent: a JPEG-class transform coder
+that runs INSIDE the render program, so what crosses the link is already
+compressed:
+
+- 8x8 block DCT as two batched 8x8 matmuls (einsum -> MXU);
+- JPEG Annex-K quantization tables, libjpeg quality scaling;
+- zigzag ZONAL selection: keep the first K_y (luma) / K_c (chroma)
+  zigzag coefficients per block.  Fixed K keeps every shape static
+  (XLA-friendly: no data-dependent output sizes), at the cost of a
+  bounded-quality rather than bounded-rate code - the right trade for a
+  fidelity-gated serving path (the PSNR gate below picks K).
+- DC always quantizes with step 8: the centered DC range [-1024, 1016]
+  then maps EXACTLY onto int8 - no DC clipping ever.
+
+Host-side decode (numpy) dequantizes, inverse-DCTs and hands planes to
+the existing yuv420_to_rgb.  bytes/frame at (K_y=16, K_c=6) is
+0.273 B/px vs yuv420's 1.5 - a 5.5x egress cut; quality stays gated by
+the same >30 dB PSNR bar the yuv420 path ships under
+(tests/test_compress.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# JPEG Annex-K base quantization tables (the spec's example tables, used
+# by libjpeg and virtually every encoder).
+_Q_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], np.float32)
+
+_Q_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], np.float32)
+
+
+def zigzag_order() -> np.ndarray:
+    """The 64 (row, col) flat indices in JPEG zigzag order."""
+    out = []
+    for s in range(15):
+        js = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - j, j) for j in js]
+        if s % 2 == 1:
+            diag = diag[::-1]
+        out.extend(diag)
+    return np.array([i * 8 + j for i, j in out], np.int64)
+
+
+_ZIGZAG = zigzag_order()
+
+# Serving defaults: quality/K chosen so the jpeg transfer clears the same
+# >30 dB PSNR gate as yuv420 with ~4x margin on rendered frames
+# (tests/test_compress.py) at ~0.27 B/px.  Override per call; these are
+# read at call time so a process can retune before tracing.
+DEFAULT_QUALITY = 75
+DEFAULT_K_Y = 16
+DEFAULT_K_C = 6
+
+
+def _defaults(quality, k_y, k_c):
+    return (DEFAULT_QUALITY if quality is None else quality,
+            DEFAULT_K_Y if k_y is None else k_y,
+            DEFAULT_K_C if k_c is None else k_c)
+
+
+def dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix D: coefficients = D @ x @ D.T."""
+    k = np.arange(8)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    d[0] *= 1.0 / np.sqrt(2.0)
+    return (d * 0.5).astype(np.float32)
+
+
+def quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling of a base table; DC step floored at 8 so
+    the centered DC range [-1024, 1016] always fits int8 exactly."""
+    q = int(quality)
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    t = np.floor((base * scale + 50.0) / 100.0).clip(1, 255)
+    t.flat[0] = max(t.flat[0], 8.0)
+    return t.astype(np.float32)
+
+
+def _plane_sizes(h: int, w: int, k_y: int, k_c: int) -> Tuple[int, int]:
+    """(luma bytes, per-chroma-plane bytes) for one frame."""
+    return (h // 8) * (w // 8) * k_y, (h // 16) * (w // 16) * k_c
+
+
+def encoded_bytes_per_frame(h: int, w: int, k_y: int = None,
+                            k_c: int = None) -> int:
+    _, k_y, k_c = _defaults(None, k_y, k_c)
+    ny, nc = _plane_sizes(h, w, k_y, k_c)
+    return ny + 2 * nc
+
+
+@functools.lru_cache(maxsize=None)
+def _bd_dct(n: int, transpose: bool) -> np.ndarray:
+    """Block-diagonal 8-point DCT operator of size n (kron(I, D) or
+    kron(I, D^T)): applying it along a full image axis performs every
+    block's 1-D DCT as ONE [n, n] matmul.  On TPU this keeps the DCT on
+    the MXU with image-sized operands instead of (8, 8) inner dims, which
+    serialize on the VPU's 2-D vector layout (the same lesson as the
+    rasterizer kernel - see CLAUDE.md kernel-tuning notes)."""
+    d = dct_matrix()
+    return np.kron(np.eye(n // 8, dtype=np.float32), d.T if transpose else d)
+
+
+def _encode_plane(plane: jnp.ndarray, qtab: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[B, H, W] float (0..255) -> [B, nblocks*k] int8 zonal DCT code.
+
+    qtab is the [8, 8] quantization table.  The 2-D blockwise DCT is two
+    image-sized block-diagonal matmuls (see _bd_dct); quantization
+    happens in-plane (elementwise, fuses), so the only small-dim work is
+    the final int8 gather.
+    """
+    B, H, W = plane.shape
+    m_col = jnp.asarray(_bd_dct(H, False), plane.dtype)   # rows <- D
+    m_row = jnp.asarray(_bd_dct(W, True), plane.dtype)    # cols <- D^T
+    x = plane - 128.0
+    coef = jnp.einsum("kh,bhw->bkw", m_col, x) @ m_row    # [B, H, W]
+    qplane = jnp.tile(qtab.astype(plane.dtype), (H // 8, W // 8))
+    q = jnp.round(coef / qplane).clip(-128, 127).astype(jnp.int8)
+    blocks = q.reshape(B, H // 8, 8, W // 8, 8).transpose(0, 1, 3, 2, 4)
+    blocks = blocks.reshape(B, -1, 64)
+    zz = jnp.take(blocks, jnp.asarray(_ZIGZAG[:k]), axis=-1)  # [B, nb, k]
+    return zz.reshape(B, -1)
+
+
+def _decode_plane(code: np.ndarray, qvec: np.ndarray, h: int, w: int,
+                  k: int) -> np.ndarray:
+    """[B, nblocks*k] int8 -> [B, h, w] float plane (0..255, unclipped)."""
+    B = code.shape[0]
+    nb = (h // 8) * (w // 8)
+    zz = code.reshape(B, nb, k).astype(np.float32) * qvec
+    c = np.zeros((B, nb, 64), np.float32)
+    c[:, :, _ZIGZAG[:k]] = zz
+    c = c.reshape(B, h // 8, w // 8, 8, 8)
+    d = dct_matrix()
+    x = np.einsum("ai,bhwac,cj->bhiwj", d, c, d, optimize=True) + 128.0
+    return x.reshape(B, h, w)
+
+
+def _zig_qvec(base: np.ndarray, quality: int, k: int) -> np.ndarray:
+    return quant_table(base, quality).reshape(-1)[_ZIGZAG[:k]]
+
+
+def encode_yuv420(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                  quality: int = None, k_y: int = None,
+                  k_c: int = None) -> jnp.ndarray:
+    """Float YUV planes (Y [B,H,W], U/V [B,H/2,W/2], 0..255) -> one packed
+    [B, bytes_per_frame] int8 buffer (single host fetch per batch)."""
+    quality, k_y, k_c = _defaults(quality, k_y, k_c)
+    qy = jnp.asarray(quant_table(_Q_LUMA, quality), y.dtype)
+    qc = jnp.asarray(quant_table(_Q_CHROMA, quality), y.dtype)
+    return jnp.concatenate([
+        _encode_plane(y, qy, k_y),
+        _encode_plane(u, qc, k_c),
+        _encode_plane(v, qc, k_c),
+    ], axis=1)
+
+
+def decode_to_yuv(packed: np.ndarray, h: int, w: int, quality: int = None,
+                  k_y: int = None, k_c: int = None):
+    """Host-side inverse of encode_yuv420 -> (Y [B,h,w], U, V [B,h/2,w/2])
+    uint8 planes, ready for animate.yuv420_to_rgb."""
+    quality, k_y, k_c = _defaults(quality, k_y, k_c)
+    ny, nc = _plane_sizes(h, w, k_y, k_c)
+    qy = _zig_qvec(_Q_LUMA, quality, k_y)
+    qc = _zig_qvec(_Q_CHROMA, quality, k_c)
+    yb = _decode_plane(packed[:, :ny], qy, h, w, k_y)
+    ub = _decode_plane(packed[:, ny:ny + nc], qc, h // 2, w // 2, k_c)
+    vb = _decode_plane(packed[:, ny + nc:], qc, h // 2, w // 2, k_c)
+    u8 = lambda p: np.clip(p + 0.5, 0, 255).astype(np.uint8)  # noqa: E731
+    return u8(yb), u8(ub), u8(vb)
+
+
+def rgb_to_yuv_planes(img: jnp.ndarray):
+    """[B, H, W, 3] in [-1, 1] -> float (Y [B,H,W], U/V [B,H/2,W/2]),
+    BT.601 full range, 0..255 (the same colorspace as the yuv420 path)."""
+    rgb = (img + 1.0) * 127.5
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def down2(c):
+        B, H, W = c.shape
+        return c.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+
+    return y, down2(u), down2(v)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "k_y", "k_c"))
+def _encode_rgb_frames_jit(img, quality, k_y, k_c):
+    y, u, v = rgb_to_yuv_planes(img)
+    return encode_yuv420(y, u, v, quality=quality, k_y=k_y, k_c=k_c)
+
+
+def encode_rgb_frames(img: jnp.ndarray, quality: int = None, k_y: int = None,
+                      k_c: int = None) -> jnp.ndarray:
+    """[B, H, W, 3] float in [-1, 1] -> packed int8 code (device)."""
+    quality, k_y, k_c = _defaults(quality, k_y, k_c)
+    return _encode_rgb_frames_jit(img, quality, k_y, k_c)
+
+
+@functools.lru_cache(maxsize=8)
+def _cpu_decoder(h: int, w: int, quality: int, k_y: int, k_c: int):
+    """jit-compiled (CPU backend) packed-code -> I420 uint8 decoder.
+
+    The naive numpy decode costs ~7 ms/frame at 512^2 on this host's one
+    core; a single fused CPU-XLA program (dequantize + zigzag scatter +
+    block-diagonal iDCT matmuls + clip/pack) runs the same math several
+    times faster and keeps the hot path identical under the axon and cpu
+    backends (both expose a CpuDevice)."""
+    ny, nc = _plane_sizes(h, w, k_y, k_c)
+    qy = _zig_qvec(_Q_LUMA, quality, k_y)
+    qc = _zig_qvec(_Q_CHROMA, quality, k_c)
+
+    def _basis(k: int, qvec: np.ndarray) -> np.ndarray:
+        """[k, 64] dequantize+iDCT operator: only the k kept zigzag
+        coefficients are nonzero, so the whole per-block inverse collapses
+        to ONE (nblocks, k) @ (k, 64) GEMM - x[i,j] = sum_k c_k q_k
+        D[u_k,i] D[v_k,j]."""
+        d = dct_matrix()
+        rows = []
+        for kk in range(k):
+            u, v = divmod(int(_ZIGZAG[kk]), 8)
+            rows.append(np.outer(d[u], d[v]).reshape(64) * qvec[kk])
+        return np.stack(rows).astype(np.float32)
+
+    by = jnp.asarray(_basis(k_y, qy))
+    bc = jnp.asarray(_basis(k_c, qc))
+
+    def plane(code, basis, hh, ww, k):
+        B = code.shape[0]
+        nb = (hh // 8) * (ww // 8)
+        x = code.reshape(B, nb, k).astype(jnp.float32) @ basis + 128.0
+        x = x.reshape(B, hh // 8, ww // 8, 8, 8).transpose(0, 1, 3, 2, 4)
+        x = x.reshape(B, hh, ww)
+        return jnp.clip(x + 0.5, 0, 255).astype(jnp.uint8)
+
+    def dec(packed):
+        y = plane(packed[:, :ny], by, h, w, k_y)
+        u = plane(packed[:, ny:ny + nc], bc, h // 2, w // 2, k_c)
+        v = plane(packed[:, ny + nc:], bc, h // 2, w // 2, k_c)
+        return _yuv_to_rgb_traced(y, u, v)
+
+    return _cpu_run(jax.jit(dec))
+
+
+def _yuv_to_rgb_traced(y, u, v):
+    """Traced mirror of animate.yuv420_to_rgb (uint8 planes in, uint8 RGB
+    out; nearest chroma upsample, BT.601 full range) - same op order, so
+    outputs are pinned equal to the numpy reference in tests."""
+    yf = y.astype(jnp.float32)
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32) - 128.0, 2, axis=1),
+                    2, axis=2)
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32) - 128.0, 2, axis=1),
+                    2, axis=2)
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1) + 0.5, 0, 255
+                    ).astype(jnp.uint8)
+
+
+def _cpu_run(jitted):
+    """Wrap a jitted host-side program so it always places on the CPU
+    backend (present under both the cpu and axon platforms)."""
+    cpu = jax.devices("cpu")[0]
+
+    def run(arr: np.ndarray) -> np.ndarray:
+        with jax.default_device(cpu):
+            return np.asarray(jitted(jnp.asarray(arr)))
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _cpu_i420_to_rgb(h: int, w: int):
+    def conv(i420):
+        B = i420.shape[0]
+        q = (h // 2) * (w // 2)
+        y = i420[:, :h * w].reshape(B, h, w)
+        u = i420[:, h * w:h * w + q].reshape(B, h // 2, w // 2)
+        v = i420[:, h * w + q:].reshape(B, h // 2, w // 2)
+        return _yuv_to_rgb_traced(y, u, v)
+
+    return _cpu_run(jax.jit(conv))
+
+
+def i420_to_rgb(i420: np.ndarray, h: int, w: int) -> np.ndarray:
+    """[B, h*w*3/2] planar I420 uint8 -> [B, h, w, 3] uint8 RGB as one
+    fused CPU-XLA program (~60x the numpy path on this host's one core;
+    bitwise-pinned to animate.yuv420_to_rgb in tests/test_compress.py)."""
+    return _cpu_i420_to_rgb(h, w)(np.asarray(i420))
+
+
+def decode_to_rgb(packed: np.ndarray, h: int, w: int, quality: int = None,
+                  k_y: int = None, k_c: int = None) -> np.ndarray:
+    """Host: packed code -> [B, h, w, 3] uint8 RGB in one fused CPU-XLA
+    program (dequantize + zigzag scatter + iDCT + color conversion); the
+    numpy reference path is decode_to_yuv + animate.yuv420_to_rgb, pinned
+    equal in tests/test_compress.py."""
+    quality, k_y, k_c = _defaults(quality, k_y, k_c)
+    return _cpu_decoder(h, w, quality, k_y, k_c)(np.asarray(packed))

@@ -51,6 +51,7 @@ from livespeechportraits_tpu.ops.mel import (
 from livespeechportraits_tpu.ops.smoothing import _gaussian_kernel
 from livespeechportraits_tpu.pipeline.animate import (
     _jit_render,
+    _jit_render_jpeg,
     _jit_render_yuv420,
     yuv420_to_rgb,
     yuv420_unpack,
@@ -727,7 +728,8 @@ def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
         inp = jnp.concatenate(
             [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
             axis=-1)
-        fn = _jit_render_yuv420 if transfer == "yuv420" else _jit_render
+        fn = {"yuv420": _jit_render_yuv420,
+              "jpeg": _jit_render_jpeg}.get(transfer, _jit_render)
         outs.append(fn(models.feature2face["net"],
                        models.feature2face["size"], inp, compute_dtype))
     return outs, n
@@ -737,8 +739,16 @@ def _fetch_render(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
     if not outs:
         return np.zeros((0, H, W, 3), np.uint8)
     if transfer == "yuv420":
+        from livespeechportraits_tpu.pipeline import compress
+
         return np.concatenate([
-            yuv420_to_rgb(*yuv420_unpack(np.asarray(o), H, W)) for o in outs
+            compress.i420_to_rgb(np.asarray(o), H, W) for o in outs
+        ])[:n]
+    if transfer == "jpeg":
+        from livespeechportraits_tpu.pipeline import compress
+
+        return np.concatenate([
+            compress.decode_to_rgb(np.asarray(o), H, W) for o in outs
         ])[:n]
     return np.concatenate([np.asarray(o) for o in outs])[:n]
 

@@ -223,6 +223,7 @@ def make_f2f_steps(
     remat: bool = False,
     donate: bool = True,
     qat_d: bool = False,
+    vgg_microbatch: Optional[int] = None,
 ):
     """Returns (d_step, g_step).
 
@@ -296,7 +297,9 @@ def make_f2f_steps(
         loss_gan = losses.gan_loss(pred_fake, True, gan_mode, for_discriminator=False)
         loss_l1 = jnp.mean(jnp.abs(fake - batch["tgt_image"])) * cfg.lambda_L1
         if vgg_params is not None:
-            p_loss, s_loss = losses.vgg_style_loss(vgg_params, fake, batch["tgt_image"])
+            p_loss, s_loss = losses.vgg_style_loss(
+                vgg_params, fake, batch["tgt_image"],
+                microbatch=vgg_microbatch)
             loss_vgg = p_loss * cfg.lambda_feat
             loss_style = s_loss * cfg.lambda_feat
         else:
@@ -339,6 +342,7 @@ def make_f2f_fused_step(
     remat: bool = False,
     donate: bool = True,
     qat_d: bool = False,
+    vgg_microbatch: Optional[int] = None,
 ):
     """One-program GAN step updating D and G together, sharing every
     forward tower via explicit `jax.vjp` pullbacks.
@@ -427,7 +431,8 @@ def make_f2f_fused_step(
                                        for_discriminator=False)
             loss_l1 = jnp.mean(jnp.abs(fake_ - tgt)) * cfg.lambda_L1
             if vgg_params is not None:
-                p_loss, s_loss = losses.vgg_style_loss(vgg_params, fake_, tgt)
+                p_loss, s_loss = losses.vgg_style_loss(
+                    vgg_params, fake_, tgt, microbatch=vgg_microbatch)
                 loss_vgg = p_loss * cfg.lambda_feat
                 loss_style = s_loss * cfg.lambda_feat
             else:

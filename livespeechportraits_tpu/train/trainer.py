@@ -60,6 +60,8 @@ class TrainLoopConfig:
     qat_int8: bool = False  # QAT forward on the real int8 MXU kernel (implies qat)
     qat_d: bool = False  # D's interior convs on the int8 kernel (training-FLOPs lever)
     zero1: bool = False  # partition optimizer state over the data axis (ZeRO-1)
+    vgg_microbatch: int = 0  # chunk+remat the VGG loss tower (0 = unchunked);
+    # what lets the B=16 512^2 production recipe afford a perceptual loss
 
 
 def _maybe_zero1(st, mesh, loop: "TrainLoopConfig"):
@@ -314,16 +316,19 @@ def train_feature2face(
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
+    vgg_mb = loop.vgg_microbatch or None
     if loop.fused_step:
         gan_step = steps.make_f2f_fused_step(cfg, tx_g, tx_d, vgg_params,
                                              compute_dtype=compute_dtype,
                                              remat=loop.remat,
-                                             qat_d=loop.qat_d)
+                                             qat_d=loop.qat_d,
+                                             vgg_microbatch=vgg_mb)
     else:
         d_step, g_step = steps.make_f2f_steps(cfg, tx_g, tx_d, vgg_params,
                                               compute_dtype=compute_dtype,
                                               remat=loop.remat,
-                                              qat_d=loop.qat_d)
+                                              qat_d=loop.qat_d,
+                                              vgg_microbatch=vgg_mb)
     validate_fn = steps.f2f_validate(cfg, compute_dtype=compute_dtype)
 
     # Eval-side placement: under a mesh, validation/panel batches are

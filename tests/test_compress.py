@@ -1,0 +1,169 @@
+"""Device-side JPEG-class frame compression (pipeline/compress.py).
+
+The reference ships compressed frames too (per-frame jpgs,
+/root/reference/demo.py:35-45, util/visualizer.py:120-143); ours encodes
+on DEVICE so the compressed code - not raw pixels - crosses the host
+link.  Gates: exact spec plumbing (zigzag, DCT orthonormality, DC-range
+fit), round-trip quality on real generator output (>30 dB, the same bar
+the yuv420 path ships under), and e2e equivalence through animate() and
+the streaming pipeline.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from livespeechportraits_tpu.config import (
+    Audio2HeadposeConfig,
+    Feature2FaceConfig,
+    PersonConfig,
+    WaveNetConfig,
+)
+from livespeechportraits_tpu.pipeline import animate as animate_mod
+from livespeechportraits_tpu.pipeline import assets as assets_mod
+from livespeechportraits_tpu.pipeline import compress as C
+from livespeechportraits_tpu.utils.metrics import psnr
+
+
+@pytest.fixture(scope="module")
+def person():
+    wn = WaveNetConfig(residual_layers=3, residual_blocks=2,
+                       dilation_channels=16, residual_channels=16,
+                       skip_channels=32, cond_channels=512)
+    cfg = PersonConfig(
+        name="Synthetic",
+        audio2headpose=Audio2HeadposeConfig(wavenet=wn, frame_future=5),
+        feature2face=Feature2FaceConfig(size="normal", ngf=8,
+                                        n_downsample=6, load_size=64),
+    )
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=64, bank_size=64)
+    return cfg, a, m
+
+
+def _sine_audio(seconds=1.0, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+
+def test_zigzag_is_the_jpeg_order():
+    zz = C.zigzag_order()
+    assert sorted(zz.tolist()) == list(range(64))
+    # ISO/IEC 10918-1 Figure 5 prefix
+    assert zz[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+def test_dct_matrix_orthonormal():
+    d = C.dct_matrix()
+    np.testing.assert_allclose(d @ d.T, np.eye(8), atol=1e-6)
+
+
+def test_quant_table_dc_never_clips_int8():
+    # centered DC range is [-1024, 1016]; with the step-8 floor it maps
+    # exactly onto int8 at ANY quality
+    for q in (10, 50, 75, 90, 100):
+        t = C.quant_table(C._Q_LUMA, q)
+        assert t.flat[0] >= 8.0
+        assert (t >= 1).all() and (t <= 255).all()
+    # boundary blocks: all-255 and all-0
+    for fill in (255.0, 0.0):
+        plane = jnp.full((1, 16, 16), fill, jnp.float32)
+        code = np.asarray(C.encode_yuv420(
+            plane, jnp.full((1, 8, 8), fill), jnp.full((1, 8, 8), fill),
+            quality=100))
+        y, _, _ = C.decode_to_yuv(code, 16, 16, quality=100)
+        assert abs(float(y.mean()) - fill) < 1.0
+
+
+def test_bytes_per_frame_accounting():
+    b = C.encoded_bytes_per_frame(512, 512, k_y=16, k_c=6)
+    assert b == 64 * 64 * 16 + 2 * 32 * 32 * 6
+    # vs raw RGB (786 KB) and yuv420 (384 KB)
+    assert 512 * 512 * 3 / b > 10.0
+    assert 512 * 512 * 1.5 / b > 5.0
+
+
+def test_roundtrip_quality_on_smooth_content():
+    rng = np.random.default_rng(0)
+    xx, yy = np.meshgrid(np.linspace(-1, 1, 128), np.linspace(-1, 1, 128))
+    img = np.stack([np.stack([
+        np.clip(np.tanh(3 * np.exp(-((xx - dx) ** 2 + (yy - dy) ** 2) / 0.1)
+                        - 0.5 + 0.2 * np.sin(8 * xx * c)), -1, 1)
+        for c, (dx, dy) in enumerate(rng.uniform(-0.5, 0.5, (3, 2)))], -1)
+        for _ in range(2)]).astype(np.float32)
+    code = np.asarray(C.encode_rgb_frames(jnp.asarray(img)))
+    assert code.dtype == np.int8
+    rgb = C.decode_to_rgb(code, 128, 128)
+    exact = np.clip((img + 1) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+    assert psnr(rgb, exact) > 38.0
+
+
+def test_fast_decode_matches_numpy_reference():
+    """The fused CPU-XLA decoder (basis-GEMM iDCT + traced color
+    conversion) must reproduce the numpy reference path (decode_to_yuv +
+    animate.yuv420_to_rgb) to within 2 LSB (float-association flips at
+    clip/round boundaries)."""
+    from livespeechportraits_tpu.pipeline.animate import yuv420_to_rgb
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+    code = np.asarray(C.encode_rgb_frames(jnp.asarray(img)))
+    fast = C.decode_to_rgb(code, 64, 64)
+    ref = yuv420_to_rgb(*C.decode_to_yuv(code, 64, 64))
+    assert np.abs(fast.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_i420_fast_conversion_bitwise():
+    """i420_to_rgb (the fused converter the yuv420 transfer path now
+    uses) is bitwise-equal to the numpy yuv420_to_rgb reference."""
+    from livespeechportraits_tpu.pipeline.animate import (
+        yuv420_to_rgb, yuv420_unpack,
+    )
+
+    rng = np.random.default_rng(3)
+    packed = rng.integers(0, 256, (4, 64 * 64 * 3 // 2), dtype=np.uint8)
+    fast = C.i420_to_rgb(packed, 64, 64)
+    ref = yuv420_to_rgb(*yuv420_unpack(packed, 64, 64))
+    np.testing.assert_array_equal(fast, ref)
+
+
+def test_jpeg_transfer_end_to_end_fidelity(person):
+    """animate(transfer='jpeg') must look like the exact RGB render: the
+    >30 dB gate the yuv420 serving path already ships under."""
+    cfg, a, m = person
+    audio = _sine_audio(0.6)
+    rgb = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4)
+    jpg = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4,
+                              transfer="jpeg")
+    assert jpg.frames.shape == rgb.frames.shape
+    assert jpg.frames.dtype == np.uint8
+    assert psnr(jpg.frames, rgb.frames) > 30.0
+
+
+def test_jpeg_transfer_streaming_matches_offline(person):
+    """The streaming pipeline with transfer='jpeg' produces the same
+    frames as the offline animate(transfer='jpeg') (identical programs,
+    chunked dispatch)."""
+    from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
+
+    cfg, a, m = person
+    audio = _sine_audio(1.0)
+    offline = animate_mod.animate(cfg, a, m, audio, seed=3, render_batch=4,
+                                  transfer="jpeg")
+    s = StreamingAnimator(cfg, a, m, seed=3, chunk=16, render_batch=4,
+                          transfer="jpeg")
+    frames = []
+    for i in range(0, len(audio), 4000):
+        out = s.push_audio(audio[i:i + 4000])
+        if len(out):
+            frames.append(out)
+    tail = s.flush()
+    if len(tail):
+        frames.append(tail)
+    got = np.concatenate(frames)
+    assert got.shape[0] >= offline.nframe - 8
+    # streaming smooths with a bounded window, so compare loosely: same
+    # subject, same motion, high correlation frame-by-frame
+    n = min(got.shape[0], offline.nframe)
+    assert psnr(got[:n], offline.frames[:n]) > 20.0

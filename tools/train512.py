@@ -40,6 +40,10 @@ def main() -> None:
     p.add_argument("--vgg", default="random", choices=["none", "random"],
                    help="perceptual/style loss backbone (no pretrained "
                         "weights exist in this zero-egress image; see README)")
+    p.add_argument("--vgg_microbatch", type=int, default=0,
+                   help="chunk+rematerialise the VGG tower in m-sample "
+                        "chunks (0 = unchunked): the memory lever that "
+                        "lets B=16 afford a perceptual loss")
     p.add_argument("--frames", type=int, default=160)
     p.add_argument("--name", default="train512")
     p.add_argument("--checkpoints_dir", default="/tmp/train512_r2")
@@ -105,6 +109,7 @@ def main() -> None:
         save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
         validate_epoch=max(1, n_epochs // 4), fused_step=args.fused_step,
         qat=args.qat, qat_int8=args.qat_int8, qat_d=args.qat_d,
+        vgg_microbatch=args.vgg_microbatch,
     )
     vgg_params = losses.init_vgg19(0) if args.vgg == "random" else None
 
@@ -179,7 +184,8 @@ def main() -> None:
     if args.fused_step:
         gan_step = steps_mod.make_f2f_fused_step(
             cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-            remat=_remat_arg(args), qat_d=args.qat_d)
+            remat=_remat_arg(args), qat_d=args.qat_d,
+            vgg_microbatch=args.vgg_microbatch or None)
         g_state, d_state, gm = gan_step(g_state, d_state, batch)
         _ = float(gm["loss_G"])
         t0 = time.time()
@@ -191,7 +197,8 @@ def main() -> None:
     else:
         d_step, g_step = steps_mod.make_f2f_steps(
             cfg, tx_g, tx_d, vgg_params, compute_dtype=jnp.bfloat16,
-            remat=_remat_arg(args), qat_d=args.qat_d)
+            remat=_remat_arg(args), qat_d=args.qat_d,
+            vgg_microbatch=args.vgg_microbatch or None)
         # warm (hits the trainer's executables via the jit cache); the
         # scalar fetch is the true barrier on the tunnelled backend
         d_state, _ = d_step(d_state, g_state.params, batch)
@@ -225,6 +232,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "512^2 GAN train step (D+G), 1 chip",
         "size": args.size, "batch": args.batch, "vgg": args.vgg,
+        "vgg_microbatch": args.vgg_microbatch,
         "remat": _remat_arg(args), "fused_step": args.fused_step,
         "qat": args.qat, "qat_int8": args.qat_int8, "qat_d": args.qat_d,
         "fidelity": fidelity,

@@ -194,6 +194,17 @@ def main() -> None:
                         "run the int8 MXU kernel in training (STE "
                         "gradients; pure training-FLOPs lever - D never "
                         "deploys, checkpoints stay float)")
+    p.add_argument("--vgg", default="none",
+                   help="feature2face perceptual/style loss backbone: "
+                        "'none', 'random' (random-init VGG19 - measured "
+                        "strictly worse than none on the synthetic task, "
+                        "docs/TRAIN_512.md), or a path to a torchvision "
+                        "VGG19 .npz (losses.load_vgg19_npz)")
+    p.add_argument("--vgg_microbatch", type=int, default=0,
+                   help="chunk+rematerialise the VGG loss tower in "
+                        "m-sample chunks (0 = unchunked): bounds its "
+                        "activation memory so B>=16 512^2 training can "
+                        "afford a perceptual loss")
     p.add_argument("--device_rasterize", action="store_true",
                    help="feature2face: rasterise edge maps on DEVICE per "
                         "batch instead of per-frame host cv2 (same kernel "
@@ -221,6 +232,7 @@ def main() -> None:
         data_parallel=args.data_parallel,
         fused_step=args.fused_step, remat=args.remat, qat=args.qat,
         qat_int8=args.qat_int8, qat_d=args.qat_d, zero1=args.zero1,
+        vgg_microbatch=args.vgg_microbatch,
     )
 
     if args.task == "apc":
@@ -262,7 +274,14 @@ def main() -> None:
             sampler = _load_real_face_data(args)
             for s in getattr(sampler, "samplers", [sampler]):
                 s.device_rasterize = args.device_rasterize
-        trainer.train_feature2face(cfg, loop, sampler)
+        if args.vgg == "none":
+            vgg_params = None
+        else:
+            from livespeechportraits_tpu.models import losses
+
+            vgg_params = (losses.init_vgg19(0) if args.vgg == "random"
+                          else losses.load_vgg19_npz(args.vgg))
+        trainer.train_feature2face(cfg, loop, sampler, vgg_params=vgg_params)
     print("training done")
 
 
