@@ -1,0 +1,331 @@
+#!/usr/bin/env python
+"""From-scratch subject, end to end: raw clips -> APC pretrain -> person
+pack -> train A2F / A2H / F2F -> serve -> score on HELD-OUT audio.
+
+Every stage exists and is unit-tested individually; this chains them as
+one documented run on a synthetic raw-clip subject
+(pipeline/synth_subject.py - every mapping deterministic and learnable)
+and scores the served output against held-out ground truth, which no
+per-piece test can do.  The reference cannot run this loop at all: it
+ships no trainer, no pack builder and no pretraining code
+(/root/reference/demo.py:80-171 only reads released artifacts).
+
+    python tools/e2e_subject.py                  # full run (TPU, ~30-60 min)
+    python tools/e2e_subject.py --phases eval    # re-score an existing run
+
+Artifacts under --root (default /tmp/e2e_subject/E2ESynth): the raw
+clips, the built pack, per-stage checkpoints + scalars.csv, the served
+video, and e2e_metrics.json.  Results table: docs/E2E_SUBJECT.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_CLIP = "clip1"
+VAL_CLIP = "val1"
+
+
+def phase_clips(root: str, train_frames: int, val_frames: int,
+                seed: int = 0) -> None:
+    """Author the raw train + held-out clips (reference clip layout)."""
+    from livespeechportraits_tpu.pipeline import synth_subject
+
+    for name, n, s in ((TRAIN_CLIP, train_frames, seed),
+                       (VAL_CLIP, val_frames, seed + 100)):
+        gt = synth_subject.write_raw_clip(root, name, n, seed=s)
+        np.savez(os.path.join(root, f"gt_{name}.npz"), **gt)
+        print(f"clip {name}: {n} frames written")
+
+
+def phase_apc(root: str, epochs: int = 30, window: int = 480,
+              stride: int = 60, batch: int = 8, lr: float = 1e-3) -> str:
+    """Self-supervised APC pretraining on the TRAIN clip's mels only."""
+    from livespeechportraits_tpu.config import APCConfig
+    from livespeechportraits_tpu.ops import mel as mel_ops
+    from livespeechportraits_tpu.pipeline import video as video_mod
+    from livespeechportraits_tpu.train import datasets, trainer
+
+    wav = video_mod.load_wav(os.path.join(root, TRAIN_CLIP, TRAIN_CLIP + ".wav"))
+    mels = np.asarray(mel_ops.compute_mel_sequence(wav))
+    n_val = len(mels) // 8
+    sampler = datasets.MelWindowSampler([mels[n_val:]], window=window,
+                                        stride=stride)
+    val = datasets.MelWindowSampler([mels[:n_val]], window=window)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
+        checkpoints_dir=os.path.join(root, "ckpt"), name="apc",
+        save_epoch_freq=max(1, epochs // 2), validate_epoch=max(1, epochs // 4))
+    trainer.train_apc(APCConfig(), loop, sampler, val)
+    return os.path.join(root, "ckpt", "apc", "ckpt")
+
+
+def phase_pack(root: str, apc_ckpt: str, unet_size: str = "small",
+               bank_stride: int = 2) -> None:
+    """Build the servable pack from the TRAIN clip + the pretrained APC."""
+    from livespeechportraits_tpu.config import APCConfig
+    from livespeechportraits_tpu.models import apc as apc_model
+    from livespeechportraits_tpu.pipeline import build_person
+
+    enc = apc_model.load_pretrained_encoder(apc_ckpt, APCConfig())
+    manifest = build_person.build_person_pack(
+        root, [TRAIN_CLIP], apc_params=enc, bank_stride=bank_stride)
+    # the default YAML says size 'large'; this subject trains the
+    # requested U-Net size - keep the pack config truthful
+    name = os.path.basename(os.path.normpath(root))
+    build_person.write_person_yaml(os.path.join(root, name + ".yaml"),
+                                   root, use_lle=True, size=unet_size)
+    print(json.dumps(manifest, indent=1))
+
+
+def _clips(root: str, apc_ckpt: str, names):
+    from livespeechportraits_tpu.config import APCConfig
+    from livespeechportraits_tpu.models import apc as apc_model
+    from livespeechportraits_tpu.train import data_io
+
+    cfg = APCConfig()
+    enc = apc_model.load_pretrained_encoder(apc_ckpt, cfg)
+    return [data_io.prepare_clip(os.path.join(root, n), n, enc, cfg)
+            for n in names]
+
+
+def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
+              lr: float = 1e-4) -> str:
+    from livespeechportraits_tpu.config import Audio2FeatureConfig
+    from livespeechportraits_tpu.train import datasets, trainer
+
+    tr, va = _clips(root, apc_ckpt, [TRAIN_CLIP, VAL_CLIP])
+    mk = lambda c: datasets.AudioVisualSampler(  # noqa: E731
+        [c], task="audio2feature", seq_len=240, frame_jump_stride=4)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
+        checkpoints_dir=os.path.join(root, "ckpt"), name="a2f",
+        save_epoch_freq=max(1, epochs // 2), validate_epoch=1)
+    trainer.train_audio2feature(Audio2FeatureConfig(), loop, mk(tr), mk(va))
+    return os.path.join(root, "ckpt", "a2f", "ckpt")
+
+
+def phase_a2h(root: str, apc_ckpt: str, epochs: int = 10, batch: int = 16,
+              lr: float = 1e-4) -> str:
+    from livespeechportraits_tpu.config import Audio2HeadposeConfig
+    from livespeechportraits_tpu.train import datasets, trainer
+
+    cfg = Audio2HeadposeConfig()
+    tr, va = _clips(root, apc_ckpt, [TRAIN_CLIP, VAL_CLIP])
+    mk = lambda c: datasets.AudioVisualSampler(  # noqa: E731
+        [c], task="audio2headpose", target_length=240,
+        receptive_field=cfg.wavenet.receptive_field,
+        frame_future=cfg.frame_future)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
+        checkpoints_dir=os.path.join(root, "ckpt"), name="a2h",
+        save_epoch_freq=max(1, epochs // 2), validate_epoch=1)
+    trainer.train_audio2headpose(cfg, loop, mk(tr), mk(va))
+    return os.path.join(root, "ckpt", "a2h", "ckpt")
+
+
+def phase_f2f(root: str, unet_size: str = "small", epochs: int = 2,
+              batch: int = 4, lr: float = 2e-4, frame_jump: int = 2,
+              fused: bool = True) -> str:
+    import shutil
+
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+    from livespeechportraits_tpu.train import data_io, trainer
+
+    # the renderer trains against the SAME candidate jpgs serving reads:
+    # copy the pack's candidates/ (built by phase_pack) into each clip dir
+    # (the reference keeps per-clip candidate dirs, face_dataset.py:119-129)
+    for clip in (TRAIN_CLIP, VAL_CLIP):
+        dst = os.path.join(root, clip, "candidates")
+        if not os.path.isdir(dst):
+            shutil.copytree(os.path.join(root, "candidates"), dst)
+
+    cfg = Feature2FaceConfig(size=unet_size, load_size=512, n_downsample=8,
+                             precision="bfloat16")
+    sampler = data_io.load_face_clip(os.path.join(root, TRAIN_CLIP),
+                                     TRAIN_CLIP, frame_jump=frame_jump)
+    sampler.device_rasterize = True  # train-time edges == serve-time edges
+    val = data_io.load_face_clip(os.path.join(root, VAL_CLIP), VAL_CLIP)
+    val.device_rasterize = True
+    loop = trainer.TrainLoopConfig(
+        n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
+        checkpoints_dir=os.path.join(root, "ckpt"), name="f2f", ttur=True,
+        remat=False, fused_step=fused, save_epoch_freq=1, validate_epoch=1,
+        display_epoch_freq=1)
+    trainer.train_feature2face(cfg, loop, sampler, val_sampler=val,
+                               vgg_params=None)
+    return os.path.join(root, "ckpt", "f2f", "ckpt")
+
+
+def _eval_config(root: str, unet_size: str):
+    """The pack's serving config with deterministic-eval knobs: mouth AMP
+    1 (the x2 liveliness amp would double the GT motion), head-pose GMM
+    at sigma 0 (mean decode) with amp 1."""
+    from dataclasses import replace
+
+    from livespeechportraits_tpu import config as config_mod
+    from livespeechportraits_tpu.config import Feature2FaceConfig
+
+    name = os.path.basename(os.path.normpath(root))
+    cfg = config_mod.load_person_config(os.path.join(root, name + ".yaml"),
+                                        name)
+    return replace(
+        cfg,
+        audio2feature=replace(cfg.audio2feature, amp_params=(1.0, 1.0, 1.0)),
+        audio2headpose=replace(cfg.audio2headpose, sample_sigma_scale=0.0,
+                               rot_amp=1.0, trans_amp=1.0),
+        feature2face=Feature2FaceConfig(size=unet_size, load_size=512,
+                                        n_downsample=8,
+                                        precision="bfloat16"),
+    )
+
+
+def _gt_val_frames(root: str, n: int) -> np.ndarray:
+    from livespeechportraits_tpu.train import data_io
+
+    frames = data_io.LazyH5Frames(
+        os.path.join(root, VAL_CLIP, VAL_CLIP + ".h5"), VAL_CLIP,
+        data_io.make_change_paras_normalise(os.path.join(root, VAL_CLIP)))
+    return np.stack([frames[i] for i in range(n)])
+
+
+def _openness(lm: np.ndarray) -> np.ndarray:
+    """Frame-wise mouth opening from [T, 73, 2] px landmarks."""
+    m = lm[:, 46:64, 1]
+    return m.max(axis=1) - m.min(axis=1)
+
+
+def _angdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.abs((a - b + 180.0) % 360.0 - 180.0)
+
+
+def phase_eval(root: str, unet_size: str = "small",
+               render_batch: int = 8, seed: int = 0) -> dict:
+    """Serve the trained subject on HELD-OUT audio and score it."""
+    import jax
+
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from livespeechportraits_tpu.pipeline import video as video_mod
+    from livespeechportraits_tpu.utils.metrics import psnr
+
+    cfg = _eval_config(root, unet_size)
+    assets = assets_mod.load_person(cfg, data_root=root)
+    ck = os.path.join(root, "ckpt")
+
+    def _have(stage: str) -> str:  # partially trained runs still score
+        path = os.path.join(ck, stage, "ckpt")
+        if not os.path.isdir(path):
+            print(f"NOTE: no {stage} checkpoint at {path}; random init")
+            return ""
+        return path
+
+    models = assets_mod.load_trained_person_models(
+        cfg, f2f_ckpt=_have("f2f"), a2f_ckpt=_have("a2f"),
+        a2h_ckpt=_have("a2h"), apc_ckpt=_have("apc"))
+    gt = dict(np.load(os.path.join(root, f"gt_{VAL_CLIP}.npz")))
+    wav = video_mod.load_wav(os.path.join(root, VAL_CLIP, VAL_CLIP + ".wav"))
+
+    out = animate_mod.animate(cfg, assets, models, wav, seed=seed,
+                              render_batch=render_batch)
+    n = out.nframe
+    gt_lm = gt["landmarks2d"][:n]
+    gt_frames = _gt_val_frames(root, n)
+
+    def _scores(res) -> dict:
+        lm = res.landmarks[:n]
+        op_p, op_g = _openness(lm), _openness(gt_lm)
+        corr = float(np.corrcoef(op_p, op_g)[0, 1])
+        rot_err = _angdiff(res.headpose[:n, 0], gt["rot"][:n, 0] + 360.0)
+        return {
+            "landmark_l2_px": round(float(np.linalg.norm(
+                lm - gt_lm, axis=-1).mean()), 3),
+            "mouth_l2_px": round(float(np.linalg.norm(
+                lm[:, 46:64] - gt_lm[:, 46:64], axis=-1).mean()), 3),
+            "mouth_open_corr": round(corr, 4),
+            "rot_x_mae_deg": round(float(rot_err.mean()), 3),
+            "psnr_db": round(float(psnr(res.frames[:n], gt_frames)), 2),
+        }
+
+    metrics = {"trained": _scores(out)}
+
+    # teacher-forced render: GT landmarks through the trained renderer -
+    # isolates F2F generalisation from motion-prediction error
+    import jax.numpy as jnp
+
+    tf_frames, _ = animate_mod.render_frames(
+        cfg, assets, models, jnp.asarray(gt_lm),
+        jnp.asarray(np.repeat(gt["shoulders"][None], n, axis=0)),
+        render_batch=render_batch)
+    metrics["teacher_forced_psnr_db"] = round(
+        float(psnr(tf_frames, gt_frames)), 2)
+
+    # random-init control: same pipeline, untrained weights - the floor
+    # every trained number must clear
+    base = assets_mod.load_trained_person_models(cfg)  # random init
+    rnd = animate_mod.animate(cfg, assets, base, wav, seed=seed,
+                              render_batch=render_batch)
+    metrics["random_init"] = _scores(rnd)
+
+    video_path = os.path.join(root, "e2e_heldout.mp4")
+    try:
+        video_mod.write_video(out.frames, video_path, audio=wav)
+        metrics["video"] = video_path
+    except Exception as e:  # ffmpeg-less hosts still get metrics
+        metrics["video"] = f"unwritten ({e})"
+    metrics["n_frames_scored"] = n
+    with open(os.path.join(root, "e2e_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return metrics
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/e2e_subject/E2ESynth")
+    p.add_argument("--train_frames", type=int, default=3600)
+    p.add_argument("--val_frames", type=int, default=1440)
+    p.add_argument("--unet_size", default="small",
+                   choices=["small", "normal", "large"])
+    p.add_argument("--phases", default="clips,apc,pack,a2f,a2h,f2f,eval")
+    p.add_argument("--apc_epochs", type=int, default=30)
+    p.add_argument("--a2f_epochs", type=int, default=12)
+    p.add_argument("--a2h_epochs", type=int, default=10)
+    p.add_argument("--f2f_epochs", type=int, default=2)
+    p.add_argument("--f2f_batch", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from livespeechportraits_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    os.makedirs(args.root, exist_ok=True)
+    phases = args.phases.split(",")
+    apc_ckpt = os.path.join(args.root, "ckpt", "apc", "ckpt")
+
+    if "clips" in phases:
+        phase_clips(args.root, args.train_frames, args.val_frames, args.seed)
+    if "apc" in phases:
+        phase_apc(args.root, epochs=args.apc_epochs)
+    if "pack" in phases:
+        phase_pack(args.root, apc_ckpt, unet_size=args.unet_size)
+    if "a2f" in phases:
+        phase_a2f(args.root, apc_ckpt, epochs=args.a2f_epochs)
+    if "a2h" in phases:
+        phase_a2h(args.root, apc_ckpt, epochs=args.a2h_epochs)
+    if "f2f" in phases:
+        phase_f2f(args.root, unet_size=args.unet_size,
+                  epochs=args.f2f_epochs, batch=args.f2f_batch)
+    if "eval" in phases:
+        phase_eval(args.root, unet_size=args.unet_size, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -106,8 +106,12 @@ def main() -> None:
         n_epochs=n_epochs, n_epochs_decay=0, lr=args.lr, batch_size=args.batch,
         print_freq=10, checkpoints_dir=args.checkpoints_dir, name=args.name,
         ttur=True, remat=_remat_arg(args),
-        save_epoch_freq=max(1, n_epochs // 2), display_epoch_freq=1,
-        validate_epoch=max(1, n_epochs // 4), fused_step=args.fused_step,
+        # cadences scale with the campaign length: ~16 val points and ~8
+        # image panels regardless of --steps (a 2k-step run used to pay
+        # an epoch-panel render per 10-step epoch)
+        save_epoch_freq=max(1, n_epochs // 2),
+        display_epoch_freq=max(1, n_epochs // 8),
+        validate_epoch=max(1, n_epochs // 16), fused_step=args.fused_step,
         qat=args.qat, qat_int8=args.qat_int8, qat_d=args.qat_d,
         vgg_microbatch=args.vgg_microbatch,
     )

@@ -65,33 +65,20 @@ def synthetic_face_data(n_frames: int, H: int, seed: int = 0,
         np.stack([xs, np.full(9, H * 0.8 + 14)], 1),
     ]).astype(np.float32)
 
-    try:
-        import cv2
-        blur = lambda e: cv2.GaussianBlur(e, (0, 0), 3)  # noqa: E731
-    except ImportError:  # pragma: no cover
-        blur = lambda e: e  # noqa: E731
-    yy, xx = np.mgrid[0:H, 0:H].astype(np.float32)
-    r = np.hypot(xx - H / 2, yy - H / 2) / H
-    vign = np.clip(1.2 - 1.4 * r, 0.0, 1.0) * 70.0 + 30.0
+    from livespeechportraits_tpu.pipeline.synth_subject import stylise_edges
 
-    lms, imgs = [], []
+    lms, edges = [], []
     for i in range(n_frames):
         p = pts + sway[i]
         p[mouth, 1] = -0.05 + (pts[mouth, 1] + 0.05) * (1.0 + 1.5 * mouth_open[i]) + sway[i, 1]
         X = p + np.array([0.0, 0.05, 1.0], np.float32)
         lm = np.stack([f * X[:, 0] / X[:, 2] + H / 2,
                        f * X[:, 1] / X[:, 2] + H / 2], axis=1).astype(np.float32)
-        e = rasterize.rasterize_feature_map_host(lm, shoulders, (H, H)).astype(np.float32)
-        g = blur(e)
-        img = np.stack([
-            np.clip(vign + 0.7 * g, 0, 255),
-            np.clip(0.8 * vign + 0.9 * e, 0, 255),
-            np.clip(0.6 * vign + 0.5 * g, 0, 255),
-        ], axis=-1).astype(np.uint8)
+        e = rasterize.rasterize_feature_map_host(lm, shoulders, (H, H))
         lms.append(lm)
-        imgs.append(img)
+        edges.append(e)
 
-    images = np.stack(imgs)
+    images = stylise_edges(np.stack(edges).astype(np.float32) / 255.0)
     cand = np.repeat(((images[0].astype(np.float32) / 255.0 - 0.5) / 0.5)[None], 4, 0)
     return datasets.FaceFrameSampler(images, np.stack(lms), shoulders, cand,
                                      load_size=H,
