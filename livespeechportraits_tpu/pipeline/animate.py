@@ -414,23 +414,28 @@ def render_frames(
     from livespeechportraits_tpu.pipeline import compress
 
     if transfer == "yuv420":
-        decode = lambda p: compress.i420_to_rgb(np.asarray(p), H, W)  # noqa: E731
+        decode = lambda p: compress.i420_to_rgb(p, H, W)  # noqa: E731
     elif transfer == "jpeg":
-        decode = lambda p: compress.decode_to_rgb(np.asarray(p), H, W)  # noqa: E731
+        decode = lambda p: compress.decode_to_rgb(p, H, W)  # noqa: E731
     else:
-        decode = np.asarray
+        decode = lambda p: p  # noqa: E731
 
-    # Fetch+decode runs on ONE worker thread, submitted per batch as it
-    # is dispatched: the host transfer and (for compressed transfers) the
-    # fused CPU decode of batch i overlap the device compute of batches
-    # i+1.., so the host adds only its excess over the device pipeline to
-    # the wall clock.  (A deeper fetch/decode thread split measured
-    # SLOWER on this one-core host - thread churn eats the overlap.)  The
-    # main thread keeps the device barrier for truthful render_device
+    # Fetch and decode run on TWO single-thread stages: the fetch thread
+    # blocks on the device->host transfer (IO wait - the GIL is released
+    # inside the transport), the decode thread runs the fused CPU-XLA
+    # decode, and both overlap the device compute of later batches.  For
+    # the jpeg transfer the two stages cost about the same (~155 ms
+    # transfer + ~140 ms decode per 16-frame 512^2 batch on this host),
+    # so pipelining them nearly halves the post-barrier fetch wall; for
+    # raw transfers the decode stage is a passthrough and the extra
+    # thread is idle.  (An earlier note here claimed a fetch/decode
+    # split measured slower - that was measured on the raw-RGB path,
+    # where decode is a memcpy and the split is pure churn.)  The main
+    # thread keeps the device barrier for truthful render_device
     # attribution.
     pending: List[Any] = []
     maps_pending: List[Any] = []
-    with ThreadPoolExecutor(1) as ex_dec:
+    with ThreadPoolExecutor(1) as ex_fetch, ThreadPoolExecutor(1) as ex_dec:
         futs = []
         for start in range(0, pad_to, render_batch):
             lm_b = lm[start : start + render_batch]
@@ -454,7 +459,9 @@ def render_frames(
                 fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
                              inp, compute_dtype)
             pending.append(fake_u8)
-            futs.append(ex_dec.submit(decode, fake_u8))
+            fetched = ex_fetch.submit(np.asarray, fake_u8)
+            futs.append(ex_dec.submit(
+                lambda f=fetched: decode(f.result())))
             if keep_feature_maps:
                 maps_pending.append(edge)
         if pending:

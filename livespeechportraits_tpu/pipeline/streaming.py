@@ -27,7 +27,7 @@ is non-causal; streaming uses each frame's own mean overlap.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -384,7 +384,17 @@ class StreamingAnimator:
         self._flushed = False
         self.pipeline_depth = pipeline_depth
         self.transfer = transfer
-        self._render_inflight: List[Tuple[List, int]] = []
+        # Two single-thread stages per live stream: the fetch thread
+        # blocks on device->host transfers (IO wait), the decode thread
+        # runs the fused CPU-XLA decode of compressed transfers; chunk
+        # k's fetch+decode overlap chunk k+1's device compute AND each
+        # other, so the push thread only dispatches and collects
+        # finished futures (same split as animate.render_frames).
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ex_fetch = ThreadPoolExecutor(1)
+        self._ex_dec = ThreadPoolExecutor(1)
+        self._render_inflight: List[Any] = []
 
     # -- latency ----------------------------------------------------------
 
@@ -629,19 +639,24 @@ class StreamingAnimator:
         outs, k = _dispatch_render(self.cfg, self.assets, self.models,
                                    lm2d, sh2d, self.render_batch,
                                    self.transfer)
-        self._render_inflight.append((outs, k))
+        H = W = self.cfg.feature2face.load_size
+        fetched = self._ex_fetch.submit(
+            lambda os=outs: [np.asarray(o) for o in os])
+        self._render_inflight.append(self._ex_dec.submit(
+            lambda f=fetched, k=k: _decode_fetched(
+                f.result(), k, H, W, self.transfer)))
         self._emitted_frames += n
         for buf in (self._mouth_ready, self._rot_ready, self._trans_ready):
             buf.retire(self._emitted_frames)
         return self._drain_inflight(0 if drain else self.pipeline_depth)
 
     def _drain_inflight(self, keep: int) -> np.ndarray:
-        """Fetch all but the newest `keep` dispatched render batches."""
+        """Collect all but the newest `keep` dispatched render chunks
+        (each already fetching+decoding on the worker threads)."""
         H = W = self.cfg.feature2face.load_size
         ready = []
         while len(self._render_inflight) > keep:
-            o, k = self._render_inflight.pop(0)
-            ready.append(_fetch_render(o, k, H, W, self.transfer))
+            ready.append(self._render_inflight.pop(0).result())
         if not ready:
             return np.zeros((0, H, W, 3), np.uint8)
         return np.concatenate(ready)
@@ -735,21 +750,20 @@ def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
     return outs, n
 
 
-def _fetch_render(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
+def _decode_fetched(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
+    """Host-side decode of already-fetched per-batch arrays -> RGB."""
     if not outs:
         return np.zeros((0, H, W, 3), np.uint8)
     if transfer == "yuv420":
         from livespeechportraits_tpu.pipeline import compress
 
         return np.concatenate([
-            compress.i420_to_rgb(np.asarray(o), H, W) for o in outs
-        ])[:n]
+            compress.i420_to_rgb(o, H, W) for o in outs])[:n]
     if transfer == "jpeg":
         from livespeechportraits_tpu.pipeline import compress
 
         return np.concatenate([
-            compress.decode_to_rgb(np.asarray(o), H, W) for o in outs
-        ])[:n]
-    return np.concatenate([np.asarray(o) for o in outs])[:n]
+            compress.decode_to_rgb(o, H, W) for o in outs])[:n]
+    return np.concatenate(outs)[:n]
 
 
