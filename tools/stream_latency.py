@@ -42,6 +42,8 @@ def main() -> None:
     chunks = ([int(c) for c in sys.argv[4].split(",")] if len(sys.argv) > 4
               else [8, 16, 32])
     transfer = sys.argv[5] if len(sys.argv) > 5 else "rgb"
+    depths = ([int(d) for d in sys.argv[6].split(",")] if len(sys.argv) > 6
+              else [0, 1])
     cfg = PersonConfig(
         name="StreamBench",
         feature2face=Feature2FaceConfig(size="large", ngf=64,
@@ -65,7 +67,7 @@ def main() -> None:
             models, calibrate_inputs=calib, calibrate_dtype=jnp.bfloat16)
 
     for chunk in chunks:
-        for depth in (0, 1):
+        for depth in depths:
             # one warm-up stream compiles every chunk program for this size
             for warm in (True, False):
                 st = StreamingAnimator(cfg, assets, models, seed=0, chunk=chunk,
@@ -94,11 +96,20 @@ def main() -> None:
                 "transfer": transfer,
                 "push_ms_p50": round(float(np.percentile(times_ms, 50)), 1),
                 "push_ms_p95": round(float(np.percentile(times_ms, 95)), 1),
+                "push_ms_mean": round(float(times_ms.mean()), 1),
                 "push_ms_max": round(float(times_ms.max()), 1),
                 "flush_ms": round(flush_s * 1e3, 1),
                 "frames": frames,
                 "realtime_budget_ms": round(chunk / 60 * 1e3, 1),
+                # strict: every push (p95) inside its own chunk budget.
                 "realtime": bool(np.percentile(times_ms, 95) < chunk / 60 * 1e3),
+                # sustained: the MEAN push inside the budget - with the
+                # pipeline_depth>=1 buffered chunk absorbing jitter, a
+                # stream sustains real time indefinitely iff the mean
+                # stays under budget (utilisation < 1); p95 excursions
+                # eat into the buffered chunk and are recovered by
+                # under-budget pushes.
+                "realtime_sustained": bool(times_ms.mean() < chunk / 60 * 1e3),
                 "latency_frames_algorithmic": st.latency_frames,
                 "device": str(jax.devices()[0]),
             }))

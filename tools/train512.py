@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("--name", default="train512")
     p.add_argument("--checkpoints_dir", default="/tmp/train512_r2")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--decay", action="store_true",
+                   help="reference-style LR schedule: hold for the first "
+                        "half of the epochs, linear decay to 0 over the "
+                        "second half (feature2face_model.py trains 30+30 "
+                        "epochs the same way); default is constant LR")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--remat_depth", type=int, default=0,
                    help="selective remat: recompute only the outermost N "
@@ -101,17 +106,20 @@ def main() -> None:
     if steps_per_epoch < 1:
         raise SystemExit(f"--batch {args.batch} exceeds --frames "
                          f"{args.frames}: no full batch fits an epoch")
-    n_epochs = max(1, -(-args.steps // steps_per_epoch))
+    n_total = max(1, -(-args.steps // steps_per_epoch))
+    n_decay = n_total // 2 if args.decay else 0
+    n_epochs = n_total - n_decay
     loop = trainer.TrainLoopConfig(
-        n_epochs=n_epochs, n_epochs_decay=0, lr=args.lr, batch_size=args.batch,
+        n_epochs=n_epochs, n_epochs_decay=n_decay, lr=args.lr,
+        batch_size=args.batch,
         print_freq=10, checkpoints_dir=args.checkpoints_dir, name=args.name,
         ttur=True, remat=_remat_arg(args),
         # cadences scale with the campaign length: ~16 val points and ~8
         # image panels regardless of --steps (a 2k-step run used to pay
         # an epoch-panel render per 10-step epoch)
-        save_epoch_freq=max(1, n_epochs // 2),
-        display_epoch_freq=max(1, n_epochs // 8),
-        validate_epoch=max(1, n_epochs // 16), fused_step=args.fused_step,
+        save_epoch_freq=max(1, n_total // 2),
+        display_epoch_freq=max(1, n_total // 8),
+        validate_epoch=max(1, n_total // 16), fused_step=args.fused_step,
         qat=args.qat, qat_int8=args.qat_int8, qat_d=args.qat_d,
         vgg_microbatch=args.vgg_microbatch,
     )
