@@ -110,18 +110,20 @@ class AudioVisualSampler:
         for clip in self.clips:
             usable = clip.n_frames - 60 - self.start_point - (tail_margin - 60)
             need = self._min_frames_needed()
-            # enforce the window actually fits: the LAST sampleable start
-            # (start_point + usable - 1) still reads `need` frames forward;
-            # without this, oversized seq_len/item_length configs slice out
-            # of range mid-epoch on a random shuffled index instead of
-            # failing at construction
-            if usable < 1 or self.start_point + (usable - 1) + need > clip.n_frames:
+            # the reference's FIXED 400-frame tail guard
+            # (audiovisual_dataset.py:172-208) under-guards any window
+            # longer than 400 frames (e.g. the A2H receptive_field 255 +
+            # target 240 = 495): its last starts would slice out of range
+            # mid-epoch.  Intended behaviour: admit only starts whose
+            # whole window fits, and fail at construction only when NO
+            # start does.
+            usable = min(usable,
+                         clip.n_frames - self.start_point - need + 1)
+            if usable < 1:
                 raise ValueError(
                     f"clip too short for the window: {clip.n_frames} frames "
-                    f"(start_point {self.start_point} + tail guard "
-                    f"{clip.n_frames - self.start_point - max(usable, 0)} "
-                    f"leaves {max(usable, 0)} starts, each needing {need} "
-                    "forward frames)"
+                    f"(start_point {self.start_point}, each start needs "
+                    f"{need} forward frames plus the tail guard)"
                 )
             self.sample_start.append(
                 0 if not self.sample_start else self.sample_start[-1] + self.len_[-1] - 1

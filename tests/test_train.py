@@ -490,15 +490,39 @@ def test_rebuild_rejects_extra_keys_but_drops_annotations():
 
 
 def test_audiovisual_sampler_rejects_oversized_windows():
-    """A window that cannot fit the clip must fail at CONSTRUCTION, not
-    slice out of range on a random shuffled index mid-epoch."""
+    """A window no start of the clip can fit must fail at CONSTRUCTION,
+    not slice out of range on a random shuffled index mid-epoch."""
     clip = _toy_clip(T=900)
     with pytest.raises(ValueError, match="too short"):
-        datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=480)
+        datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=960)
     # the boundary case that fits still constructs
     s = datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=240)
     item = s.sample(len(s) - 1)
     assert item["target"].shape[0] == 240
+
+
+def test_audiovisual_sampler_clamps_valid_starts_to_window():
+    """The reference's FIXED 400-frame tail guard under-guards windows
+    longer than 400 frames (audiovisual_dataset.py:172-208): its last
+    starts would slice out of range.  Intended behaviour: the start
+    count clamps so every admitted start reads its whole window
+    in-bounds (regression: the A2H window rf 255 + target 240 = 495 on
+    a 3600-frame clip used to raise outright)."""
+    # a2f: 480-frame window on a 900-frame clip -> 421 in-bounds starts
+    clip = _toy_clip(T=900)
+    s = datasets.AudioVisualSampler([clip], task="audio2feature", seq_len=480)
+    assert len(s) == 900 - 480 + 1
+    item = s.sample(len(s) - 1)  # last admitted start: full-length window
+    assert item["target"].shape[0] == 480
+    # a2h at the production window on a 3600-frame clip (the e2e config)
+    clip = _toy_clip(T=3600)
+    s = datasets.AudioVisualSampler([clip], task="audio2headpose",
+                                    target_length=240, receptive_field=255,
+                                    frame_future=15)
+    assert len(s) == 3600 - 300 - 495 + 1
+    item = s.sample(len(s) - 1)
+    assert item["target"].shape == (240, 12)
+    assert item["history"].shape == (255 + 240 - 1, 12)
 
 
 def test_prefetch_releases_worker_on_abandonment():
