@@ -207,8 +207,15 @@ def _angdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def phase_eval(root: str, unet_size: str = "small",
-               render_batch: int = 8, seed: int = 0) -> dict:
-    """Serve the trained subject on HELD-OUT audio and score it."""
+               render_batch: int = 8, seed: int = 0,
+               eval_seconds: float = 0.0) -> dict:
+    """Serve the trained subject on HELD-OUT audio and score it.
+
+    eval_seconds > 0 scores only the first N seconds of the held-out
+    clip (the three render passes are egress-bound on a thin host
+    link; the metrics are frame-wise means, so a prefix is an unbiased
+    but lower-variance-budget estimate - the full clip is the default).
+    """
     import jax
 
     from livespeechportraits_tpu.pipeline import animate as animate_mod
@@ -232,6 +239,8 @@ def phase_eval(root: str, unet_size: str = "small",
         a2h_ckpt=_have("a2h"), apc_ckpt=_have("apc"))
     gt = dict(np.load(os.path.join(root, f"gt_{VAL_CLIP}.npz")))
     wav = video_mod.load_wav(os.path.join(root, VAL_CLIP, VAL_CLIP + ".wav"))
+    if eval_seconds > 0:
+        wav = wav[: int(eval_seconds * 16000)]
 
     out = animate_mod.animate(cfg, assets, models, wav, seed=seed,
                               render_batch=render_batch)
@@ -300,6 +309,10 @@ def main() -> None:
     p.add_argument("--a2h_epochs", type=int, default=10)
     p.add_argument("--f2f_epochs", type=int, default=2)
     p.add_argument("--f2f_batch", type=int, default=4)
+    p.add_argument("--eval_seconds", type=float, default=0.0,
+                   help="score only the first N s of the held-out clip "
+                        "(0 = all; the three render passes are "
+                        "egress-bound on a thin host link)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -324,7 +337,8 @@ def main() -> None:
         phase_f2f(args.root, unet_size=args.unet_size,
                   epochs=args.f2f_epochs, batch=args.f2f_batch)
     if "eval" in phases:
-        phase_eval(args.root, unet_size=args.unet_size, seed=args.seed)
+        phase_eval(args.root, unet_size=args.unet_size, seed=args.seed,
+                   eval_seconds=args.eval_seconds)
 
 
 if __name__ == "__main__":
