@@ -687,7 +687,25 @@ class StreamingAnimator:
         mouth = np.concatenate([m1, m2]) if len(m2) else m1
         rot = np.concatenate([r1, r2]) if len(r2) else r1
         trans = np.concatenate([t1, t2]) if len(t2) else t1
-        return self._finalize_frames(mouth, rot, trans, drain=True)
+        frames = self._finalize_frames(mouth, rot, trans, drain=True)
+        self.close()
+        return frames
+
+    def close(self) -> None:
+        """Release the per-stream worker threads.  flush() calls this;
+        servers that abandon a stream mid-flight (client disconnect)
+        must call it too or idle fetch/decode threads accumulate until
+        GC.  Idempotent; a closed stream rejects further pushes via the
+        existing _flushed guard."""
+        self._flushed = True
+        self._ex_fetch.shutdown(wait=False)
+        self._ex_dec.shutdown(wait=False)
+
+    def __enter__(self) -> "StreamingAnimator":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 @jax.jit

@@ -252,10 +252,15 @@ class Predictor:
                                pipeline_depth=pipeline_depth,
                                transfer=transfer,
                                smooth_latency_cap=smooth_latency_cap)
-        for lo in range(0, len(audio), push_samples):
-            out = st.push_audio(audio[lo : lo + push_samples])
+        try:
+            for lo in range(0, len(audio), push_samples):
+                out = st.push_audio(audio[lo : lo + push_samples])
+                if len(out):
+                    yield out
+            out = st.flush()
             if len(out):
                 yield out
-        out = st.flush()
-        if len(out):
-            yield out
+        finally:
+            # a consumer that abandons the generator mid-stream (client
+            # disconnect) must still release the per-stream worker threads
+            st.close()

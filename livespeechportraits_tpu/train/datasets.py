@@ -125,8 +125,16 @@ class AudioVisualSampler:
                     f"(start_point {self.start_point}, each start needs "
                     f"{need} forward frames plus the tail guard)"
                 )
+            # Divergence from the reference's cumulative-start layout
+            # (audiovisual_dataset.py:204-216, `... + len_[-1] - 1`): the
+            # inherited `- 1` overlaps each clip's LAST start with the next
+            # clip's first, so with >=2 clips the final clip's top global
+            # indices map one past its admitted range and slice out of
+            # bounds mid-epoch (and every earlier clip's last start is
+            # unreachable).  Intended behaviour: clip i owns exactly
+            # len_[i] consecutive global starts.
             self.sample_start.append(
-                0 if not self.sample_start else self.sample_start[-1] + self.len_[-1] - 1
+                0 if not self.sample_start else self.sample_start[-1] + self.len_[-1]
             )
             self.len_.append(usable)
             total += int(np.floor(usable / self.stride))

@@ -525,6 +525,39 @@ def test_audiovisual_sampler_clamps_valid_starts_to_window():
     assert item["history"].shape == (255 + 240 - 1, 12)
 
 
+def test_audiovisual_sampler_multiclip_clamp_binding():
+    """Multi-clip + clamp-binding window: the reference's cumulative
+    start layout (`sample_start[-1] + len_[-1] - 1`,
+    audiovisual_dataset.py:204-216) overlaps adjacent clips, so the
+    final clip's top global indices used to map one past its admitted
+    range and slice out of bounds mid-epoch.  Clip i must own exactly
+    len_[i] consecutive global starts."""
+    clips = [_toy_clip(T=900), _toy_clip(T=900)]
+    s = datasets.AudioVisualSampler(clips, task="audio2feature", seq_len=480)
+    per_clip = 900 - 480 + 1
+    assert len(s) == 2 * per_clip
+    # every admitted start reads its whole window in-bounds
+    for i in (0, per_clip - 1, per_clip, len(s) - 1):
+        item = s.sample(i)
+        assert item["target"].shape[0] == 480
+    # the seam is exact: first start of clip 1 reads clip 1's frame 0,
+    # and clip 0's last start is reachable (not shadowed by the seam)
+    np.testing.assert_array_equal(
+        s.sample(per_clip)["audio"], clips[1].audio_features[: 480 * 2])
+    np.testing.assert_array_equal(
+        s.sample(per_clip - 1)["audio"],
+        clips[0].audio_features[(per_clip - 1) * 2 : (per_clip - 1 + 480) * 2])
+    # same layout holds for the a2h window shape
+    clips = [_toy_clip(T=1200), _toy_clip(T=1200)]
+    s = datasets.AudioVisualSampler(clips, task="audio2headpose",
+                                    target_length=240, receptive_field=255,
+                                    frame_future=15)
+    per_clip = 1200 - 300 - 495 + 1
+    assert len(s) == 2 * per_clip
+    item = s.sample(len(s) - 1)
+    assert item["target"].shape == (240, 12)
+
+
 def test_prefetch_releases_worker_on_abandonment():
     """A consumer abandoning the generator mid-epoch must unblock the
     worker thread (it used to stay parked on q.put holding device-resident

@@ -108,8 +108,11 @@ def main() -> None:
                 # stream sustains real time indefinitely iff the mean
                 # stays under budget (utilisation < 1); p95 excursions
                 # eat into the buffered chunk and are recovered by
-                # under-budget pushes.
-                "realtime_sustained": bool(times_ms.mean() < chunk / 60 * 1e3),
+                # under-budget pushes.  That argument needs the buffered
+                # chunk, so at depth 0 (no buffer: every over-budget push
+                # stalls playback) the flag is null.
+                "realtime_sustained": (bool(times_ms.mean() < chunk / 60 * 1e3)
+                                       if depth >= 1 else None),
                 "latency_frames_algorithmic": st.latency_frames,
                 "device": str(jax.devices()[0]),
             }))
