@@ -61,8 +61,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place every array in a (pytree) batch with its leading axis sharded
     over `data` (the DataParallel scatter, minus the padding hacks - global
-    batch must divide the data axis)."""
+    batch must divide the data axis).  A leaf with leading dim 1 is
+    batch-shared (e.g. the per-subject candidate tensor the diet emits
+    once per batch) and is REPLICATED - dim 1 cannot scatter over the
+    data axis."""
     def _place(x):
+        if np.ndim(x) > 0 and np.shape(x)[0] == 1 and mesh.shape[DATA_AXIS] > 1:
+            return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
 
     return jax.tree.map(_place, batch)

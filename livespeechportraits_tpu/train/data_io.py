@@ -186,6 +186,7 @@ def load_face_clip(
     frame_jump: int = 1,
     eager: bool = False,
     cache_frames: int = 64,
+    emit_weight_mask: bool = False,
 ) -> datasets.FaceFrameSampler:
     """Load a reference-format renderer-training clip (h5 frames).
 
@@ -224,4 +225,9 @@ def load_face_clip(
     return datasets.FaceFrameSampler(
         images=images, landmarks=landmarks, shoulders=shoulders,
         candidates=np.stack(cands), load_size=load_size, frame_jump=frame_jump,
+        # no training step consumes the mask (the reference's own MaskedL1
+        # call is commented out, feature2face_model.py:139) - skipping it
+        # saves a 1 MB/sample host fillPoly+upload; opt back in for
+        # analysis paths that want it
+        emit_weight_mask=emit_weight_mask,
     )

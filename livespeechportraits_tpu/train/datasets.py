@@ -88,6 +88,7 @@ class AudioVisualSampler:
         start_point: Optional[int] = None,
         tail_margin: int = 460,
         mouth_only: bool = True,
+        device_audio: bool = False,
     ):
         self.clips = list(clips)
         self.task = task
@@ -140,6 +141,25 @@ class AudioVisualSampler:
             total += int(np.floor(usable / self.stride))
         self.total_len = total
 
+        # Host-link diet: with device_audio the (large) audio feature rows
+        # never cross per batch.  All clips' features concatenate into ONE
+        # bank that the trainer uploads once and keeps device-resident;
+        # sample() then emits a scalar `audio_start` row index and the
+        # train step gathers the fixed-length window ON DEVICE
+        # (steps._batch_audio).  At B=16 x [494, 1024] f32 this turns a
+        # ~32 MB/step upload into 64 bytes.
+        self.device_audio = device_audio
+        self.audio_bank: Optional[np.ndarray] = None
+        if device_audio:
+            feats = [np.asarray(c.audio_features) for c in self.clips]
+            self._bank_row0 = np.concatenate(
+                [[0], np.cumsum([len(f) for f in feats])[:-1]]).astype(np.int64)
+            self.audio_bank = feats[0] if len(feats) == 1 else \
+                np.concatenate(feats, axis=0)
+            # rows per window (static gather length for the device slice)
+            self.audio_rows = (2 * self.seq_len if self.task == "audio2feature"
+                               else 2 * self.item_length)
+
     def _min_frames_needed(self) -> int:
         if self.task == "audio2feature":
             return self.seq_len
@@ -155,18 +175,25 @@ class AudioVisualSampler:
         cf = index_real - self.sample_start[file_index] + self.start_point
 
         if self.task == "audio2feature":
-            audio = clip.audio_features[cf * 2 : (cf + self.seq_len) * 2]
             target = clip.pts3d[cf : cf + self.seq_len, self.indices].reshape(self.seq_len, -1)
+            if self.device_audio:
+                start = self._bank_row0[file_index] + cf * 2
+                return {"audio_start": np.int32(start), "target": target}
+            audio = clip.audio_features[cf * 2 : (cf + self.seq_len) * 2]
             return {"audio": audio, "target": target}
 
         # audio2headpose (WaveNet branch, predict_len=0 semantics)
         hs = cf - self.receptive_field
         L = self.item_length
         a_lo = 2 * (hs + self.frame_future)
-        audio = clip.audio_features[a_lo : a_lo + 2 * L].reshape(L, -1)
         pose_vel = np.concatenate([clip.headpose, clip.velocity], axis=1)  # [T, 12]
         history = pose_vel[hs : hs + L]
         target = pose_vel[hs + self.receptive_field : hs + L + 1]
+        if self.device_audio:
+            start = self._bank_row0[file_index] + a_lo
+            return {"audio_start": np.int32(start),
+                    "history": history, "target": target}
+        audio = clip.audio_features[a_lo : a_lo + 2 * L].reshape(L, -1)
         return {"audio": audio, "history": history, "target": target}
 
     def batches(self, batch_size: int, rng: np.random.Generator,
@@ -259,6 +286,9 @@ class FaceFrameSampler:
         frame_jump: int = 1,
         crop_jitter: float = 0.0,
         device_rasterize: bool = False,
+        shared_cand: bool = True,
+        u8_targets: bool = True,
+        emit_weight_mask: bool = True,
     ):
         self.images = images
         self.landmarks = landmarks.astype(np.float32)
@@ -267,6 +297,32 @@ class FaceFrameSampler:
         self.load_size = load_size
         self.frame_jump = frame_jump
         self.crop_jitter = crop_jitter
+        # Host-link diet (the reference loads candidates ONCE per subject,
+        # face_dataset.py:119-129, and reads uint8 jpgs,
+        # face_dataset.py:190-193 - shipping per-sample f32 copies is a
+        # rebuild artifact, not parity):
+        # - shared_cand: batches() emits the per-subject candidate tensor
+        #   with leading dim 1; the train step broadcasts ON DEVICE and the
+        #   trainer uploads it once per process (~12.6 MB saved per sample
+        #   at 512^2).
+        # - u8_targets: tgt_image crosses the host link as uint8 when the
+        #   frame store is uint8 (4x fewer bytes); steps normalise on
+        #   device.  Crop-resize then runs in uint8 (cv2 rounds), a
+        #   deliberate <=1/510 divergence from the f32-resize path.
+        # - emit_weight_mask=False skips the cv2 fillPoly+dilate mask -
+        #   nothing in the training step consumes it (the reference's own
+        #   MaskedL1 call is commented out, feature2face_model.py:139).
+        self.shared_cand = shared_cand
+        self.u8_targets = u8_targets
+        self.emit_weight_mask = emit_weight_mask
+        # the candidate tensor is identical for every sample: build it once
+        cand = np.concatenate(
+            [self._to_float(c) for c in candidates], axis=-1)
+        if cand.shape[0] != load_size:
+            import cv2
+
+            cand = cv2.resize(cand, (load_size, load_size))
+        self._cand_full = np.ascontiguousarray(cand, np.float32)
         # device_rasterize: emit raw landmark/shoulder coords instead of a
         # host-cv2 feature map; the trainer rasterises the whole batch ON
         # DEVICE (same kernel as the inference pipeline) - removes the
@@ -315,7 +371,9 @@ class FaceFrameSampler:
 
         lm = self.landmarks[idx].copy()
         sh = (self.shoulders[idx] if self.shoulders.ndim == 3 else self.shoulders).copy()
-        img = self._to_float(self.images[idx])
+        raw = self.images[idx]
+        keep_u8 = self.u8_targets and raw.dtype == np.uint8
+        img = raw if keep_u8 else self._to_float(raw)
 
         H = W = self.load_size
         h_ori, w_ori = img.shape[:2]
@@ -334,9 +392,11 @@ class FaceFrameSampler:
             except ImportError:  # pragma: no cover
                 from PIL import Image
 
-                img = np.asarray(Image.fromarray(
-                    ((crop * 0.5 + 0.5) * 255).astype(np.uint8)).resize((W, H)))
-                img = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+                crop_u8 = crop if keep_u8 else \
+                    ((crop * 0.5 + 0.5) * 255).astype(np.uint8)
+                img = np.asarray(Image.fromarray(crop_u8).resize((W, H)))
+                if not keep_u8:
+                    img = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
             s = W / float(x1 - x0)
             lm = (lm - np.array([x0, y0], np.float32)) * s
         elif img.shape[0] != H:
@@ -350,19 +410,15 @@ class FaceFrameSampler:
             # built misaligned with the target image
             lm = lm * np.array([sx, sy], np.float32)
 
-        mask = rasterize.facial_weight_mask(lm, H, W)
-        cand = np.concatenate([self._to_float(c) for c in self.candidates], axis=-1)
-        if cand.shape[0] != H:
-            import cv2
-
-            cand = cv2.resize(cand, (W, H))
-        if mask.ndim == 2:
-            mask = mask[..., None]
         out = {
-            "cand_image": cand,
+            "cand_image": self._cand_full,
             "tgt_image": img,
-            "weight_mask": mask[..., :1],
         }
+        if self.emit_weight_mask:
+            mask = rasterize.facial_weight_mask(lm, H, W)
+            if mask.ndim == 2:
+                mask = mask[..., None]
+            out["weight_mask"] = mask[..., :1]
         if self.device_rasterize:
             out["landmarks"] = lm.astype(np.float32)
             out["shoulders"] = sh.astype(np.float32)
@@ -371,6 +427,11 @@ class FaceFrameSampler:
                 lm, sh, (W, H)).astype(np.float32) / 255.0
             out["feature_map"] = fmap[..., None]
         return out
+
+    def shared_cand_array(self) -> Optional[np.ndarray]:
+        """The per-subject candidate tensor [H, W, 12] when every sample
+        of this sampler shares it (always true here), else None."""
+        return self._cand_full if self.shared_cand else None
 
     def batches(self, batch_size: int, rng: np.random.Generator,
                 shuffle: bool = True,
@@ -381,13 +442,20 @@ class FaceFrameSampler:
 def _face_batches(sampler, batch_size: int, rng: np.random.Generator,
                   shuffle: bool = True,
                   drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    shared = sampler.shared_cand_array()
     order = np.arange(len(sampler))
     if shuffle:
         rng.shuffle(order)
     stop = len(sampler) - (batch_size - 1 if drop_last else 0)
     for lo in range(0, stop, batch_size):
         samples = [sampler.sample(int(i), rng) for i in order[lo : lo + batch_size]]
-        yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]
+                 if not (shared is not None and k == "cand_image")}
+        if shared is not None:
+            # leading dim 1: uploaded once per process (trainer caches the
+            # device copy), broadcast on device inside the step
+            batch["cand_image"] = shared[None]
+        yield batch
 
 
 class ConcatFaceSampler:
@@ -403,6 +471,19 @@ class ConcatFaceSampler:
         if not self.samplers:
             raise ValueError("ConcatFaceSampler needs at least one clip")
         self.cum = np.cumsum([len(s) for s in self.samplers])
+        # shared-cand emission is safe across clips only when every clip
+        # carries the SAME subject candidates (build_person writes one set
+        # per subject); checked once here, per-sample fallback otherwise
+        c0 = self.samplers[0].shared_cand_array()
+        self._shared_cand = c0
+        for s in self.samplers[1:]:
+            c = s.shared_cand_array()
+            if c is None or (c is not c0 and not np.array_equal(c, c0)):
+                self._shared_cand = None
+                break
+
+    def shared_cand_array(self) -> Optional[np.ndarray]:
+        return self._shared_cand
 
     def __len__(self) -> int:
         return int(self.cum[-1])

@@ -37,6 +37,36 @@ from livespeechportraits_tpu.train.state import TrainState, apply_updates_with_b
 
 
 # ---------------------------------------------------------------------------
+# Host-link batch diet (the reference loads candidates once per subject,
+# face_dataset.py:119-129, and reads uint8 jpgs, face_dataset.py:190-193;
+# shipping per-sample f32 copies across a thin host link is pure waste).
+# Batches may carry cand_image with leading dim 1 (uploaded once,
+# device-cached) and tgt_image as uint8; both are expanded ON DEVICE
+# inside the jitted step, where the broadcast is free and the normalise
+# fuses into the first consumer.
+# ---------------------------------------------------------------------------
+
+
+def f2f_g_input(batch) -> jnp.ndarray:
+    """Generator input [B, H, W, 13]: feature_map ++ candidates, with the
+    shared [1, H, W, 12] candidate tensor broadcast to the batch."""
+    fmap = batch["feature_map"]
+    cand = batch["cand_image"]
+    if cand.shape[0] != fmap.shape[0]:
+        cand = jnp.broadcast_to(cand, (fmap.shape[0],) + tuple(cand.shape[1:]))
+    return jnp.concatenate([fmap, cand.astype(fmap.dtype)], axis=-1)
+
+
+def f2f_target(batch) -> jnp.ndarray:
+    """Target frame in [-1, 1] f32; uint8 batches (4x cheaper transfer)
+    are normalised here with the exact host expression ((x/255)-.5)/.5."""
+    tgt = batch["tgt_image"]
+    if tgt.dtype == jnp.uint8:
+        tgt = (tgt.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return tgt
+
+
+# ---------------------------------------------------------------------------
 # APC pretraining: L1 future-frame prediction.  The reference loads a
 # frozen pretrained encoder (demo.py:145-160) but ships no way to make
 # one; this step reproduces the upstream objective so the audio
@@ -98,10 +128,31 @@ def _a2f_loss(cfg: Audio2FeatureConfig, preds, target):
     return jnp.mean((preds - target) ** 2) * 1000.0
 
 
+def _batch_audio(batch, audio_bank, audio_rows: Optional[int],
+                 fold_pairs: bool):
+    """Resolve the batch's audio windows - either shipped from the host
+    (batch["audio"]) or gathered ON DEVICE from a resident feature bank
+    (batch["audio_start"] scalar row indices; the host-link diet for the
+    motion trainers, see AudioVisualSampler(device_audio=True)).  The
+    gather is a vmapped fixed-length dynamic_slice - bitwise the same
+    rows the host would have sliced.  fold_pairs reshapes the 2-rows-
+    per-frame layout to [B, L, 2F] (the a2h window layout)."""
+    if audio_bank is None or "audio_start" not in batch:
+        return batch["audio"]
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(audio_bank, s, audio_rows, 0)
+    )(batch["audio_start"])
+    if fold_pairs:
+        win = win.reshape(win.shape[0], audio_rows // 2, -1)
+    return win
+
+
 def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation,
-                  donate: bool = True):
+                  donate: bool = True, audio_bank=None,
+                  audio_rows: Optional[int] = None):
     def loss_fn(params, batch):
-        preds, aux = a2f.apply_audio2feature(params, batch["audio"], training=True)
+        audio = _batch_audio(batch, audio_bank, audio_rows, fold_pairs=False)
+        preds, aux = a2f.apply_audio2feature(params, audio, training=True)
         loss = _a2f_loss(cfg, preds, batch["target"])
         return loss, aux
 
@@ -118,10 +169,12 @@ def make_a2f_step(cfg: Audio2FeatureConfig, tx: optax.GradientTransformation,
     return step
 
 
-def a2f_validate(cfg: Audio2FeatureConfig):
+def a2f_validate(cfg: Audio2FeatureConfig, audio_bank=None,
+                 audio_rows: Optional[int] = None):
     @jax.jit
     def validate(params, batch):
-        preds, _ = a2f.apply_audio2feature(params, batch["audio"], training=False)
+        audio = _batch_audio(batch, audio_bank, audio_rows, fold_pairs=False)
+        preds, _ = a2f.apply_audio2feature(params, audio, training=False)
         return _a2f_loss(cfg, preds, batch["target"])
 
     return validate
@@ -133,15 +186,17 @@ def a2f_validate(cfg: Audio2FeatureConfig):
 # ---------------------------------------------------------------------------
 
 
-def a2h_validate(cfg: Audio2HeadposeConfig):
+def a2h_validate(cfg: Audio2HeadposeConfig, audio_bank=None,
+                 audio_rows: Optional[int] = None):
     """Validation GMM NLL, eval mode (the reference's A2H model defines no
     validate_epoch; the A2F cadence of audio2feature_model.py:110-114 is
     applied uniformly as the intended behaviour)."""
 
     @jax.jit
     def validate(params, batch):
+        audio = _batch_audio(batch, audio_bank, audio_rows, fold_pairs=True)
         preds, _ = a2h.apply_audio2headpose(
-            params, cfg, batch["history"], batch["audio"],
+            params, cfg, batch["history"], audio,
             output_length=batch["target"].shape[1], training=False,
         )
         return gmm.gmm_log_loss(preds, batch["target"], cfg.ncenter, cfg.ndim,
@@ -151,9 +206,11 @@ def a2h_validate(cfg: Audio2HeadposeConfig):
 
 
 def make_a2h_step(cfg: Audio2HeadposeConfig, tx: optax.GradientTransformation,
-                  smooth_loss_weight: float = 0.0, donate: bool = True):
+                  smooth_loss_weight: float = 0.0, donate: bool = True,
+                  audio_bank=None, audio_rows: Optional[int] = None):
     def loss_fn(params, batch, rng):
-        history, audio, target = batch["history"], batch["audio"], batch["target"]
+        history, target = batch["history"], batch["target"]
+        audio = _batch_audio(batch, audio_bank, audio_rows, fold_pairs=True)
         preds, aux = a2h.apply_audio2headpose(
             params, cfg, history, audio,
             output_length=target.shape[1], training=True, dropout_rng=rng,
@@ -232,8 +289,10 @@ def make_f2f_steps(
     applied inside the step so checkpoints stay tag-free) - a pure
     training-FLOPs lever; D never deploys.
 
-    batch: feature_map [B,H,W,1], cand_image [B,H,W,12], tgt_image
-    [B,H,W,3] (NHWC; the FaceDataset sampler provides this layout).
+    batch: feature_map [B,H,W,1], cand_image [B|1,H,W,12] (leading dim 1
+    = shared subject candidates, broadcast on device), tgt_image
+    [B,H,W,3] f32 or uint8 (normalised on device; see f2f_g_input /
+    f2f_target) - NHWC, the FaceDataset sampler provides this layout.
     Generator TrainState.params holds the *net* subtree only (the `size`
     tag is static here).  The reference's fp16 GradScaler dance is
     unnecessary: bf16 on TPU keeps fp32 range.
@@ -259,7 +318,7 @@ def make_f2f_steps(
     def g_forward(g_net, batch, training):
         """g_net is the generator's `net` subtree (no metadata leaves -
         the `size` string stays static via this closure)."""
-        inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]], axis=-1)
+        inp = f2f_g_input(batch)
 
         def fwd(net, x):
             fake, aux = f2f.apply_generator({"net": net, "size": size}, x,
@@ -273,7 +332,7 @@ def make_f2f_steps(
 
     def d_loss_fn(d_params, g_net, batch):
         inp, fake, _ = g_forward(g_net, batch, training=False)
-        real_pair = jnp.concatenate([inp, batch["tgt_image"]], axis=-1)
+        real_pair = jnp.concatenate([inp, f2f_target(batch)], axis=-1)
         fake_pair = jnp.concatenate([inp, jax.lax.stop_gradient(fake)], axis=-1)
         pred_real, aux_d = f2f.apply_discriminator(d_of(d_params), real_pair,
                                                    training=True)
@@ -287,7 +346,8 @@ def make_f2f_steps(
 
     def g_loss_fn(g_net, d_params, batch):
         inp, fake, aux_g = g_forward(g_net, batch, training=True)
-        real_pair = jnp.concatenate([inp, batch["tgt_image"]], axis=-1)
+        tgt = f2f_target(batch)
+        real_pair = jnp.concatenate([inp, tgt], axis=-1)
         fake_pair = jnp.concatenate([inp, fake], axis=-1)
         pred_real, _ = f2f.apply_discriminator(d_of(d_params), real_pair,
                                                training=False)
@@ -295,10 +355,10 @@ def make_f2f_steps(
                                                training=False)
 
         loss_gan = losses.gan_loss(pred_fake, True, gan_mode, for_discriminator=False)
-        loss_l1 = jnp.mean(jnp.abs(fake - batch["tgt_image"])) * cfg.lambda_L1
+        loss_l1 = jnp.mean(jnp.abs(fake - tgt)) * cfg.lambda_L1
         if vgg_params is not None:
             p_loss, s_loss = losses.vgg_style_loss(
-                vgg_params, fake, batch["tgt_image"],
+                vgg_params, fake, tgt,
                 microbatch=vgg_microbatch)
             loss_vgg = p_loss * cfg.lambda_feat
             loss_style = s_loss * cfg.lambda_feat
@@ -384,9 +444,8 @@ def make_f2f_fused_step(
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def gan_step(g_state: TrainState, d_state: TrainState, batch):
-        inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]],
-                              axis=-1)
-        tgt = batch["tgt_image"]
+        inp = f2f_g_input(batch)
+        tgt = f2f_target(batch)
 
         # --- shared primal towers (linearised once each) ---
         fake, g_pull, aux_g = jax.vjp(lambda gn: g_fwd(gn, inp),
@@ -468,11 +527,11 @@ def f2f_validate(cfg: Feature2FaceConfig, compute_dtype=None):
 
     @jax.jit
     def validate(g_net, batch):
-        inp = jnp.concatenate([batch["feature_map"], batch["cand_image"]], axis=-1)
+        inp = f2f_g_input(batch)
         fake, _ = f2f.apply_generator({"net": g_net, "size": size}, inp,
                                       training=False, compute_dtype=compute_dtype)
         fake = fake.astype(jnp.float32)
-        err = fake - batch["tgt_image"]
+        err = fake - f2f_target(batch)
         l1 = jnp.mean(jnp.abs(err))
         mse = jnp.mean(err ** 2)
         psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))

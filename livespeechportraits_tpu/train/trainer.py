@@ -112,19 +112,58 @@ def _jit_rasterize(fn, lm, sh, size):
 _jit_rasterize._cache = {}
 
 
+_shared_cand_cache = {}  # (id, mesh id) -> (host array ref, device array)
+
+
+def _place_batch(batch, mesh):
+    """Host->device placement with the shared-candidate diet: a
+    cand_image with leading dim 1 is the per-subject candidate tensor
+    (identical every batch - face_dataset.py:119-129 loads it once per
+    subject), so it is uploaded ONCE per process and the cached device
+    copy is reused; everything else ships per batch.  Under a mesh the
+    cached copy is replicated (steps broadcast it to the sharded batch
+    on device)."""
+    place = (lambda b: mesh_mod.shard_batch(mesh, b)) if mesh is not None \
+        else jax.device_put
+    c = batch.get("cand_image") if isinstance(batch, dict) else None
+    if isinstance(c, np.ndarray) and c.ndim == 4 and c.shape[0] == 1:
+        key = (id(c), id(mesh) if mesh is not None else None)
+        ent = _shared_cand_cache.get(key)
+        if ent is None or ent[0] is not c:  # id() reuse after GC: re-place
+            dev = jax.device_put(
+                c, mesh_mod.replicated(mesh)) if mesh is not None \
+                else jax.device_put(c)
+            ent = (c, dev)
+            _shared_cand_cache[key] = ent
+        batch = {k: v for k, v in batch.items() if k != "cand_image"}
+        batch = place(batch)
+        batch["cand_image"] = ent[1]
+        return batch
+    return place(batch)
+
+
 def _batch_iter(sampler, loop: "TrainLoopConfig", rng, mesh):
     """Epoch batch stream with host sampling + host->device transfer
     pipelined behind device compute (train/prefetch.py; the transform runs
     in the worker thread so the transfer overlaps the previous step)."""
     it = sampler.batches(loop.batch_size, rng)
-    if mesh is not None:
-        place = lambda b: mesh_mod.shard_batch(mesh, b)  # noqa: E731
-    else:
-        place = jax.device_put
-    transform = lambda b: _device_rasterize_batch(place(b))  # noqa: E731
+    transform = lambda b: _device_rasterize_batch(_place_batch(b, mesh))  # noqa: E731
     if loop.prefetch > 0:
         return prefetch_mod.prefetch(it, loop.prefetch, transform)
     return map(transform, it)
+
+
+def _device_audio_bank(sampler, mesh):
+    """Place a sampler's resident audio feature bank on device once
+    (replicated under a mesh) - the motion-trainer host-link diet: steps
+    gather their windows from this bank instead of receiving ~MBs of
+    feature rows per batch (AudioVisualSampler(device_audio=True))."""
+    bank = getattr(sampler, "audio_bank", None) if sampler is not None else None
+    if bank is None:
+        return None, None
+    dev = mesh_mod.replicate(mesh, bank) if mesh is not None \
+        else jax.device_put(bank)
+    return dev, sampler.audio_rows
 
 
 def _train_single_state(loop: TrainLoopConfig, sampler, val_sampler,
@@ -148,7 +187,10 @@ def _train_single_state(loop: TrainLoopConfig, sampler, val_sampler,
     if mesh is not None:
         params = mesh_mod.replicate(mesh, params)
     st = state_mod.create_state(params, tx)
-    step_fn = make_step(tx)
+    train_bank, train_rows = _device_audio_bank(sampler, mesh)
+    step_fn = make_step(tx, train_bank, train_rows)
+    val_bank, val_rows = _device_audio_bank(val_sampler, mesh)
+    validate_fn = validate_fn(val_bank, val_rows)
     vis = Visualizer(loop.checkpoints_dir, loop.name)
     ckpt_dir = f"{loop.checkpoints_dir}/{loop.name}/ckpt"
     start_epoch = 0
@@ -215,8 +257,8 @@ def train_apc(
     return _train_single_state(
         loop, sampler, val_sampler, init_params,
         init_fn=lambda k: apc_mod.init_apc_pretrain(k, cfg),
-        make_step=lambda tx: steps.make_apc_step(cfg, tx),
-        validate_fn=steps.apc_validate(cfg),
+        make_step=lambda tx, bank, rows: steps.make_apc_step(cfg, tx),
+        validate_fn=lambda bank, rows: steps.apc_validate(cfg),
         val_key="val_l1",
     )
 
@@ -232,8 +274,10 @@ def train_audio2feature(
     return _train_single_state(
         loop, sampler, val_sampler, init_params,
         init_fn=lambda k: a2f_model.init_audio2feature(k, cfg),
-        make_step=lambda tx: steps.make_a2f_step(cfg, tx),
-        validate_fn=steps.a2f_validate(cfg),
+        make_step=lambda tx, bank, rows: steps.make_a2f_step(
+            cfg, tx, audio_bank=bank, audio_rows=rows),
+        validate_fn=lambda bank, rows: steps.a2f_validate(
+            cfg, audio_bank=bank, audio_rows=rows),
         val_key="val_loss",
     )
 
@@ -250,9 +294,11 @@ def train_audio2headpose(
     return _train_single_state(
         loop, sampler, val_sampler, init_params,
         init_fn=lambda k: a2h_model.init_audio2headpose(k, cfg),
-        make_step=lambda tx: steps.make_a2h_step(
-            cfg, tx, smooth_loss_weight=loop.smooth_loss),
-        validate_fn=steps.a2h_validate(cfg),
+        make_step=lambda tx, bank, rows: steps.make_a2h_step(
+            cfg, tx, smooth_loss_weight=loop.smooth_loss,
+            audio_bank=bank, audio_rows=rows),
+        validate_fn=lambda bank, rows: steps.a2h_validate(
+            cfg, audio_bank=bank, audio_rows=rows),
         val_key="val_gmm_nll",
         step_rng=True,
     )
@@ -439,10 +485,13 @@ def train_feature2face(
         if panel_batch is not None and (epoch + 1) % loop.display_epoch_freq == 0:
             fake, _ = validate_fn(g_state.params, panel_batch)
             fm = np.asarray(panel_batch["feature_map"][0, ..., 0])
+            tgt0 = np.asarray(panel_batch["tgt_image"][0])
+            if tgt0.dtype == np.uint8:  # diet batches ship u8 targets
+                tgt0 = (tgt0.astype(np.float32) / 255.0 - 0.5) / 0.5
             vis.display_current_results({
                 "input_feature_map": np.repeat((fm * 2.0 - 1.0)[..., None], 3, -1),
                 "synthesized": np.asarray(fake[0]),
-                "target": np.asarray(panel_batch["tgt_image"][0]),
+                "target": tgt0,
             }, epoch + 1, it)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, {"G": g_state, "D": d_state}, epoch + 1)

@@ -408,3 +408,43 @@ def test_spatial_partitioned_renderer_matches_single_device():
     xds = jax.device_put(x, NamedSharding(m, P("data", "model", None, None)))
     y2 = fwd(net, xds)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=2e-5)
+
+
+def test_shard_batch_replicates_leading_dim1():
+    """The shared-candidate diet emits cand_image [1, H, W, 12]; a dim-1
+    leading axis cannot scatter over an 8-way data axis, so shard_batch
+    must REPLICATE it (and f2f_g_input broadcasts it on device)."""
+    m = mesh_mod.make_mesh(1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "feature_map": rng.uniform(0, 1, (8, 16, 16, 1)).astype(np.float32),
+        "cand_image": rng.uniform(-1, 1, (1, 16, 16, 12)).astype(np.float32),
+        "tgt_image": rng.integers(0, 256, (8, 16, 16, 3)).astype(np.uint8),
+    }
+    placed = mesh_mod.shard_batch(m, batch)
+    assert placed["cand_image"].sharding.is_fully_replicated
+    assert not placed["feature_map"].sharding.is_fully_replicated
+    inp = steps.f2f_g_input(placed)
+    assert inp.shape == (8, 16, 16, 13)
+    tgt = steps.f2f_target(placed)
+    assert tgt.dtype == jnp.float32 and float(tgt.max()) <= 1.0
+
+
+def test_trainer_place_batch_caches_shared_cand():
+    """_place_batch uploads the shared candidate tensor once per process:
+    the SAME np array must come back as the SAME device buffer across
+    batches (no 12.6 MB re-upload per step)."""
+    from livespeechportraits_tpu.train import trainer
+
+    cand = np.zeros((1, 8, 8, 12), np.float32)
+    b1 = {"cand_image": cand, "tgt_image": np.zeros((8, 8, 8, 3), np.uint8)}
+    b2 = {"cand_image": cand, "tgt_image": np.ones((8, 8, 8, 3), np.uint8)}
+    p1 = trainer._place_batch(b1, None)
+    p2 = trainer._place_batch(b2, None)
+    assert p1["cand_image"] is p2["cand_image"]
+    m = mesh_mod.make_mesh(1)
+    q1 = trainer._place_batch(b1, m)
+    q2 = trainer._place_batch(b2, m)
+    assert q1["cand_image"] is q2["cand_image"]
+    assert q1["cand_image"].sharding.is_fully_replicated
+    assert not q1["tgt_image"].sharding.is_fully_replicated

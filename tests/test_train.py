@@ -594,3 +594,146 @@ def test_plateau_policy_usable_and_cosine_clamps():
     cos = schedulers.make_schedule("cosine", 1e-3, n_epochs=10)
     assert cos(10) == pytest.approx(0.0, abs=1e-12)
     assert cos(19) == pytest.approx(0.0, abs=1e-12)  # no rise-back
+
+
+# ---------------------------------------------------------------------------
+# Host-link batch diet (shared candidates once + u8 targets + device-
+# resident audio bank): the diet format must train IDENTICALLY to the
+# legacy full-fat batches - expansion happens on device with the exact
+# host expressions.
+# ---------------------------------------------------------------------------
+
+
+def _diet_face_data(N=12, H=32):
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (N, H, H, 3)).astype(np.uint8)
+    # landmark x-range >= H/2 so the face-centred crop window IS the frame
+    # (no resize): the u8 and f32 paths then agree bitwise
+    lms = np.stack([
+        np.stack([np.linspace(2, H - 2, 73), np.linspace(8, H - 8, 73)], 1)
+        for _ in range(N)
+    ]).astype(np.float32)
+    sh = rng.uniform(4, H - 4, (18, 2)).astype(np.float32)
+    cands = rng.uniform(-1, 1, (4, H, H, 3)).astype(np.float32)
+    return images, lms, sh, cands
+
+
+def test_face_sampler_diet_batch_format():
+    images, lms, sh, cands = _diet_face_data()
+    s = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32,
+                                  emit_weight_mask=False)
+    b = next(s.batches(4, np.random.default_rng(0)))
+    assert b["cand_image"].shape == (1, 32, 32, 12)  # shared, once per batch
+    assert b["tgt_image"].dtype == np.uint8  # 4x fewer bytes on the link
+    assert "weight_mask" not in b
+    # the diet batch is an order of magnitude lighter than the legacy one
+    legacy = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32,
+                                       shared_cand=False, u8_targets=False)
+    bl = next(legacy.batches(4, np.random.default_rng(0)))
+    diet_bytes = sum(v.nbytes for v in b.values())
+    legacy_bytes = sum(v.nbytes for v in bl.values())
+    # at this tiny 32^2 the per-sample feature_map dominates; at the
+    # production 512^2 B=16 the ratio is ~16x (12.6 MB shared cand +
+    # 4x u8 targets + no mask)
+    assert diet_bytes < 0.3 * legacy_bytes
+
+
+def test_face_diet_expands_to_legacy_batch_exactly():
+    """f2f_g_input / f2f_target on a diet batch reproduce the legacy f32
+    batch bitwise (no crop-resize in this construction)."""
+    images, lms, sh, cands = _diet_face_data()
+    diet = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32)
+    legacy = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32,
+                                       shared_cand=False, u8_targets=False)
+    bd = next(diet.batches(4, np.random.default_rng(7)))
+    bl = next(legacy.batches(4, np.random.default_rng(7)))
+    inp_d = np.asarray(steps.f2f_g_input(jax.device_put(bd)))
+    inp_l = np.asarray(steps.f2f_g_input(jax.device_put(bl)))
+    np.testing.assert_array_equal(inp_d, inp_l)
+    tgt_d = np.asarray(steps.f2f_target(jax.device_put(bd)))
+    np.testing.assert_array_equal(tgt_d, bl["tgt_image"])
+
+
+def test_f2f_step_diet_equals_legacy():
+    """One fused GAN step from identical init on the diet batch and the
+    legacy batch produces the same metrics and updated params."""
+    import optax
+
+    images, lms, sh, cands = _diet_face_data()
+    diet = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32)
+    legacy = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32,
+                                       shared_cand=False, u8_targets=False)
+    bd = next(diet.batches(2, np.random.default_rng(1)))
+    bl = next(legacy.batches(2, np.random.default_rng(1)))
+    bd.pop("weight_mask", None), bl.pop("weight_mask", None)
+
+    cfg = F2F_CFG
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-4)
+    g = feature2face.init_generator(kg, cfg)
+    d = feature2face.init_discriminator(kd, cfg)
+    step = steps.make_f2f_fused_step(cfg, tx, tx, donate=False)
+    g1, d1, m1 = step(state_mod.create_state(g["net"], tx),
+                      state_mod.create_state(d, tx), jax.device_put(bd))
+    g2, d2, m2 = step(state_mod.create_state(g["net"], tx),
+                      state_mod.create_state(d, tx), jax.device_put(bl))
+    for k in m1:
+        assert float(m1[k]) == pytest.approx(float(m2[k]), rel=1e-6), k
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+                 g1.params, g2.params)
+
+
+def test_concat_face_sampler_shared_cand_guard():
+    images, lms, sh, cands = _diet_face_data()
+    s1 = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32)
+    s2 = datasets.FaceFrameSampler(images, lms, sh, cands.copy(), load_size=32)
+    assert datasets.ConcatFaceSampler([s1, s2]).shared_cand_array() is not None
+    other = cands.copy()
+    other[0] += 0.5
+    s3 = datasets.FaceFrameSampler(images, lms, sh, other, load_size=32)
+    cc = datasets.ConcatFaceSampler([s1, s3])
+    assert cc.shared_cand_array() is None  # different cands: fall back
+    b = next(cc.batches(4, np.random.default_rng(0)))
+    assert b["cand_image"].shape == (4, 32, 32, 12)  # per-sample emission
+
+
+def test_a2f_device_audio_bank_equals_host_path():
+    clips = [_toy_clip(T=700), _toy_clip(T=900)]
+    host = datasets.AudioVisualSampler(clips, task="audio2feature", seq_len=16)
+    dev = datasets.AudioVisualSampler(clips, task="audio2feature", seq_len=16,
+                                      device_audio=True)
+    bh = next(host.batches(4, np.random.default_rng(5)))
+    bd = next(dev.batches(4, np.random.default_rng(5)))
+    assert "audio" not in bd and bd["audio_start"].shape == (4,)
+    bank = jax.device_put(dev.audio_bank)
+    win = np.asarray(steps._batch_audio(jax.device_put(bd), bank,
+                                        dev.audio_rows, fold_pairs=False))
+    np.testing.assert_array_equal(win, bh["audio"])
+
+    import optax
+
+    cfg = Audio2FeatureConfig(apc_hidden_size=8, lstm_hidden_size=16,
+                              output_dim=75, frame_future=2)
+    tx = optax.adam(1e-3)
+    params = audio2feature.init_audio2feature(jax.random.PRNGKey(0), cfg)
+    sh = steps.make_a2f_step(cfg, tx, donate=False)
+    sd = steps.make_a2f_step(cfg, tx, donate=False, audio_bank=bank,
+                             audio_rows=dev.audio_rows)
+    _, mh = sh(state_mod.create_state(params, tx), jax.device_put(bh))
+    _, md = sd(state_mod.create_state(params, tx), jax.device_put(bd))
+    assert float(mh["loss"]) == pytest.approx(float(md["loss"]), rel=1e-6)
+
+
+def test_a2h_device_audio_bank_equals_host_path():
+    clips = [_toy_clip(T=1200)]
+    kw = dict(task="audio2headpose", target_length=8, receptive_field=7,
+              frame_future=1, start_point=300)
+    host = datasets.AudioVisualSampler(clips, **kw)
+    dev = datasets.AudioVisualSampler(clips, device_audio=True, **kw)
+    bh = next(host.batches(3, np.random.default_rng(2)))
+    bd = next(dev.batches(3, np.random.default_rng(2)))
+    np.testing.assert_array_equal(bh["history"], bd["history"])
+    bank = jax.device_put(dev.audio_bank)
+    win = np.asarray(steps._batch_audio(jax.device_put(bd), bank,
+                                        dev.audio_rows, fold_pairs=True))
+    np.testing.assert_array_equal(win, bh["audio"])

@@ -103,7 +103,8 @@ def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
 
     tr, va = _clips(root, apc_ckpt, [TRAIN_CLIP, VAL_CLIP])
     mk = lambda c: datasets.AudioVisualSampler(  # noqa: E731
-        [c], task="audio2feature", seq_len=240, frame_jump_stride=4)
+        [c], task="audio2feature", seq_len=240, frame_jump_stride=4,
+        device_audio=True)
     loop = trainer.TrainLoopConfig(
         n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
         checkpoints_dir=os.path.join(root, "ckpt"), name="a2f",
@@ -122,7 +123,7 @@ def phase_a2h(root: str, apc_ckpt: str, epochs: int = 10, batch: int = 16,
     mk = lambda c: datasets.AudioVisualSampler(  # noqa: E731
         [c], task="audio2headpose", target_length=240,
         receptive_field=cfg.wavenet.receptive_field,
-        frame_future=cfg.frame_future)
+        frame_future=cfg.frame_future, device_audio=True)
     loop = trainer.TrainLoopConfig(
         n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
         checkpoints_dir=os.path.join(root, "ckpt"), name="a2h",

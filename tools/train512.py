@@ -164,9 +164,8 @@ def main() -> None:
         eval_batch = trainer._device_rasterize_batch(jax.device_put(next(iter(
             sampler.batches(args.batch, np.random.default_rng(123),
                             shuffle=False)))))
-        inp = jnp.concatenate(
-            [eval_batch["feature_map"], eval_batch["cand_image"]], axis=-1)
-        tgt = eval_batch["tgt_image"]
+        inp = steps_mod.f2f_g_input(eval_batch)
+        tgt = steps_mod.f2f_target(eval_batch)
         g_tree = {"net": g_state.params, "size": args.size}
         if f2f_model.is_qat_generator(g_tree):
             g_tree = f2f_model.strip_qat_generator(g_tree)

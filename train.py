@@ -240,7 +240,7 @@ def main() -> None:
         clips = synthetic_clips(2, 1400) if args.synthetic else _load_real_clips(args)
         sampler = datasets.AudioVisualSampler(
             clips, task="audio2feature", seq_len=args.sequence_length,
-            frame_jump_stride=4)
+            frame_jump_stride=4, device_audio=True)
         trainer.train_audio2feature(cfg, loop, sampler)
     elif args.task == "audio2headpose":
         cfg = Audio2HeadposeConfig()
@@ -249,7 +249,7 @@ def main() -> None:
             clips, task="audio2headpose",
             target_length=args.time_frame_length,
             receptive_field=cfg.wavenet.receptive_field,
-            frame_future=cfg.frame_future)
+            frame_future=cfg.frame_future, device_audio=True)
         trainer.train_audio2headpose(cfg, loop, sampler)
     else:
         cfg = Feature2FaceConfig(load_size=args.image_size,
