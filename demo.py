@@ -36,9 +36,10 @@ def main() -> None:
     parser.add_argument("--duration", type=float, default=0.0,
                         help="optional cap on driving-audio seconds (0 = full)")
     parser.add_argument("--transfer", default="rgb",
-                        choices=["rgb", "yuv420", "jpeg"],
+                        choices=["rgb", "yuv420", "jpeg", "jpeg4"],
                         help="frame host-transfer format (yuv420 halves link "
-                             "bytes; jpeg = on-device DCT code, ~11x fewer)")
+                             "bytes; jpeg = on-device DCT code, ~11x fewer; "
+                             "jpeg4 = 4-bit packed DCT code, ~21x fewer)")
     parser.add_argument("--streaming", action="store_true",
                         help="drive the live streaming pipeline (audio pushed "
                              "in 100ms chunks, frames emitted incrementally)")

@@ -417,6 +417,8 @@ def render_frames(
         decode = lambda p: compress.i420_to_rgb(p, H, W)  # noqa: E731
     elif transfer == "jpeg":
         decode = lambda p: compress.decode_to_rgb(p, H, W)  # noqa: E731
+    elif transfer == "jpeg4":
+        decode = lambda p: compress.decode_to_rgb_p4(p, H, W)  # noqa: E731
     else:
         decode = lambda p: p  # noqa: E731
 
@@ -446,7 +448,9 @@ def render_frames(
             edge = rasterize_fn(lm_b, sh_b, (H, W))  # [B, H, W]
             if split_cand:
                 fn = {"yuv420": _jit_render_yuv420_edge,
-                      "jpeg": _jit_render_jpeg_edge}.get(transfer, _jit_render_edge)
+                      "jpeg": _jit_render_jpeg_edge,
+                      "jpeg4": _jit_render_jpeg4_edge}.get(
+                          transfer, _jit_render_edge)
                 fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
                              edge[..., None], cand_down, compute_dtype)
             else:
@@ -455,7 +459,8 @@ def render_frames(
                     axis=-1,
                 )
                 fn = {"yuv420": _jit_render_yuv420,
-                      "jpeg": _jit_render_jpeg}.get(transfer, _jit_render)
+                      "jpeg": _jit_render_jpeg,
+                      "jpeg4": _jit_render_jpeg4}.get(transfer, _jit_render)
                 fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
                              inp, compute_dtype)
             pending.append(fake_u8)
@@ -574,6 +579,34 @@ def _jit_render_jpeg_edge(net, size, edge, cand_down, compute_dtype):
     )
     y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
     return compress.encode_yuv420(y, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_jpeg4(net, size, inp, compute_dtype):
+    """Render and emit the pack4 code on device: the zonal-DCT coder's
+    AC coefficients as 4-bit nibbles under a per-block shift exponent
+    (compress.encode_rgb_frames_p4) - ~2.1x fewer egress bytes than the
+    int8 zonal code (0.145 B/px at 512^2), same >30 dB serving gate."""
+    from livespeechportraits_tpu.pipeline import compress
+
+    img, _ = f2f_model.apply_generator(
+        {"net": net, "size": size}, inp, training=False,
+        compute_dtype=compute_dtype
+    )
+    y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
+    return compress.encode_yuv420_p4(y, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_jpeg4_edge(net, size, edge, cand_down, compute_dtype):
+    from livespeechportraits_tpu.pipeline import compress
+
+    img = f2f_model.apply_generator_edge(
+        {"net": net, "size": size}, edge, cand_down, training=False,
+        compute_dtype=compute_dtype,
+    )
+    y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
+    return compress.encode_yuv420_p4(y, u, v)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))

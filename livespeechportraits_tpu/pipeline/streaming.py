@@ -52,6 +52,7 @@ from livespeechportraits_tpu.ops.smoothing import _gaussian_kernel
 from livespeechportraits_tpu.pipeline.animate import (
     _jit_render,
     _jit_render_jpeg,
+    _jit_render_jpeg4,
     _jit_render_yuv420,
     yuv420_to_rgb,
     yuv420_unpack,
@@ -762,7 +763,8 @@ def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
             [edge[..., None], jnp.broadcast_to(cand_stack, (render_batch, H, W, 12))],
             axis=-1)
         fn = {"yuv420": _jit_render_yuv420,
-              "jpeg": _jit_render_jpeg}.get(transfer, _jit_render)
+              "jpeg": _jit_render_jpeg,
+              "jpeg4": _jit_render_jpeg4}.get(transfer, _jit_render)
         outs.append(fn(models.feature2face["net"],
                        models.feature2face["size"], inp, compute_dtype))
     return outs, n
@@ -782,6 +784,11 @@ def _decode_fetched(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
 
         return np.concatenate([
             compress.decode_to_rgb(o, H, W) for o in outs])[:n]
+    if transfer == "jpeg4":
+        from livespeechportraits_tpu.pipeline import compress
+
+        return np.concatenate([
+            compress.decode_to_rgb_p4(o, H, W) for o in outs])[:n]
     return np.concatenate(outs)[:n]
 
 

@@ -128,6 +128,85 @@ def test_i420_fast_conversion_bitwise():
     np.testing.assert_array_equal(fast, ref)
 
 
+def test_pack4_bytes_per_frame_accounting():
+    # per plane: nb DC bytes + nb/2 shift bytes + nb*(K-1)/2 AC nibbles
+    b = C.encoded_bytes_per_frame_p4(512, 512, k_y=13, k_c=5)
+    assert b == (4096 + 2048 + 4096 * 6) + 2 * (1024 + 512 + 1024 * 2)
+    # ~2x under the int8 zonal code, >10x under yuv420, toward the
+    # ~30 KB/frame target a ~2 MB/s link needs for 60 fps
+    assert C.encoded_bytes_per_frame(512, 512) / b > 2.0
+    assert 512 * 512 * 1.5 / b > 10.0
+    assert b < 40_000
+
+
+def test_pack4_rejects_even_k():
+    plane = jnp.zeros((1, 16, 16), jnp.float32)
+    with pytest.raises(ValueError, match="odd"):
+        C._encode_plane_p4(plane, jnp.ones((8, 8)), 4)
+
+
+def test_pack4_roundtrip_quality_on_smooth_content():
+    rng = np.random.default_rng(0)
+    xx, yy = np.meshgrid(np.linspace(-1, 1, 128), np.linspace(-1, 1, 128))
+    img = np.stack([np.stack([
+        np.clip(np.tanh(3 * np.exp(-((xx - dx) ** 2 + (yy - dy) ** 2) / 0.1)
+                        - 0.5 + 0.2 * np.sin(8 * xx * c)), -1, 1)
+        for c, (dx, dy) in enumerate(rng.uniform(-0.5, 0.5, (3, 2)))], -1)
+        for _ in range(2)]).astype(np.float32)
+    code = np.asarray(C.encode_rgb_frames_p4(jnp.asarray(img)))
+    assert code.dtype == np.uint8
+    assert code.shape == (2, C.encoded_bytes_per_frame_p4(128, 128))
+    rgb = C.decode_to_rgb_p4(code, 128, 128)
+    exact = np.clip((img + 1) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+    assert psnr(rgb, exact) > 33.0
+
+
+def test_pack4_flat_blocks_lossless_shift():
+    """Blocks whose quantized ACs already fit 4 bits must take shift 0 and
+    reproduce the plain zonal code's output exactly (same K): the adaptive
+    shift only spends precision where the block needs range."""
+    rng = np.random.default_rng(5)
+    # low-amplitude smooth content -> small quantized ACs everywhere
+    xx = np.linspace(0, np.pi, 64)
+    img = (0.1 * np.outer(np.sin(xx), np.cos(xx)))[None, ..., None]
+    img = np.repeat(img, 3, axis=-1).astype(np.float32)
+    k_y, k_c = 13, 5
+    p4 = np.asarray(C.encode_rgb_frames_p4(jnp.asarray(img),
+                                           k_y=k_y, k_c=k_c))
+    zon = np.asarray(C.encode_rgb_frames(jnp.asarray(img),
+                                         k_y=k_y, k_c=k_c))
+    a = C.decode_to_rgb_p4(p4, 64, 64, k_y=k_y, k_c=k_c)
+    b = C.decode_to_rgb(zon, 64, 64, k_y=k_y, k_c=k_c)
+    nb = 64
+    shifts = p4[:, nb:nb + nb // 2]
+    assert (shifts == 0).all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pack4_fast_decode_matches_numpy_reference():
+    from livespeechportraits_tpu.pipeline.animate import yuv420_to_rgb
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+    code = np.asarray(C.encode_rgb_frames_p4(jnp.asarray(img)))
+    fast = C.decode_to_rgb_p4(code, 64, 64)
+    ref = yuv420_to_rgb(*C.decode_to_yuv_p4(code, 64, 64))
+    assert np.abs(fast.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_jpeg4_transfer_end_to_end_fidelity(person):
+    """animate(transfer='jpeg4') ships under the same >30 dB gate as the
+    jpeg and yuv420 serving paths, at ~half the jpeg egress bytes."""
+    cfg, a, m = person
+    audio = _sine_audio(0.6)
+    rgb = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4)
+    j4 = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4,
+                             transfer="jpeg4")
+    assert j4.frames.shape == rgb.frames.shape
+    assert j4.frames.dtype == np.uint8
+    assert psnr(j4.frames, rgb.frames) > 30.0
+
+
 def test_jpeg_transfer_end_to_end_fidelity(person):
     """animate(transfer='jpeg') must look like the exact RGB render: the
     >30 dB gate the yuv420 serving path already ships under."""

@@ -38,19 +38,29 @@ def _sync(tree):
         float(jnp.sum(x.ravel()[:1]).astype(jnp.float32))
 
 
-def _time_place(batches, place, reps):
-    from livespeechportraits_tpu.train import trainer  # noqa: F401
-
-    times, nbytes = [], 0
+def _time_place(batches, place, reps, skip_cached_cand=False):
+    """Median seconds + bytes of one batch placement.  The first batch is
+    an untimed warm-up (it pays the one-off shared-candidate upload that
+    trainer._place_batch then caches); with skip_cached_cand the cached
+    [1, ...] cand_image is excluded from the per-step byte count and
+    returned separately as bytes-once."""
+    times, nbytes, once = [], 0, 0
     for i, b in enumerate(batches):
-        if i >= reps:
+        if i > reps:
             break
-        nbytes = sum(v.nbytes for v in b.values())
+        per_step = dict(b)
+        if skip_cached_cand:
+            c = per_step.get("cand_image")
+            if c is not None and c.ndim == 4 and c.shape[0] == 1:
+                once = c.nbytes
+                del per_step["cand_image"]
         t0 = time.time()
         placed = place(b)
         _sync(placed)
-        times.append(time.time() - t0)
-    return float(np.median(times)), nbytes
+        if i > 0:  # batch 0 warms the cand cache
+            times.append(time.time() - t0)
+            nbytes = sum(v.nbytes for v in per_step.values())
+    return float(np.median(times)), nbytes, once
 
 
 def bench_f2f(image_size: int, batch: int, reps: int):
@@ -58,22 +68,28 @@ def bench_f2f(image_size: int, batch: int, reps: int):
     from livespeechportraits_tpu.train import trainer
 
     rows = []
-    for fmt, kw in (("diet", {}),
+    # diet = the production path (load_face_clip defaults: no weight mask,
+    # shared cand, u8 targets); legacy = the pre-diet per-sample f32 format
+    for fmt, kw in (("diet", dict(emit_weight_mask=False)),
                     ("legacy", dict(shared_cand=False, u8_targets=False))):
+        # sample_len is (n_frames - 60) + 1 at frame_jump 1: pad so the
+        # sampler yields reps+1 full batches under drop_last (first batch
+        # is the untimed cand-cache warm-up)
         sampler = train_cli.synthetic_face_data(
-            max(batch * reps + 2, 70), image_size, device_rasterize=True)
+            batch * (reps + 1) + 62, image_size, device_rasterize=True)
+        assert len(sampler) >= batch * (reps + 1), len(sampler)
         for k, v in kw.items():
             setattr(sampler, k, v)
-        if "u8_targets" not in kw:
-            pass  # diet defaults already on
         rng = np.random.default_rng(0)
         it = sampler.batches(batch, rng)
-        med, nbytes = _time_place(it, lambda b: trainer._place_batch(b, None),
-                                  reps)
+        med, nbytes, once = _time_place(
+            it, lambda b: trainer._place_batch(b, None), reps,
+            skip_cached_cand=(fmt == "diet"))
         rows.append({"task": "feature2face", "format": fmt,
                      "image_size": image_size, "batch": batch,
                      "bytes_per_step": int(nbytes),
-                     "upload_s_per_step": round(med, 3)})
+                     "upload_s_per_step": round(med, 3),
+                     "cand_bytes_once": int(once)})
     return rows
 
 
@@ -102,8 +118,8 @@ def bench_a2h(batch: int, reps: int, T: int = 3600, F: int = 1024):
             _sync(bank)
             bank_s = time.time() - t0
         it = s.batches(batch, np.random.default_rng(1))
-        med, nbytes = _time_place(it, lambda b: trainer._place_batch(b, None),
-                                  reps)
+        med, nbytes, _ = _time_place(
+            it, lambda b: trainer._place_batch(b, None), reps)
         rows.append({"task": "audio2headpose", "format": fmt, "batch": batch,
                      "bytes_per_step": int(nbytes),
                      "upload_s_per_step": round(med, 3),
