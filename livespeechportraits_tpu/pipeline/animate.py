@@ -60,6 +60,13 @@ class AnimateResult:
     # render_device cover device work (truthful only with profile=True);
     # 'render' is the host fetch of the finished uint8 frames.
     stage_ms: Dict[str, float] = field(default_factory=dict)
+    # Host-link attribution for the frame egress: cumulative thread-time
+    # of the fetch stage (device->host transfer IO wait) and the decode
+    # stage (fused CPU-XLA decode of compressed transfers), plus whether
+    # the two-thread fetch/decode split was engaged (non-passthrough
+    # decode).  Lets a bench artifact separate link speed from pipeline
+    # behaviour.
+    link_ms: Dict[str, float] = field(default_factory=dict)
 
     @property
     def fps_audio_to_video(self) -> float:
@@ -343,6 +350,7 @@ def render_frames(
     mesh=None,
     transfer: str = "rgb",
     split_cand: bool = False,
+    link_ms: Optional[Dict[str, float]] = None,
 ):
     """Stage 6 (demo.py:258-272): rasterise + U-Net, batched over frames.
 
@@ -435,6 +443,26 @@ def render_frames(
     # where decode is a memcpy and the split is pure churn.)  The main
     # thread keeps the device barrier for truthful render_device
     # attribution.
+    link = link_ms if link_ms is not None else {}
+    link["fetch_io_ms"] = 0.0
+    link["decode_ms"] = 0.0
+    link["fetch_bytes"] = 0
+    link["split_engaged"] = transfer in ("yuv420", "jpeg", "jpeg4")
+
+    def _timed_fetch(x):
+        t = time.perf_counter()
+        out = np.asarray(x)
+        link["fetch_io_ms"] += (time.perf_counter() - t) * 1e3
+        link["fetch_bytes"] += out.nbytes
+        return out
+
+    def _timed_decode(fut):
+        raw = fut.result()
+        t = time.perf_counter()
+        out = decode(raw)
+        link["decode_ms"] += (time.perf_counter() - t) * 1e3
+        return out
+
     pending: List[Any] = []
     maps_pending: List[Any] = []
     with ThreadPoolExecutor(1) as ex_fetch, ThreadPoolExecutor(1) as ex_dec:
@@ -464,9 +492,8 @@ def render_frames(
                 fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
                              inp, compute_dtype)
             pending.append(fake_u8)
-            fetched = ex_fetch.submit(np.asarray, fake_u8)
-            futs.append(ex_dec.submit(
-                lambda f=fetched: decode(f.result())))
+            fetched = ex_fetch.submit(_timed_fetch, fake_u8)
+            futs.append(ex_dec.submit(_timed_decode, fetched))
             if keep_feature_maps:
                 maps_pending.append(edge)
         if pending:
@@ -700,10 +727,12 @@ def animate(
     )
     landmarks2d = landmarks2d[:nframe]
     shoulders2d = shoulders2d[:nframe]
+    link_ms: Dict[str, float] = {}
     frames, fmaps = render_frames(
         cfg, assets, models, landmarks2d, shoulders2d,
         render_batch=render_batch, keep_feature_maps=keep_feature_maps,
         stage_ms=stage_ms, mesh=mesh, transfer=transfer, split_cand=split_cand,
+        link_ms=link_ms,
     )
     return AnimateResult(
         frames=frames,
@@ -713,4 +742,5 @@ def animate(
         pts3d=np.asarray(final_pts3d)[:nframe],
         nframe=nframe,
         stage_ms=stage_ms,
+        link_ms=link_ms,
     )
