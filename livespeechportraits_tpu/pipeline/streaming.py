@@ -396,6 +396,10 @@ class StreamingAnimator:
         self._ex_fetch = ThreadPoolExecutor(1)
         self._ex_dec = ThreadPoolExecutor(1)
         self._render_inflight: List[Any] = []
+        # per-push stage wall-clock (cumulative ms per stage name), for
+        # the dispatch-budget attribution tools/stream_budget.py prints -
+        # a plain dict fill, negligible when nobody reads it
+        self.stage_ms: dict = {}
 
     # -- latency ----------------------------------------------------------
 
@@ -669,13 +673,24 @@ class StreamingAnimator:
         [n, H, W, 3] uint8 (possibly empty)."""
         if self._flushed:
             raise RuntimeError("stream already flushed")
+        import time as _time
+
         self._audio = np.concatenate([self._audio, np.asarray(samples, np.float32)])
         self._total_samples += len(samples)
-        self._advance_mel_apc(flush=False)
-        self._advance_a2f(flush=False)
-        self._advance_a2h(flush=False)
-        mouth_sm, rot_sm, trans_sm = self._advance_post()
-        return self._finalize_frames(mouth_sm, rot_sm, trans_sm)
+
+        def _timed(name, fn, *a, **kw):
+            t0 = _time.perf_counter()
+            out = fn(*a, **kw)
+            self.stage_ms[name] = self.stage_ms.get(name, 0.0) + \
+                (_time.perf_counter() - t0) * 1e3
+            return out
+
+        _timed("mel_apc", self._advance_mel_apc, flush=False)
+        _timed("a2f", self._advance_a2f, flush=False)
+        _timed("a2h", self._advance_a2h, flush=False)
+        mouth_sm, rot_sm, trans_sm = _timed("post", self._advance_post)
+        return _timed("finalize_render", self._finalize_frames,
+                      mouth_sm, rot_sm, trans_sm)
 
     def flush(self) -> np.ndarray:
         """Signal end of stream; returns the remaining frames."""

@@ -34,6 +34,42 @@ def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
     return float(10.0 * np.log10(max_val**2 / mse))
 
 
+def fidelity_report(frames_a: Optional[np.ndarray] = None,
+                    frames_b: Optional[np.ndarray] = None,
+                    landmarks_a: Optional[np.ndarray] = None,
+                    landmarks_b: Optional[np.ndarray] = None,
+                    vgg_params=None,
+                    vgg_weights_path: str = "") -> dict:
+    """The ONE fidelity report both harnesses produce: landmark L2 (px),
+    frame PSNR (dB) and the LPIPS-style VGG perceptual distance.
+
+    `tools/parity.py` feeds it two runs' artifacts (ours vs the
+    reference's released checkpoints, /root/reference/demo.py:144-171,
+    the moment those appear); `tools/e2e_subject.py --phases eval` feeds
+    it the served frames vs stored ground truth - same keys, same
+    metrics, so the numbers are comparable across both paths."""
+    out: dict = {}
+    if landmarks_a is not None and landmarks_b is not None:
+        out["landmark_l2_px"] = round(landmark_l2(landmarks_a, landmarks_b),
+                                      3)
+    if frames_a is not None and frames_b is not None:
+        n = min(len(frames_a), len(frames_b))
+        out["frames_compared"] = n
+        if n:
+            out["psnr_db"] = round(psnr(frames_a[:n], frames_b[:n]), 2)
+            if vgg_params is None:
+                if vgg_weights_path:
+                    vgg_params = losses_mod.load_vgg19_npz(vgg_weights_path)
+                    out["perceptual_note"] = "pretrained VGG"
+                else:
+                    vgg_params = losses_mod.init_vgg19()
+                    out["perceptual_note"] = ("random-VGG (relative "
+                                              "comparisons only)")
+            out["perceptual_distance"] = round(perceptual_distance(
+                vgg_params, frames_a[:n], frames_b[:n]), 6)
+    return out
+
+
 def perceptual_distance(vgg_params, a: np.ndarray, b: np.ndarray,
                         chunk: int = 8) -> float:
     """LPIPS-style distance between uint8 RGB frames [T, H, W, 3]:

@@ -40,3 +40,28 @@ def test_parity_cli(tmp_path):
     assert out["landmark_l2_px"] == __import__("pytest").approx(np.sqrt(2), rel=1e-3)
     assert out["frames_compared"] == 8
     assert out["psnr_db"] > 20  # identical videos modulo codec loss
+
+
+def test_fidelity_report_shared_by_parity_and_e2e_eval():
+    """parity.py and e2e_subject's eval both print
+    utils.metrics.fidelity_report keys - ONE report path, so a released-
+    checkpoint comparison and the from-scratch loop score on one scale."""
+    from livespeechportraits_tpu.utils.metrics import fidelity_report
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-6, 6, a.shape), 0,
+                255).astype(np.uint8)
+    la = rng.uniform(0, 32, (4, 73, 2)).astype(np.float32)
+    r = fidelity_report(frames_a=a, frames_b=b, landmarks_a=la,
+                        landmarks_b=la + 2.0)
+    assert r["frames_compared"] == 4
+    assert r["landmark_l2_px"] == __import__("pytest").approx(
+        np.sqrt(8), rel=1e-3)
+    assert 20 < r["psnr_db"] < 60
+    assert r["perceptual_distance"] >= 0
+    assert "random-VGG" in r["perceptual_note"]
+    # landmark-only and frames-only calls degrade gracefully
+    assert set(fidelity_report(landmarks_a=la, landmarks_b=la)) == {
+        "landmark_l2_px"}
+    assert "landmark_l2_px" not in fidelity_report(frames_a=a, frames_b=b)

@@ -249,20 +249,32 @@ def phase_eval(root: str, unet_size: str = "small",
     gt_lm = gt["landmarks2d"][:n]
     gt_frames = _gt_val_frames(root, n)
 
+    from livespeechportraits_tpu.utils.metrics import fidelity_report
+
+    # one random-init VGG shared across every _scores call so the
+    # perceptual numbers are comparable rows of the same metric
+    from livespeechportraits_tpu.models import losses as losses_mod
+
+    vgg = losses_mod.init_vgg19()
+
     def _scores(res) -> dict:
         lm = res.landmarks[:n]
         op_p, op_g = _openness(lm), _openness(gt_lm)
         corr = float(np.corrcoef(op_p, op_g)[0, 1])
         rot_err = _angdiff(res.headpose[:n, 0], gt["rot"][:n, 0] + 360.0)
-        return {
-            "landmark_l2_px": round(float(np.linalg.norm(
-                lm - gt_lm, axis=-1).mean()), 3),
+        # the shared parity report (same function tools/parity.py prints
+        # for released-checkpoint comparisons) + e2e-specific motion rows
+        out = fidelity_report(frames_a=res.frames[:n], frames_b=gt_frames,
+                              landmarks_a=lm, landmarks_b=gt_lm,
+                              vgg_params=vgg)
+        out["perceptual_note"] = "random-VGG (relative comparisons only)"
+        out.update({
             "mouth_l2_px": round(float(np.linalg.norm(
                 lm[:, 46:64] - gt_lm[:, 46:64], axis=-1).mean()), 3),
             "mouth_open_corr": round(corr, 4),
             "rot_x_mae_deg": round(float(rot_err.mean()), 3),
-            "psnr_db": round(float(psnr(res.frames[:n], gt_frames)), 2),
-        }
+        })
+        return out
 
     metrics = {"trained": _scores(out)}
 

@@ -57,26 +57,19 @@ def main() -> None:
                    help="optional VGG19 .npz for the perceptual metric")
     args = p.parse_args()
 
-    from livespeechportraits_tpu.models import losses
     from livespeechportraits_tpu.utils import metrics
 
-    out = {}
-    if args.landmarks_a and args.landmarks_b:
-        la, lb = np.load(args.landmarks_a), np.load(args.landmarks_b)
-        out["landmark_l2_px"] = metrics.landmark_l2(la, lb)
-    if args.video_a and args.video_b:
-        va = load_video(args.video_a, args.max_frames)
-        vb = load_video(args.video_b, args.max_frames)
-        n = min(len(va), len(vb))
-        out["frames_compared"] = n
-        if n:
-            out["psnr_db"] = metrics.psnr(va[:n], vb[:n])
-            vgg = (losses.load_vgg19_npz(args.vgg_weights) if args.vgg_weights
-                   else losses.init_vgg19())
-            out["perceptual_distance"] = metrics.perceptual_distance(
-                vgg, va[:n], vb[:n])
-            out["perceptual_note"] = ("pretrained VGG" if args.vgg_weights
-                                      else "random-VGG (relative comparisons only)")
+    # the one shared report path (utils/metrics.fidelity_report): the e2e
+    # subject eval (tools/e2e_subject.py --phases eval) produces the SAME
+    # keys from the same functions, so released-checkpoint parity and the
+    # from-scratch loop score on one scale
+    la = np.load(args.landmarks_a) if args.landmarks_a else None
+    lb = np.load(args.landmarks_b) if args.landmarks_b else None
+    va = load_video(args.video_a, args.max_frames) if args.video_a else None
+    vb = load_video(args.video_b, args.max_frames) if args.video_b else None
+    out = metrics.fidelity_report(
+        frames_a=va, frames_b=vb, landmarks_a=la, landmarks_b=lb,
+        vgg_weights_path=args.vgg_weights)
     print(json.dumps(out, indent=2))
 
 

@@ -74,12 +74,16 @@ def main() -> None:
                                        render_batch=max(4, chunk // 2),
                                        pipeline_depth=depth, transfer=transfer)
                 push = int(chunk / 60 * 16000) + 1  # one chunk of audio per push
-                times, frames = [], 0
+                times, frames, stage_rows = [], 0, []
                 for lo in range(0, len(audio), push):
+                    before = dict(st.stage_ms)
                     t0 = time.perf_counter()
                     out = st.push_audio(audio[lo : lo + push])
                     frames += len(out)
                     times.append(time.perf_counter() - t0)
+                    stage_rows.append({k: st.stage_ms.get(k, 0.0)
+                                       - before.get(k, 0.0)
+                                       for k in st.stage_ms})
                 t0 = time.perf_counter()
                 frames += len(st.flush())
                 flush_s = time.perf_counter() - t0
@@ -114,6 +118,13 @@ def main() -> None:
                 "realtime_sustained": (bool(times_ms.mean() < chunk / 60 * 1e3)
                                        if depth >= 1 else None),
                 "latency_frames_algorithmic": st.latency_frames,
+                # per-stage medians over the steady-state pushes: the
+                # dispatch-budget attribution (which advance pays the
+                # relay round-trips) that decides what to fuse next
+                "stage_ms_p50": {
+                    k: round(float(np.percentile(
+                        [r.get(k, 0.0) for r in stage_rows[2:]], 50)), 1)
+                    for k in (stage_rows[-1] if stage_rows else {})},
                 "device": str(jax.devices()[0]),
             }))
 
