@@ -242,6 +242,45 @@ def _decode_chunk_cond(params, cfg, state, prev, cond_rows, keys, valid,
                                 keys, valid, sigma_scale)
 
 
+@functools.partial(jax.jit, static_argnames=("a2h_cfg", "sigma_scale"))
+def _motion_chunk_fused(a2f_params, a2h_params, a2h_cfg, pairs, lstm_state,
+                        wn_state, prev, keys, old_tail, win_off, sigma_scale):
+    """Steady-state fused motion advance: the A2F LSTM chunk, the A2H
+    audio downsample and the A2H WaveNet/GMM decode in ONE device
+    program, outputs packed into ONE [C, a2f+cond+ndim] f32 buffer - a
+    single dispatch and a single blocking fetch per chunk instead of
+    three of each (each forced fetch costs a full relay round-trip on
+    this harness; see CLAUDE.md).  Inlines the exact per-stage programs
+    (_lstm_chunk_masked / _audio_downsample / _decode_chunk_cond), so the
+    math is the same ops in the same order.
+
+    The decode's conditioning window trails the downsample front by
+    0 <= lag < C rows in steady state, so it straddles previously
+    computed rows and this chunk's fresh ones: old_tail [C, D] carries
+    the last C cached rows and the window is a dynamic_slice at win_off
+    (= C - lag, traced, so a drifting lag never recompiles) of their
+    concatenation with the fresh rows.  Eligibility (exactly one chunk of
+    advance for every stage) is checked by the caller
+    (StreamingAnimator._advance_motion_fused); everything else falls back
+    to the per-stage path."""
+    import livespeechportraits_tpu.models.audio2headpose as a2h_mod
+
+    C = pairs.shape[0]
+    valid = jnp.ones((C,), bool)
+    a2f_out, lstm_state = _lstm_chunk_masked(a2f_params, pairs, lstm_state,
+                                             valid)
+    new_rows, _ = a2h_mod._audio_downsample(a2h_params, pairs[None], False)
+    rows2c = jnp.concatenate([old_tail, new_rows[0]], axis=0)  # [2C, D]
+    cond = jax.lax.dynamic_slice(
+        rows2c, (win_off, jnp.int32(0)), (C, rows2c.shape[1]))
+    wn_state, prev, samples = _decode_chunk_cond(
+        a2h_params, a2h_cfg, wn_state, prev, cond, keys, valid, sigma_scale)
+    packed = jnp.concatenate(
+        [a2f_out.astype(jnp.float32), new_rows[0].astype(jnp.float32),
+         samples.astype(jnp.float32)], axis=1)
+    return packed, lstm_state, wn_state, prev
+
+
 class _StreamSmoother:
     """Exact streaming equivalent of scipy/our gaussian_filter1d: emits
     output t once inputs through t+radius exist; the left boundary uses the
@@ -495,6 +534,55 @@ class StreamingAnimator:
                    max(len(self._feats) - 2, 0))
         self._feats.retire(upto)
 
+    def _advance_motion_fused(self) -> bool:
+        """One-program steady-state advance of A2F + A2H downsample + A2H
+        decode (see _motion_chunk_fused).  Engages only when every stage
+        advances by exactly one chunk (the steady state of chunk-sized
+        pushes) and the decode's conditioning window fits in the last C
+        cached rows + the fresh chunk; returns False otherwise so
+        push_audio runs the per-stage path (startup, flush, ragged
+        pushes, catch-up bursts).  The WaveNet ring state must already be
+        primed (the first pushes always go per-stage)."""
+        C = self.chunk
+        T = len(self._feats) // 2
+        done = len(self._a2f_raw)
+        lo = len(self._down_rows)
+        total = T - self.ff_h
+        lag = (total - self._decoded) - C  # decode's trail behind the front
+        if (self._wn_state is None or T - done != C or T - lo != C
+                or lag < 0 or lag >= C or lo < C):
+            return False
+        pairs = self._feats.slice(2 * done, 2 * T).reshape(C, -1)
+        keys = jax.vmap(lambda i: jax.random.fold_in(self.key, i))(
+            jnp.arange(self._decoded, self._decoded + C))
+        # the un-retired cached rows are exactly [decoded + ff_h, lo) - the
+        # `lag` rows the decode window still needs; pad to the fixed [C, D]
+        # shape at the front (the padding sits below the window offset and
+        # is never read by the dynamic_slice)
+        kept = self._down_rows.slice(self._decoded + self.ff_h, lo)
+        old_tail = np.concatenate(
+            [np.zeros((C - lag,) + kept.shape[1:], np.float32), kept])
+        state1 = jax.tree.map(lambda b: b[None], self._wn_state)
+        packed, self._lstm, state1, self._prev_sample = _motion_chunk_fused(
+            self.models.audio2feature, self.models.audio2headpose,
+            self.cfg.audio2headpose, jnp.asarray(pairs), self._lstm,
+            state1, self._prev_sample, keys, jnp.asarray(old_tail),
+            jnp.int32(C - lag),
+            float(self.cfg.audio2headpose.sample_sigma_scale))
+        self._wn_state = jax.tree.map(lambda b: b[0], state1)
+        arr = np.asarray(packed)  # the ONE blocking fetch for this chunk
+        d_out = self.cfg.audio2feature.output_dim
+        d_cond = self.cfg.audio2headpose.wavenet.cond_channels
+        self._a2f_raw.append(arr[:, :d_out])
+        self._down_rows.append(arr[:, d_out:d_out + d_cond])
+        self._head_raw.append(arr[:, d_out + d_cond:])
+        self._decoded += C
+        self._down_rows.retire(self._decoded + self.ff_h)
+        self._retire_feats()
+        self.stage_ms["fused_chunks"] = self.stage_ms.get("fused_chunks",
+                                                          0.0) + 1
+        return True
+
     def _advance_a2h(self, flush: bool) -> None:
         T = len(self._feats) // 2
         if T == 0:
@@ -686,8 +774,9 @@ class StreamingAnimator:
             return out
 
         _timed("mel_apc", self._advance_mel_apc, flush=False)
-        _timed("a2f", self._advance_a2f, flush=False)
-        _timed("a2h", self._advance_a2h, flush=False)
+        if not _timed("motion_fused", self._advance_motion_fused):
+            _timed("a2f", self._advance_a2f, flush=False)
+            _timed("a2h", self._advance_a2h, flush=False)
         mouth_sm, rot_sm, trans_sm = _timed("post", self._advance_post)
         return _timed("finalize_render", self._finalize_frames,
                       mouth_sm, rot_sm, trans_sm)

@@ -59,6 +59,36 @@ def test_streaming_matches_offline(person):
     assert (diff > 0).mean() < 0.01
 
 
+def test_streaming_fused_motion_chunk_engages_and_is_bitwise(person):
+    """The steady-state fused motion advance (one program + one fetch for
+    A2F + A2H downsample + A2H decode) must actually ENGAGE on chunk-sized
+    pushes and emit bitwise-identical frames to the per-stage path - it is
+    a dispatch-count optimisation, never a numerics change."""
+    cfg, a, m = person
+    audio = _sine_audio(2.0)
+
+    def run(disable):
+        s = StreamingAnimator(cfg, a, m, seed=7, chunk=16, render_batch=4)
+        if disable:
+            s._advance_motion_fused = lambda: False
+        frames = []
+        push = int(16 / 60 * 16000) + 1
+        for lo in range(0, len(audio), push):
+            out = s.push_audio(audio[lo:lo + push])
+            if len(out):
+                frames.append(out)
+        tail = s.flush()
+        if len(tail):
+            frames.append(tail)
+        return np.concatenate(frames), s.stage_ms.get("fused_chunks", 0)
+
+    fused_frames, engaged = run(False)
+    legacy_frames, zero = run(True)
+    assert engaged >= 3, f"fused path never reached steady state ({engaged})"
+    assert zero == 0
+    np.testing.assert_array_equal(fused_frames, legacy_frames)
+
+
 def test_streaming_incremental_emission(person):
     """Frames must come out during the stream, not only at flush."""
     cfg, a, m = person
