@@ -97,7 +97,7 @@ def _clips(root: str, apc_ckpt: str, names):
 
 
 def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
-              lr: float = 1e-4) -> str:
+              lr: float = 1e-4, decay_epochs: int = 0) -> str:
     from livespeechportraits_tpu.config import Audio2FeatureConfig
     from livespeechportraits_tpu.train import datasets, trainer
 
@@ -106,7 +106,8 @@ def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
         [c], task="audio2feature", seq_len=240, frame_jump_stride=4,
         device_audio=True)
     loop = trainer.TrainLoopConfig(
-        n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
+        n_epochs=epochs, n_epochs_decay=decay_epochs, lr=lr,
+        batch_size=batch,
         checkpoints_dir=os.path.join(root, "ckpt"), name="a2f",
         save_epoch_freq=max(1, epochs // 2), validate_epoch=1)
     trainer.train_audio2feature(Audio2FeatureConfig(), loop, mk(tr), mk(va))
@@ -114,7 +115,7 @@ def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
 
 
 def phase_a2h(root: str, apc_ckpt: str, epochs: int = 10, batch: int = 16,
-              lr: float = 1e-4) -> str:
+              lr: float = 1e-4, decay_epochs: int = 0) -> str:
     from livespeechportraits_tpu.config import Audio2HeadposeConfig
     from livespeechportraits_tpu.train import datasets, trainer
 
@@ -125,7 +126,8 @@ def phase_a2h(root: str, apc_ckpt: str, epochs: int = 10, batch: int = 16,
         receptive_field=cfg.wavenet.receptive_field,
         frame_future=cfg.frame_future, device_audio=True)
     loop = trainer.TrainLoopConfig(
-        n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
+        n_epochs=epochs, n_epochs_decay=decay_epochs, lr=lr,
+        batch_size=batch,
         checkpoints_dir=os.path.join(root, "ckpt"), name="a2h",
         save_epoch_freq=max(1, epochs // 2), validate_epoch=1)
     trainer.train_audio2headpose(cfg, loop, mk(tr), mk(va))
@@ -320,6 +322,10 @@ def main() -> None:
     p.add_argument("--apc_epochs", type=int, default=30)
     p.add_argument("--a2f_epochs", type=int, default=12)
     p.add_argument("--a2h_epochs", type=int, default=10)
+    p.add_argument("--a2f_decay", type=int, default=0,
+                   help="extra linearly-decaying epochs after --a2f_epochs "
+                        "(reference niter/niter_decay scheme)")
+    p.add_argument("--a2h_decay", type=int, default=0)
     p.add_argument("--f2f_epochs", type=int, default=2)
     p.add_argument("--f2f_batch", type=int, default=4)
     p.add_argument("--eval_seconds", type=float, default=0.0,
@@ -343,9 +349,11 @@ def main() -> None:
     if "pack" in phases:
         phase_pack(args.root, apc_ckpt, unet_size=args.unet_size)
     if "a2f" in phases:
-        phase_a2f(args.root, apc_ckpt, epochs=args.a2f_epochs)
+        phase_a2f(args.root, apc_ckpt, epochs=args.a2f_epochs,
+                  decay_epochs=args.a2f_decay)
     if "a2h" in phases:
-        phase_a2h(args.root, apc_ckpt, epochs=args.a2h_epochs)
+        phase_a2h(args.root, apc_ckpt, epochs=args.a2h_epochs,
+                  decay_epochs=args.a2h_decay)
     if "f2f" in phases:
         phase_f2f(args.root, unet_size=args.unet_size,
                   epochs=args.f2f_epochs, batch=args.f2f_batch)
