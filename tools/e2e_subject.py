@@ -67,7 +67,7 @@ def phase_apc(root: str, epochs: int = 30, window: int = 480,
     return os.path.join(root, "ckpt", "apc", "ckpt")
 
 
-def phase_pack(root: str, apc_ckpt: str, unet_size: str = "small",
+def phase_pack(root: str, apc_ckpt: str, unet_size: str = "normal",
                bank_stride: int = 2) -> None:
     """Build the servable pack from the TRAIN clip + the pretrained APC."""
     from livespeechportraits_tpu.config import APCConfig
@@ -134,7 +134,7 @@ def phase_a2h(root: str, apc_ckpt: str, epochs: int = 10, batch: int = 16,
     return os.path.join(root, "ckpt", "a2h", "ckpt")
 
 
-def phase_f2f(root: str, unet_size: str = "small", epochs: int = 2,
+def phase_f2f(root: str, unet_size: str = "normal", epochs: int = 2,
               batch: int = 4, lr: float = 2e-4, frame_jump: int = 2,
               fused: bool = True) -> str:
     import shutil
@@ -209,7 +209,7 @@ def _angdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.abs((a - b + 180.0) % 360.0 - 180.0)
 
 
-def phase_eval(root: str, unet_size: str = "small",
+def phase_eval(root: str, unet_size: str = "normal",
                render_batch: int = 8, seed: int = 0,
                eval_seconds: float = 0.0) -> dict:
     """Serve the trained subject on HELD-OUT audio and score it.
@@ -316,7 +316,10 @@ def main() -> None:
     p.add_argument("--root", default="/tmp/e2e_subject/E2ESynth")
     p.add_argument("--train_frames", type=int, default=3600)
     p.add_argument("--val_frames", type=int, default=1440)
-    p.add_argument("--unet_size", default="small",
+    p.add_argument("--unet_size", default="normal",
+                   # 'small' is input_nc=23 (part-channel feature maps) and
+                   # cannot sit behind the single-channel-edge serving path
+                   
                    choices=["small", "normal", "large"])
     p.add_argument("--phases", default="clips,apc,pack,a2f,a2h,f2f,eval")
     p.add_argument("--apc_epochs", type=int, default=30)
