@@ -443,6 +443,10 @@ def _face_batches(sampler, batch_size: int, rng: np.random.Generator,
                   shuffle: bool = True,
                   drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
     shared = sampler.shared_cand_array()
+    # one [1, H, W, 12] view per epoch, not per batch: the trainer's
+    # device cache keys on the view's base array, and every batch sharing
+    # one view object keeps even an id()-keyed cache from churning
+    shared_b = shared[None] if shared is not None else None
     order = np.arange(len(sampler))
     if shuffle:
         rng.shuffle(order)
@@ -451,10 +455,10 @@ def _face_batches(sampler, batch_size: int, rng: np.random.Generator,
         samples = [sampler.sample(int(i), rng) for i in order[lo : lo + batch_size]]
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]
                  if not (shared is not None and k == "cand_image")}
-        if shared is not None:
+        if shared_b is not None:
             # leading dim 1: uploaded once per process (trainer caches the
             # device copy), broadcast on device inside the step
-            batch["cand_image"] = shared[None]
+            batch["cand_image"] = shared_b
         yield batch
 
 

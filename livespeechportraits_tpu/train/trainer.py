@@ -127,13 +127,19 @@ def _place_batch(batch, mesh):
         else jax.device_put
     c = batch.get("cand_image") if isinstance(batch, dict) else None
     if isinstance(c, np.ndarray) and c.ndim == 4 and c.shape[0] == 1:
-        key = (id(c), id(mesh) if mesh is not None else None)
+        # identity = the underlying buffer, not the view: samplers emit a
+        # fresh [None] view of the same candidate array every batch, and
+        # keying on the view would re-upload AND retain a device copy per
+        # batch (~12.6 MB each at 512^2 - an HBM leak that OOMed a 140-step
+        # campaign before it was keyed this way)
+        base = c.base if isinstance(c.base, np.ndarray) else c
+        key = (id(base), id(mesh) if mesh is not None else None)
         ent = _shared_cand_cache.get(key)
-        if ent is None or ent[0] is not c:  # id() reuse after GC: re-place
+        if ent is None or ent[0] is not base:  # id() reuse after GC: re-place
             dev = jax.device_put(
                 c, mesh_mod.replicated(mesh)) if mesh is not None \
                 else jax.device_put(c)
-            ent = (c, dev)
+            ent = (base, dev)
             _shared_cand_cache[key] = ent
         batch = {k: v for k, v in batch.items() if k != "cand_image"}
         batch = place(batch)

@@ -448,3 +448,22 @@ def test_trainer_place_batch_caches_shared_cand():
     assert q1["cand_image"] is q2["cand_image"]
     assert q1["cand_image"].sharding.is_fully_replicated
     assert not q1["tgt_image"].sharding.is_fully_replicated
+
+
+def test_trainer_place_batch_caches_across_views():
+    """The production samplers emit a FRESH [None] view of the one
+    candidate array every epoch; the cache must key on the underlying
+    buffer, not the view object, or every miss both re-uploads and
+    retains a device copy (~12.6 MB each at 512^2 - the HBM leak that
+    OOMed the round-4 800-step campaign at step ~140)."""
+    from livespeechportraits_tpu.train import trainer
+
+    base = np.zeros((8, 8, 12), np.float32)
+    n0 = len(trainer._shared_cand_cache)
+    placed = [trainer._place_batch(
+        {"cand_image": base[None],  # distinct view object each call
+         "tgt_image": np.zeros((4, 8, 8, 3), np.uint8)}, None)
+        for _ in range(3)]
+    assert placed[0]["cand_image"] is placed[1]["cand_image"]
+    assert placed[1]["cand_image"] is placed[2]["cand_image"]
+    assert len(trainer._shared_cand_cache) == n0 + 1

@@ -683,6 +683,20 @@ def test_f2f_step_diet_equals_legacy():
                  g1.params, g2.params)
 
 
+def test_face_batches_emit_one_cand_view_per_epoch():
+    """_face_batches must reuse ONE [1,H,W,12] view object across an
+    epoch's batches: the trainer's device cache keys on the view's base,
+    and per-batch fresh views used to re-upload + retain a device copy
+    each step (the round-4 campaign OOM)."""
+    images, lms, sh, cands = _diet_face_data()
+    s = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32,
+                                  emit_weight_mask=False)
+    batches = list(s.batches(4, np.random.default_rng(0)))
+    assert len(batches) >= 2
+    assert batches[0]["cand_image"] is batches[1]["cand_image"]
+    assert batches[0]["cand_image"].base is not None
+
+
 def test_concat_face_sampler_shared_cand_guard():
     images, lms, sh, cands = _diet_face_data()
     s1 = datasets.FaceFrameSampler(images, lms, sh, cands, load_size=32)
