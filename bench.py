@@ -129,24 +129,36 @@ def main() -> None:
         fetch_ms = result.stage_ms.get("render", 0.0)
         return total_ms - fetch_ms, fetch_ms
 
-    # Raw link probe: time fixed-size device->host fetches of an already-
-    # materialised buffer, so the artifact can separate "the link was slow
-    # in this window" from "the pipeline under-delivers" (the two were
-    # indistinguishable in BENCH_r03).  A tiny fetch first gives the
-    # per-fetch round-trip latency; the MB/s number is latency-corrected.
+    # Raw link probe: time fixed-size device->host fetches so the artifact
+    # can separate "the link was slow in this window" from "the pipeline
+    # under-delivers" (the two were indistinguishable in BENCH_r03).  A
+    # tiny fetch gives the per-fetch round-trip latency; the MB/s number
+    # is latency-corrected.  Each iteration fetches a FRESH device-computed
+    # array: jax.Array caches its fetched value (`_npy_value`), so timing a
+    # second np.asarray of the same array measures a host memcpy, not the
+    # link (BENCH_r04's first capture read 419 GB/s this way).
     import jax.numpy as jnp_
 
-    probe = jax.device_put(np.zeros(4 * 1024 * 1024, np.uint8))
-    tiny = jax.device_put(np.zeros(1, np.uint8))
-    float(jnp_.sum(probe[:1]).astype(jnp_.float32))  # true barrier
+    _mk_probe = jax.jit(
+        lambda s: jnp_.full((4 * 1024 * 1024,), s, jnp_.uint8))
+    _mk_tiny = jax.jit(lambda s: jnp_.full((1,), s, jnp_.uint8))
     rtts, bigs = [], []
-    for _ in range(3):
+    for i in range(4):  # first iteration = compile warmup, discarded
+        t = _mk_tiny(np.uint8(i))
+        p = _mk_probe(np.uint8(i))
+        # true barriers (block_until_ready unreliable over the tunnel);
+        # fetching a 1-element slice does not populate the full cache
+        float(jnp_.sum(t.astype(jnp_.float32)))
+        float(jnp_.sum(p[:1].astype(jnp_.float32)))
         t0 = time.perf_counter()
-        np.asarray(tiny)
-        rtts.append(time.perf_counter() - t0)
+        np.asarray(t)
+        rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(probe)
-        bigs.append(time.perf_counter() - t0)
+        np.asarray(p)
+        big = time.perf_counter() - t0
+        if i > 0:
+            rtts.append(rtt)
+            bigs.append(big)
     link_rtt_ms = float(np.median(rtts)) * 1e3
     link_probe_mbps = 4.0 / max(float(np.median(bigs))
                                 - float(np.median(rtts)), 1e-6)

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from livespeechportraits_tpu import native as _native
+
 # JPEG Annex-K base quantization tables (the spec's example tables, used
 # by libjpeg and virtually every encoder).
 _Q_LUMA = np.array([
@@ -184,6 +186,24 @@ def _decode_plane(code: np.ndarray, qvec: np.ndarray, h: int, w: int,
 
 def _zig_qvec(base: np.ndarray, quality: int, k: int) -> np.ndarray:
     return quant_table(base, quality).reshape(-1)[_ZIGZAG[:k]]
+
+
+@functools.lru_cache(maxsize=16)
+def _dequant_idct_basis_cached(is_luma: bool, quality: int,
+                               k: int) -> np.ndarray:
+    """[k, 64] dequantize+iDCT operator: only the k kept zigzag
+    coefficients are nonzero, so the whole per-block inverse collapses to
+    ONE (nblocks, k) @ (k, 64) GEMM - x[i,j] = sum_k c_k q_k
+    D[u_k,i] D[v_k,j].  Shared by the CPU-XLA decoders below and the
+    native C++ decoder (livespeechportraits_tpu/native)."""
+    base = _Q_LUMA if is_luma else _Q_CHROMA
+    qvec = _zig_qvec(base, quality, k)
+    d = dct_matrix()
+    rows = []
+    for kk in range(k):
+        u, v = divmod(int(_ZIGZAG[kk]), 8)
+        rows.append(np.outer(d[u], d[v]).reshape(64) * qvec[kk])
+    return np.ascontiguousarray(np.stack(rows), np.float32)
 
 
 def encode_yuv420(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -356,17 +376,8 @@ def _cpu_decoder_p4(h: int, w: int, quality: int, k_y: int, k_c: int):
     dequantize+iDCT GEMM + color conversion in one program (same
     structure as _cpu_decoder; numpy reference pinned equal in
     tests/test_compress.py)."""
-    def _basis(k: int, base: np.ndarray) -> np.ndarray:
-        qvec = _zig_qvec(base, quality, k)
-        d = dct_matrix()
-        rows = []
-        for kk in range(k):
-            u, v = divmod(int(_ZIGZAG[kk]), 8)
-            rows.append(np.outer(d[u], d[v]).reshape(64) * qvec[kk])
-        return np.stack(rows).astype(np.float32)
-
-    by = jnp.asarray(_basis(k_y, _Q_LUMA))
-    bc = jnp.asarray(_basis(k_c, _Q_CHROMA))
+    by = jnp.asarray(_dequant_idct_basis_cached(True, quality, k_y))
+    bc = jnp.asarray(_dequant_idct_basis_cached(False, quality, k_c))
 
     def plane(code, basis, hh, ww, k):
         B = code.shape[0]
@@ -399,8 +410,19 @@ def _cpu_decoder_p4(h: int, w: int, quality: int, k_y: int, k_c: int):
 def decode_to_rgb_p4(packed: np.ndarray, h: int, w: int,
                      quality: int = None, k_y: int = None,
                      k_c: int = None) -> np.ndarray:
-    """Host: pack4 code -> [B, h, w, 3] uint8 RGB (fused CPU-XLA)."""
+    """Host: pack4 code -> [B, h, w, 3] uint8 RGB.
+
+    Dispatches to the native C++ decoder when available (GIL-free, no
+    framework buffer copies - see livespeechportraits_tpu/native), else
+    the fused CPU-XLA program.  The two are pinned equal to within 1 LSB
+    in tests/test_native_codec.py (float32 dot-order is the only slack).
+    """
     quality, k_y, k_c = _p4_defaults(quality, k_y, k_c)
+    if _native.get_lib() is not None:
+        return _native.decode_p4(
+            np.asarray(packed), h, w, k_y, k_c,
+            _dequant_idct_basis_cached(True, quality, k_y),
+            _dequant_idct_basis_cached(False, quality, k_c))
     return _cpu_decoder_p4(h, w, quality, k_y, k_c)(np.asarray(packed))
 
 
@@ -443,23 +465,8 @@ def _cpu_decoder(h: int, w: int, quality: int, k_y: int, k_c: int):
     times faster and keeps the hot path identical under the axon and cpu
     backends (both expose a CpuDevice)."""
     ny, nc = _plane_sizes(h, w, k_y, k_c)
-    qy = _zig_qvec(_Q_LUMA, quality, k_y)
-    qc = _zig_qvec(_Q_CHROMA, quality, k_c)
-
-    def _basis(k: int, qvec: np.ndarray) -> np.ndarray:
-        """[k, 64] dequantize+iDCT operator: only the k kept zigzag
-        coefficients are nonzero, so the whole per-block inverse collapses
-        to ONE (nblocks, k) @ (k, 64) GEMM - x[i,j] = sum_k c_k q_k
-        D[u_k,i] D[v_k,j]."""
-        d = dct_matrix()
-        rows = []
-        for kk in range(k):
-            u, v = divmod(int(_ZIGZAG[kk]), 8)
-            rows.append(np.outer(d[u], d[v]).reshape(64) * qvec[kk])
-        return np.stack(rows).astype(np.float32)
-
-    by = jnp.asarray(_basis(k_y, qy))
-    bc = jnp.asarray(_basis(k_c, qc))
+    by = jnp.asarray(_dequant_idct_basis_cached(True, quality, k_y))
+    bc = jnp.asarray(_dequant_idct_basis_cached(False, quality, k_c))
 
     def plane(code, basis, hh, ww, k):
         B = code.shape[0]
@@ -522,15 +529,28 @@ def _cpu_i420_to_rgb(h: int, w: int):
 def i420_to_rgb(i420: np.ndarray, h: int, w: int) -> np.ndarray:
     """[B, h*w*3/2] planar I420 uint8 -> [B, h, w, 3] uint8 RGB as one
     fused CPU-XLA program (~60x the numpy path on this host's one core;
-    bitwise-pinned to animate.yuv420_to_rgb in tests/test_compress.py)."""
+    bitwise-pinned to animate.yuv420_to_rgb in tests/test_compress.py).
+
+    Stays on CPU-XLA by measurement: the native C++ conversion reads
+    5.4 ms/frame vs XLA's 1.6 at 512^2 on this host (XLA vectorizes the
+    pure-elementwise kernel better than the scalar interleaved-RGB
+    loop); native.i420_to_rgb exists for the decoders, where it runs on
+    cache-hot planes, and is pinned bitwise-equal in
+    tests/test_native_codec.py."""
     return _cpu_i420_to_rgb(h, w)(np.asarray(i420))
 
 
 def decode_to_rgb(packed: np.ndarray, h: int, w: int, quality: int = None,
                   k_y: int = None, k_c: int = None) -> np.ndarray:
-    """Host: packed code -> [B, h, w, 3] uint8 RGB in one fused CPU-XLA
-    program (dequantize + zigzag scatter + iDCT + color conversion); the
-    numpy reference path is decode_to_yuv + animate.yuv420_to_rgb, pinned
-    equal in tests/test_compress.py."""
+    """Host: packed code -> [B, h, w, 3] uint8 RGB - native C++ when
+    available, else one fused CPU-XLA program (dequantize + zigzag
+    scatter + iDCT + color conversion); the numpy reference path is
+    decode_to_yuv + animate.yuv420_to_rgb, pinned equal in
+    tests/test_compress.py and tests/test_native_codec.py."""
     quality, k_y, k_c = _defaults(quality, k_y, k_c)
+    if _native.get_lib() is not None:
+        return _native.decode_zonal(
+            np.asarray(packed), h, w, k_y, k_c,
+            _dequant_idct_basis_cached(True, quality, k_y),
+            _dequant_idct_basis_cached(False, quality, k_c))
     return _cpu_decoder(h, w, quality, k_y, k_c)(np.asarray(packed))
