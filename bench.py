@@ -133,14 +133,22 @@ def main() -> None:
     # can separate "the link was slow in this window" from "the pipeline
     # under-delivers" (the two were indistinguishable in BENCH_r03).  A
     # tiny fetch gives the per-fetch round-trip latency; the MB/s number
-    # is latency-corrected.  Each iteration fetches a FRESH device-computed
-    # array: jax.Array caches its fetched value (`_npy_value`), so timing a
-    # second np.asarray of the same array measures a host memcpy, not the
-    # link (BENCH_r04's first capture read 419 GB/s this way).
+    # is latency-corrected.  Two hard-won details: (1) each iteration
+    # fetches a FRESH device-computed array - jax.Array caches its fetched
+    # value (`_npy_value`), so timing a second np.asarray of the same
+    # array measures a host memcpy, not the link (BENCH_r04's first
+    # capture read 419 GB/s this way); (2) the buffer is PRNG bytes, not a
+    # constant - the relay transport compresses, and a zeros probe read
+    # 45 MB/s in a window whose real (compressed-frame) fetches moved at
+    # 7, so only incompressible bytes measure the floor the pipeline sees.
     import jax.numpy as jnp_
 
-    _mk_probe = jax.jit(
-        lambda s: jnp_.full((4 * 1024 * 1024,), s, jnp_.uint8))
+    def _rand_bytes(s):
+        bits = jax.random.bits(jax.random.PRNGKey(s), (1024 * 1024,),
+                               jnp_.uint32)
+        return jax.lax.bitcast_convert_type(bits, jnp_.uint8).reshape(-1)
+
+    _mk_probe = jax.jit(_rand_bytes)
     _mk_tiny = jax.jit(lambda s: jnp_.full((1,), s, jnp_.uint8))
     rtts, bigs = [], []
     for i in range(4):  # first iteration = compile warmup, discarded
