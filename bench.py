@@ -131,45 +131,14 @@ def main() -> None:
 
     # Raw link probe: time fixed-size device->host fetches so the artifact
     # can separate "the link was slow in this window" from "the pipeline
-    # under-delivers" (the two were indistinguishable in BENCH_r03).  A
-    # tiny fetch gives the per-fetch round-trip latency; the MB/s number
-    # is latency-corrected.  Two hard-won details: (1) each iteration
-    # fetches a FRESH device-computed array - jax.Array caches its fetched
-    # value (`_npy_value`), so timing a second np.asarray of the same
-    # array measures a host memcpy, not the link (BENCH_r04's first
-    # capture read 419 GB/s this way); (2) the buffer is PRNG bytes, not a
-    # constant - the relay transport compresses, and a zeros probe read
-    # 45 MB/s in a window whose real (compressed-frame) fetches moved at
-    # 7, so only incompressible bytes measure the floor the pipeline sees.
-    import jax.numpy as jnp_
+    # under-delivers" (the two were indistinguishable in BENCH_r03).
+    # Shared implementation (the fresh-array + PRNG-bytes details it took
+    # two fixes to get right): utils/profiling.link_probe.
+    from livespeechportraits_tpu.utils import profiling
 
-    def _rand_bytes(s):
-        bits = jax.random.bits(jax.random.PRNGKey(s), (1024 * 1024,),
-                               jnp_.uint32)
-        return jax.lax.bitcast_convert_type(bits, jnp_.uint8).reshape(-1)
-
-    _mk_probe = jax.jit(_rand_bytes)
-    _mk_tiny = jax.jit(lambda s: jnp_.full((1,), s, jnp_.uint8))
-    rtts, bigs = [], []
-    for i in range(4):  # first iteration = compile warmup, discarded
-        t = _mk_tiny(np.uint8(i))
-        p = _mk_probe(np.uint8(i))
-        # true barriers (block_until_ready unreliable over the tunnel);
-        # fetching a 1-element slice does not populate the full cache
-        float(jnp_.sum(t.astype(jnp_.float32)))
-        float(jnp_.sum(p[:1].astype(jnp_.float32)))
-        t0 = time.perf_counter()
-        np.asarray(t)
-        rtt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(p)
-        big = time.perf_counter() - t0
-        if i > 0:
-            rtts.append(rtt)
-            bigs.append(big)
-    link_rtt_ms = float(np.median(rtts)) * 1e3
-    link_probe_mbps = 4.0 / max(float(np.median(bigs))
-                                - float(np.median(rtts)), 1e-6)
+    _lp = profiling.link_probe()
+    link_rtt_ms = _lp["link_rtt_ms"]
+    link_probe_mbps = _lp["link_probe_mbps"]
 
     # Headline: the production serving configuration - motion half fused
     # into ONE device program, everything dispatched asynchronously, one

@@ -281,6 +281,44 @@ def _motion_chunk_fused(a2f_params, a2h_params, a2h_cfg, pairs, lstm_state,
     return packed, lstm_state, wn_state, prev
 
 
+@functools.partial(jax.jit, static_argnames=("a2h_cfg", "use_lle", "knear",
+                                              "percent", "residual",
+                                              "sigma_scale"))
+def _stream_chunk_fused(apc_layers, a2f_params, a2h_params, a2h_cfg,
+                        audio_span, offsets, apc_h, lle_base, lstm_state,
+                        wn_state, prev, keys, old_tail, win_off,
+                        use_lle, knear, percent, residual, sigma_scale):
+    """Steady-state fused WHOLE-MOTION-HALF advance: mel framing + APC GRU
+    + LLE + A2F LSTM + A2H downsample + A2H WaveNet/GMM decode in ONE
+    device program with ONE flat f32 output buffer.
+
+    vs the two-program steady state (_audio_feats_chunk then
+    _motion_chunk_fused) this removes, per chunk: one dispatch (~30 ms
+    relay RTT), one blocking feature fetch (another RTT), and the
+    device->host->device round trip of the feature rows (the per-stage
+    path fetches feats only to re-upload them as `pairs`).  The feature
+    rows still come back to the host - inside the same packed fetch - so
+    the host-side buffers, retirement logic and flush tail stay byte
+    identical with the per-stage path.
+
+    Inlines the exact per-stage jitted programs, so the math is the same
+    ops in the same order (the convention every fused path here follows);
+    bitwise equality vs the per-stage stream is asserted in
+    tests/test_streaming.py."""
+    C2 = offsets.shape[0]  # 2*chunk mel rows
+    feats, new_apc_h = _audio_feats_chunk(
+        apc_layers, audio_span, offsets, apc_h,
+        jnp.ones((C2,), bool), lle_base, use_lle, knear, percent,
+        residual=residual)
+    pairs = feats.reshape(C2 // 2, -1)
+    packed, lstm_state, wn_state, prev = _motion_chunk_fused(
+        a2f_params, a2h_params, a2h_cfg, pairs, lstm_state, wn_state,
+        prev, keys, old_tail, win_off, sigma_scale)
+    flat = jnp.concatenate([packed.ravel(),
+                            feats.astype(jnp.float32).ravel()])
+    return flat, new_apc_h, lstm_state, wn_state, prev
+
+
 class _StreamSmoother:
     """Exact streaming equivalent of scipy/our gaussian_filter1d: emits
     output t once inputs through t+radius exist; the left boundary uses the
@@ -583,6 +621,85 @@ class StreamingAnimator:
                                                           0.0) + 1
         return True
 
+    def _advance_stream_fused(self) -> bool:
+        """One-program steady-state advance of the ENTIRE motion half -
+        mel + APC + LLE + A2F + A2H downsample + A2H decode (see
+        _stream_chunk_fused).  Engages when the pending audio admits
+        exactly one 2*chunk mel block AND every downstream stage would
+        then advance by exactly one chunk; returns False otherwise
+        (startup, flush, ragged pushes and catch-up bursts go per-stage,
+        which stays bit-identical)."""
+        C = self.chunk
+        a = self._mel_done
+        b = a + 2 * C
+        if (_mel_sample_end(b - 1) > self._total_samples
+                # 2+ blocks pending: catch up per-stage
+                or _mel_sample_end(b + 2 * C - 1) <= self._total_samples
+                or len(self._feats) % 2):
+            return False
+        T = len(self._feats) // 2
+        done = len(self._a2f_raw)
+        lo = len(self._down_rows)
+        lag = T - self.ff_h - self._decoded  # post-advance decode trail
+        if (self._wn_state is None or done != T or lo != T
+                or lag < 0 or lag >= C or lo < C):
+            return False
+
+        start = int(np.floor(a * MEL_STEP))
+        end = _mel_sample_end(b - 1)
+        span = self._audio[start - self._audio_base : end - self._audio_base]
+        # fixed span length -> one compiled shape (the true span length
+        # wobbles +-1 sample with the fractional MEL_STEP; the pad tail
+        # sits past every frame's last sample and is never gathered)
+        span_fixed = int(np.ceil(2 * C * MEL_STEP)) + MEL_WIN
+        span = np.concatenate(
+            [span, np.zeros(span_fixed - len(span), np.float32)])
+        offsets = np.asarray([int(np.floor(i * MEL_STEP)) - start
+                              for i in range(a, b)], np.int32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(self.key, i))(
+            jnp.arange(self._decoded, self._decoded + C))
+        kept = self._down_rows.slice(self._decoded + self.ff_h, lo)
+        old_tail = np.concatenate(
+            [np.zeros((C - lag,) + kept.shape[1:], np.float32), kept])
+        state1 = jax.tree.map(lambda s: s[None], self._wn_state)
+        flat, self._apc_h, self._lstm, state1, self._prev_sample = \
+            _stream_chunk_fused(
+                self.models.apc["layers"], self.models.audio2feature,
+                self.models.audio2headpose, self.cfg.audio2headpose,
+                jnp.asarray(span), jnp.asarray(offsets), self._apc_h,
+                self.assets.device("apc_feature_base"), self._lstm,
+                state1, self._prev_sample, keys, jnp.asarray(old_tail),
+                jnp.int32(C - lag), bool(self.cfg.apc.use_LLE),
+                int(self.cfg.apc.Knear), float(self.cfg.apc.LLE_percent),
+                bool(self.cfg.apc.residual),
+                float(self.cfg.audio2headpose.sample_sigma_scale))
+        self._wn_state = jax.tree.map(lambda s: s[0], state1)
+        arr = np.asarray(flat)  # the ONE blocking fetch for this chunk
+        D = self._feats.buf.shape[1]
+        n_feats = 2 * C * D
+        packed = arr[: len(arr) - n_feats].reshape(C, -1)
+        feats = arr[len(arr) - n_feats :].reshape(2 * C, D)
+        # mel bookkeeping (exactly _advance_mel_apc's loop tail)
+        self._feats.append(feats)
+        self._mel_done = b
+        keep_from = int(np.floor(b * MEL_STEP))
+        k = keep_from - self._audio_base
+        if k > 0:
+            self._audio = self._audio[k:]
+            self._audio_base = keep_from
+        # motion bookkeeping (exactly _advance_motion_fused's tail)
+        d_out = self.cfg.audio2feature.output_dim
+        d_cond = self.cfg.audio2headpose.wavenet.cond_channels
+        self._a2f_raw.append(packed[:, :d_out])
+        self._down_rows.append(packed[:, d_out : d_out + d_cond])
+        self._head_raw.append(packed[:, d_out + d_cond :])
+        self._decoded += C
+        self._down_rows.retire(self._decoded + self.ff_h)
+        self._retire_feats()
+        self.stage_ms["mega_chunks"] = self.stage_ms.get("mega_chunks",
+                                                         0.0) + 1
+        return True
+
     def _advance_a2h(self, flush: bool) -> None:
         T = len(self._feats) // 2
         if T == 0:
@@ -773,10 +890,11 @@ class StreamingAnimator:
                 (_time.perf_counter() - t0) * 1e3
             return out
 
-        _timed("mel_apc", self._advance_mel_apc, flush=False)
-        if not _timed("motion_fused", self._advance_motion_fused):
-            _timed("a2f", self._advance_a2f, flush=False)
-            _timed("a2h", self._advance_a2h, flush=False)
+        if not _timed("stream_fused", self._advance_stream_fused):
+            _timed("mel_apc", self._advance_mel_apc, flush=False)
+            if not _timed("motion_fused", self._advance_motion_fused):
+                _timed("a2f", self._advance_a2f, flush=False)
+                _timed("a2h", self._advance_a2h, flush=False)
         mouth_sm, rot_sm, trans_sm = _timed("post", self._advance_post)
         return _timed("finalize_render", self._finalize_frames,
                       mouth_sm, rot_sm, trans_sm)

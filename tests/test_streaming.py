@@ -69,6 +69,9 @@ def test_streaming_fused_motion_chunk_engages_and_is_bitwise(person):
 
     def run(disable):
         s = StreamingAnimator(cfg, a, m, seed=7, chunk=16, render_batch=4)
+        # isolate the MOTION fusion: the whole-half mega fusion (tested
+        # separately below) would otherwise supersede it in steady state
+        s._advance_stream_fused = lambda: False
         if disable:
             s._advance_motion_fused = lambda: False
         frames = []
@@ -87,6 +90,37 @@ def test_streaming_fused_motion_chunk_engages_and_is_bitwise(person):
     assert engaged >= 3, f"fused path never reached steady state ({engaged})"
     assert zero == 0
     np.testing.assert_array_equal(fused_frames, legacy_frames)
+
+
+def test_streaming_mega_fused_chunk_engages_and_is_bitwise(person):
+    """The whole-motion-half fused advance (mel + APC + LLE + A2F + A2H in
+    ONE program with ONE fetch, _stream_chunk_fused) must ENGAGE on
+    chunk-sized pushes and emit bitwise-identical frames to the per-stage
+    path - a dispatch/round-trip optimisation, never a numerics change."""
+    cfg, a, m = person
+    audio = _sine_audio(2.0)
+
+    def run(disable):
+        s = StreamingAnimator(cfg, a, m, seed=7, chunk=16, render_batch=4)
+        if disable:
+            s._advance_stream_fused = lambda: False
+            s._advance_motion_fused = lambda: False
+        frames = []
+        push = int(16 / 60 * 16000) + 1
+        for lo in range(0, len(audio), push):
+            out = s.push_audio(audio[lo:lo + push])
+            if len(out):
+                frames.append(out)
+        tail = s.flush()
+        if len(tail):
+            frames.append(tail)
+        return np.concatenate(frames), s.stage_ms.get("mega_chunks", 0)
+
+    mega_frames, engaged = run(False)
+    legacy_frames, zero = run(True)
+    assert engaged >= 3, f"mega path never reached steady state ({engaged})"
+    assert zero == 0
+    np.testing.assert_array_equal(mega_frames, legacy_frames)
 
 
 def test_streaming_incremental_emission(person):

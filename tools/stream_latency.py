@@ -53,6 +53,14 @@ def main() -> None:
     assets, models = assets_mod.make_synthetic_person(
         cfg, key=jax.random.PRNGKey(0), image_size=H, bank_size=4096)
 
+    # Raw link speed for THIS window, so cross-window comparisons of the
+    # push times are attributable (utils/profiling.link_probe: fresh
+    # PRNG-byte fetches; same probe as bench.py).
+    from livespeechportraits_tpu.utils import profiling
+
+    link = profiling.link_probe()
+    window = time.strftime("%Y-%m-%d %H:%M", time.localtime())
+
     from livespeechportraits_tpu.pipeline import video as video_mod
 
     audio = video_mod.make_test_tone(seconds)
@@ -126,6 +134,8 @@ def main() -> None:
                         [r.get(k, 0.0) for r in stage_rows[2:]], 50)), 1)
                     for k in (stage_rows[-1] if stage_rows else {})},
                 "device": str(jax.devices()[0]),
+                "window": window,
+                **link,
             }))
 
 
