@@ -59,11 +59,12 @@ def main() -> None:
     s2d_input = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
     # concat-free split up convs (no materialised skip concats)
     split_skip = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
-    # host-link frame format: 'jpeg4' (default; on-device zonal-DCT code
-    # with 4-bit packed ACs, ~21x fewer egress bytes than RGB,
-    # fidelity-gated >30 dB in tests/test_compress.py), 'jpeg', 'yuv420',
-    # or 'rgb'
-    transfer = sys.argv[9] if len(sys.argv) > 9 else "jpeg4"
+    # host-link frame format: 'pack4e' (default; true variable-length
+    # entropy coding of the zonal-DCT code, packed ON DEVICE by a
+    # prefix-sum+scatter epilogue so only ~the coded bytes cross the
+    # link - lossless vs 'jpeg4', same >30 dB gate, tests/test_compress.py),
+    # 'jpeg4' (static-size 4-bit code), 'jpeg', 'yuv420', or 'rgb'
+    transfer = sys.argv[9] if len(sys.argv) > 9 else "pack4e"
 
     cfg = PersonConfig(
         name="BenchMay",
@@ -273,14 +274,31 @@ def main() -> None:
             "jpeg": "jpeg (on-device zonal DCT, PSNR>30dB vs RGB)",
             "jpeg4": "jpeg4 (on-device zonal DCT, 4-bit packed ACs, "
                      "PSNR>30dB vs RGB)",
+            "pack4e": "pack4e (on-device entropy coding of the jpeg4 "
+                      "stream: EOB-truncated ACs + delta-skipped DCs, "
+                      "prefix-sum packed; LOSSLESS vs jpeg4, prefix "
+                      "fetch; PSNR>30dB vs RGB)",
             "yuv420": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
         }.get(transfer, transfer),
-        "egress_bytes_per_frame": _egress_bytes_per_frame(transfer),
+        # For variable-length transfers this is MEASURED (median over the
+        # recorded runs of fetched bytes / frame, including each run's
+        # one full-cap first fetch); for fixed-size transfers, analytic.
+        "egress_bytes_per_frame": _egress_bytes_per_frame(
+            transfer, runs=runs, nframe=result.nframe),
+        "egress_bytes_per_frame_static_cap": _egress_static_cap(transfer),
     }
     print(json.dumps(out))
 
 
-def _egress_bytes_per_frame(transfer: str, h: int = 512, w: int = 512) -> int:
+def _egress_bytes_per_frame(transfer: str, h: int = 512, w: int = 512,
+                            runs=None, nframe: int = 0):
+    if transfer == "pack4e" and runs and nframe:
+        per_frame = sorted(r["fetch_bytes"] / nframe for r in runs)
+        return round(per_frame[len(per_frame) // 2], 1)
+    return _egress_static_cap(transfer, h, w)
+
+
+def _egress_static_cap(transfer: str, h: int = 512, w: int = 512) -> int:
     if transfer == "jpeg":
         from livespeechportraits_tpu.pipeline.compress import (
             encoded_bytes_per_frame,
@@ -293,6 +311,12 @@ def _egress_bytes_per_frame(transfer: str, h: int = 512, w: int = 512) -> int:
         )
 
         return encoded_bytes_per_frame_p4(h, w)
+    if transfer == "pack4e":
+        from livespeechportraits_tpu.pipeline.compress import (
+            p4e_bytes_per_frame_cap,
+        )
+
+        return p4e_bytes_per_frame_cap(h, w)
     if transfer == "yuv420":
         return h * w * 3 // 2
     return h * w * 3

@@ -36,7 +36,7 @@ def main() -> None:
     parser.add_argument("--duration", type=float, default=0.0,
                         help="optional cap on driving-audio seconds (0 = full)")
     parser.add_argument("--transfer", default="rgb",
-                        choices=["rgb", "yuv420", "jpeg", "jpeg4"],
+                        choices=["rgb", "yuv420", "jpeg", "jpeg4", "pack4e"],
                         help="frame host-transfer format (yuv420 halves link "
                              "bytes; jpeg = on-device DCT code, ~11x fewer; "
                              "jpeg4 = 4-bit packed DCT code, ~21x fewer)")

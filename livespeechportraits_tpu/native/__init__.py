@@ -80,6 +80,9 @@ def get_lib():
     lib.lsp_decode_zonal.restype = None
     lib.lsp_i420_to_rgb.argtypes = [u8p, ci, ci, ci, u8p]
     lib.lsp_i420_to_rgb.restype = None
+    lib.lsp_decode_p4e.argtypes = [u8p, ctypes.c_long, ci, ci, ci, ci, ci,
+                                   f32p, f32p, u8p, u8p]
+    lib.lsp_decode_p4e.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -118,6 +121,26 @@ def decode_zonal(packed: np.ndarray, h: int, w: int, k_y: int, k_c: int,
                          _ptr(scratch, ctypes.c_uint8),
                          _ptr(out, ctypes.c_uint8))
     return out
+
+
+def decode_p4e(flat: np.ndarray, B: int, h: int, w: int, k_y: int, k_c: int,
+               basis_y: np.ndarray, basis_c: np.ndarray):
+    """pack4e stream prefix [n] uint8 -> ([B, h, w, 3] uint8 RGB, consumed).
+
+    Raises IndexError when the prefix is truncated (the stream is
+    self-delimiting; the caller refetches a larger prefix)."""
+    lib = get_lib()
+    flat = np.ascontiguousarray(flat, np.uint8)
+    out = np.empty((B, h, w, 3), np.uint8)
+    scratch = np.empty(h * w + 2 * (h // 2) * (w // 2), np.uint8)
+    consumed = lib.lsp_decode_p4e(
+        _ptr(flat, ctypes.c_uint8), ctypes.c_long(flat.shape[0]),
+        B, h, w, k_y, k_c,
+        _ptr(basis_y, ctypes.c_float), _ptr(basis_c, ctypes.c_float),
+        _ptr(scratch, ctypes.c_uint8), _ptr(out, ctypes.c_uint8))
+    if consumed < 0:
+        raise IndexError("pack4e stream truncated")
+    return out, int(consumed)
 
 
 def i420_to_rgb(i420: np.ndarray, h: int, w: int) -> np.ndarray:

@@ -38,6 +38,64 @@ inline uint8_t q8(float x) {
     return static_cast<uint8_t>(x);
 }
 
+// Accumulate one block's pixels from its k-term coefficient vector and
+// write the quantized 8x8 tile at block index b of a plane of width w.
+// Shared by every decoder here so reconstructions are bitwise-identical
+// across formats whenever the coefficients are (pack4 vs pack4e).
+inline void accum_block(const float* coef, int k, const float* basis,
+                        int b, int wb, int w, uint8_t* out) {
+    float acc[64];
+    for (int j = 0; j < 64; ++j) acc[j] = 128.0f;
+    for (int kk = 0; kk < k; ++kk) {
+        const float c = coef[kk];
+        if (c == 0.0f) continue;  // flat-block fast path
+        const float* brow = basis + 64 * kk;
+        for (int j = 0; j < 64; ++j) acc[j] += c * brow[j];
+    }
+    uint8_t* dst = out + static_cast<size_t>(b / wb) * 8 * w
+                       + static_cast<size_t>(b % wb) * 8;
+    for (int r = 0; r < 8; ++r)
+        for (int cidx = 0; cidx < 8; ++cidx)
+            dst[static_cast<size_t>(r) * w + cidx] = q8(acc[r * 8 + cidx]);
+}
+
+// Parse one plane from a pack4e stream (variable-length, self-delimiting
+// — see pipeline/compress.py pack4e layout).  Returns the new read
+// position, or -1 if the stream would run past `end` (truncated prefix:
+// the caller refetches a larger one).
+long decode_plane_p4e(const uint8_t* buf, long pos, long end,
+                      const float* basis, int hb, int wb, int k,
+                      uint8_t* out) {
+    const int nb = hb * wb;
+    const int w = wb * 8;
+    int prev = 128;
+    float coef[64];
+    for (int b = 0; b < nb; ++b) {
+        if (pos >= end) return -1;
+        const uint8_t c = buf[pos++];
+        const int dcf = c >> 7;
+        const int m = (c >> 3) & 0xF;
+        const int s = c & 0x7;
+        if (dcf) {
+            if (pos >= end) return -1;
+            prev = (prev + buf[pos++]) & 0xFF;
+        }
+        const int nbyt = (m + 1) / 2;
+        if (pos + nbyt > end) return -1;
+        for (int j = 0; j < k; ++j) coef[j] = 0.0f;
+        coef[0] = static_cast<float>(prev) - 128.0f;
+        const float scale = std::exp2f(static_cast<float>(s));
+        for (int t = 0; t < m; ++t) {
+            const uint8_t byte = buf[pos + t / 2];
+            const int nibble = (t & 1) ? (byte >> 4) : (byte & 0xF);
+            coef[1 + t] = static_cast<float>(nibble - 8) * scale;
+        }
+        pos += nbyt;
+        accum_block(coef, k, basis, b, wb, w, out);
+    }
+    return pos;
+}
+
 // Reconstruct one plane from a pack4 code segment.
 //   code layout (nb = hb*wb blocks, k odd):
 //     [nb]          DC bytes  (int8 stored as uint8 + 128)
@@ -54,7 +112,6 @@ void decode_plane_p4(const uint8_t* code, const float* basis,
     const int pairs = (k - 1) / 2;
     const int w = wb * 8;
 
-    float acc[64];
     float coef[64];  // k <= 64
     for (int b = 0; b < nb; ++b) {
         const float d0 = static_cast<float>(dc[b]) - 128.0f;
@@ -69,18 +126,7 @@ void decode_plane_p4(const uint8_t* code, const float* basis,
             coef[1 + 2 * j] = (static_cast<float>(byte & 0xF) - 8.0f) * scale;
             coef[2 + 2 * j] = (static_cast<float>(byte >> 4) - 8.0f) * scale;
         }
-        for (int j = 0; j < 64; ++j) acc[j] = 128.0f;
-        for (int kk = 0; kk < k; ++kk) {
-            const float c = coef[kk];
-            if (c == 0.0f) continue;  // flat-block fast path
-            const float* brow = basis + 64 * kk;
-            for (int j = 0; j < 64; ++j) acc[j] += c * brow[j];
-        }
-        uint8_t* dst = out + static_cast<size_t>(b / wb) * 8 * w
-                           + static_cast<size_t>(b % wb) * 8;
-        for (int r = 0; r < 8; ++r)
-            for (int cidx = 0; cidx < 8; ++cidx)
-                dst[static_cast<size_t>(r) * w + cidx] = q8(acc[r * 8 + cidx]);
+        accum_block(coef, k, basis, b, wb, w, out);
     }
 }
 
@@ -90,21 +136,11 @@ void decode_plane_zonal(const int8_t* code, const float* basis,
                         int hb, int wb, int k, uint8_t* out) {
     const int nb = hb * wb;
     const int w = wb * 8;
-    float acc[64];
+    float coef[64];
     for (int b = 0; b < nb; ++b) {
         const int8_t* cb = code + static_cast<size_t>(b) * k;
-        for (int j = 0; j < 64; ++j) acc[j] = 128.0f;
-        for (int kk = 0; kk < k; ++kk) {
-            const float c = static_cast<float>(cb[kk]);
-            if (c == 0.0f) continue;
-            const float* brow = basis + 64 * kk;
-            for (int j = 0; j < 64; ++j) acc[j] += c * brow[j];
-        }
-        uint8_t* dst = out + static_cast<size_t>(b / wb) * 8 * w
-                           + static_cast<size_t>(b % wb) * 8;
-        for (int r = 0; r < 8; ++r)
-            for (int cidx = 0; cidx < 8; ++cidx)
-                dst[static_cast<size_t>(r) * w + cidx] = q8(acc[r * 8 + cidx]);
+        for (int kk = 0; kk < k; ++kk) coef[kk] = static_cast<float>(cb[kk]);
+        accum_block(coef, k, basis, b, wb, w, out);
     }
 }
 
@@ -185,6 +221,34 @@ void lsp_decode_zonal(const int8_t* packed, int B, int h, int w,
         i420_to_rgb_frame(yp, up, vp, h, w,
                           rgb_out + static_cast<size_t>(f) * h * w * 3);
     }
+}
+
+// pack4e stream prefix (navail bytes) -> RGB [B, h, w, 3].  Returns the
+// total bytes consumed, or -1 if the prefix is truncated (caller
+// refetches a larger prefix — the stream is self-delimiting, so no
+// length side-channel crosses the link).
+long lsp_decode_p4e(const uint8_t* buf, long navail, int B, int h, int w,
+                    int k_y, int k_c,
+                    const float* basis_y, const float* basis_c,
+                    uint8_t* scratch, uint8_t* rgb_out) {
+    uint8_t* yp = scratch;
+    uint8_t* up = yp + static_cast<size_t>(h) * w;
+    uint8_t* vp = up + static_cast<size_t>(h / 2) * (w / 2);
+    long pos = 0;
+    for (int f = 0; f < B; ++f) {
+        pos = decode_plane_p4e(buf, pos, navail, basis_y, h / 8, w / 8,
+                               k_y, yp);
+        if (pos < 0) return -1;
+        pos = decode_plane_p4e(buf, pos, navail, basis_c, h / 16, w / 16,
+                               k_c, up);
+        if (pos < 0) return -1;
+        pos = decode_plane_p4e(buf, pos, navail, basis_c, h / 16, w / 16,
+                               k_c, vp);
+        if (pos < 0) return -1;
+        i420_to_rgb_frame(yp, up, vp, h, w,
+                          rgb_out + static_cast<size_t>(f) * h * w * 3);
+    }
+    return pos;
 }
 
 // Planar I420 [B, h*w*3/2] uint8 -> RGB [B, h, w, 3].

@@ -427,6 +427,8 @@ def render_frames(
         decode = lambda p: compress.decode_to_rgb(p, H, W)  # noqa: E731
     elif transfer == "jpeg4":
         decode = lambda p: compress.decode_to_rgb_p4(p, H, W)  # noqa: E731
+    elif transfer == "pack4e":
+        decode = None  # handled by the prefix-fetch/decode pair below
     else:
         decode = lambda p: p  # noqa: E731
 
@@ -447,7 +449,7 @@ def render_frames(
     link["fetch_io_ms"] = 0.0
     link["decode_ms"] = 0.0
     link["fetch_bytes"] = 0
-    link["split_engaged"] = transfer in ("yuv420", "jpeg", "jpeg4")
+    link["split_engaged"] = transfer in ("yuv420", "jpeg", "jpeg4", "pack4e")
 
     def _timed_fetch(x):
         t = time.perf_counter()
@@ -463,6 +465,51 @@ def render_frames(
         link["decode_ms"] += (time.perf_counter() - t) * 1e3
         return out
 
+    if transfer == "pack4e":
+        # pack4e: the device packs each batch's entropy-coded frames
+        # back-to-back in a static worst-case buffer; only a PREFIX of it
+        # crosses the link.  The prefix size comes from the PREVIOUS
+        # batch's true coded size (x safety margin; frame content is
+        # temporally stable), snapped to one of N_BUCKETS linear bucket
+        # sizes so only a handful of tiny device slice programs are ever
+        # compiled (persistent-cached).  The stream is self-delimiting -
+        # no length fetch, no extra round-trip; a too-short prefix is
+        # detected by the decoder and refetched in full (rare, and only
+        # after an abrupt content change).
+        cap_total = render_batch * compress.p4e_bytes_per_frame_cap(H, W)
+        n_buckets = 16
+        step = -(-cap_total // n_buckets)
+        fetch_state = {"need": cap_total}  # first batch fetches the cap
+
+        def _fetch_p4e(pair):
+            flat, _total = pair
+            want = max(1, min(fetch_state["need"], cap_total))
+            bucket = min(cap_total, -(-want // step) * step)
+            t = time.perf_counter()
+            out = np.asarray(flat[:bucket])
+            link["fetch_io_ms"] += (time.perf_counter() - t) * 1e3
+            link["fetch_bytes"] += out.nbytes
+            return out, flat
+
+        def _decode_p4e(fut):
+            prefix, flat = fut.result()
+            t = time.perf_counter()
+            try:
+                rgb, consumed = compress.decode_to_rgb_p4e(
+                    prefix, render_batch, H, W, return_consumed=True)
+            except IndexError:
+                t_re = time.perf_counter()
+                prefix = np.asarray(flat)  # full refetch (rare)
+                re_ms = (time.perf_counter() - t_re) * 1e3
+                link["fetch_io_ms"] += re_ms
+                link["fetch_bytes"] += prefix.nbytes
+                t += re_ms / 1e3  # keep the refetch out of decode_ms
+                rgb, consumed = compress.decode_to_rgb_p4e(
+                    prefix, render_batch, H, W, return_consumed=True)
+            fetch_state["need"] = int(consumed * 1.4)
+            link["decode_ms"] += (time.perf_counter() - t) * 1e3
+            return rgb
+
     pending: List[Any] = []
     maps_pending: List[Any] = []
     with ThreadPoolExecutor(1) as ex_fetch, ThreadPoolExecutor(1) as ex_dec:
@@ -477,7 +524,8 @@ def render_frames(
             if split_cand:
                 fn = {"yuv420": _jit_render_yuv420_edge,
                       "jpeg": _jit_render_jpeg_edge,
-                      "jpeg4": _jit_render_jpeg4_edge}.get(
+                      "jpeg4": _jit_render_jpeg4_edge,
+                      "pack4e": _jit_render_pack4e_edge}.get(
                           transfer, _jit_render_edge)
                 fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
                              edge[..., None], cand_down, compute_dtype)
@@ -488,12 +536,18 @@ def render_frames(
                 )
                 fn = {"yuv420": _jit_render_yuv420,
                       "jpeg": _jit_render_jpeg,
-                      "jpeg4": _jit_render_jpeg4}.get(transfer, _jit_render)
+                      "jpeg4": _jit_render_jpeg4,
+                      "pack4e": _jit_render_pack4e}.get(transfer, _jit_render)
                 fake_u8 = fn(models.feature2face["net"], models.feature2face["size"],
                              inp, compute_dtype)
-            pending.append(fake_u8)
-            fetched = ex_fetch.submit(_timed_fetch, fake_u8)
-            futs.append(ex_dec.submit(_timed_decode, fetched))
+            if transfer == "pack4e":
+                pending.append(fake_u8[0])
+                fetched = ex_fetch.submit(_fetch_p4e, fake_u8)
+                futs.append(ex_dec.submit(_decode_p4e, fetched))
+            else:
+                pending.append(fake_u8)
+                fetched = ex_fetch.submit(_timed_fetch, fake_u8)
+                futs.append(ex_dec.submit(_timed_decode, fetched))
             if keep_feature_maps:
                 maps_pending.append(edge)
         if pending:
@@ -634,6 +688,35 @@ def _jit_render_jpeg4_edge(net, size, edge, cand_down, compute_dtype):
     )
     y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
     return compress.encode_yuv420_p4(y, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_pack4e(net, size, inp, compute_dtype):
+    """Render and emit the pack4e entropy-coded stream on device: true
+    variable-length coding (EOB-truncated ACs, delta-skipped DCs) packed
+    back-to-back by a prefix-sum + scatter epilogue, so the host fetches
+    only a prefix ~ the coded size (compress.encode_yuv420_p4e).  Returns
+    (flat stream, total coded bytes)."""
+    from livespeechportraits_tpu.pipeline import compress
+
+    img, _ = f2f_model.apply_generator(
+        {"net": net, "size": size}, inp, training=False,
+        compute_dtype=compute_dtype
+    )
+    y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
+    return compress.encode_yuv420_p4e(y, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))
+def _jit_render_pack4e_edge(net, size, edge, cand_down, compute_dtype):
+    from livespeechportraits_tpu.pipeline import compress
+
+    img = f2f_model.apply_generator_edge(
+        {"net": net, "size": size}, edge, cand_down, training=False,
+        compute_dtype=compute_dtype,
+    )
+    y, u, v = compress.rgb_to_yuv_planes(img.astype(jnp.float32))
+    return compress.encode_yuv420_p4e(y, u, v)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "compute_dtype"))

@@ -322,6 +322,24 @@ def load_trained_person_models(
     return models
 
 
+def load_trained_discriminator(cfg: PersonConfig, f2f_ckpt: str,
+                               step: Optional[int] = None):
+    """The trained multiscale-PatchGAN discriminator params from a
+    Feature2Face trainer checkpoint ({"G","D"} dual state).
+
+    Used as the learned backbone of utils/metrics.d_feature_distance -
+    the GAN's own FM feature space (the reference's FM loss measures
+    distances in exactly this space, feature2face_model.py:129-156),
+    available for any subject trained in-framework with no external
+    weights."""
+    from livespeechportraits_tpu.utils import checkpoint as ckpt_mod
+
+    raw = ckpt_mod.restore_checkpoint(f2f_ckpt, step)
+    tmpl = feature2face.init_discriminator(jax.random.PRNGKey(0),
+                                           cfg.feature2face)
+    return ckpt_mod.rebuild(tmpl, raw["D"]["params"])
+
+
 # ---------------------------------------------------------------------------
 # Synthetic person (runs the full pipeline with no released data)
 # ---------------------------------------------------------------------------

@@ -273,11 +273,11 @@ def encoded_bytes_per_frame_p4(h: int, w: int, k_y: int = None,
             + 2 * _plane_sizes_p4(h // 2, w // 2, k_c))
 
 
-def _encode_plane_p4(plane: jnp.ndarray, qtab: jnp.ndarray,
-                     k: int) -> jnp.ndarray:
-    """[B, H, W] float (0..255) -> [B, _plane_sizes_p4] uint8 pack4 code."""
-    if (k - 1) % 2:
-        raise ValueError(f"pack4 K must be odd, got {k}")
+def _zigzag_quant(plane: jnp.ndarray, qtab: jnp.ndarray,
+                  k: int) -> jnp.ndarray:
+    """[B, H, W] float (0..255) -> [B, nblocks, k] float table-quantized
+    zigzag coefficients (the shared front half of every blockwise coder
+    here: block-diagonal DCT matmuls, table quantization, zigzag gather)."""
     B, H, W = plane.shape
     m_col = jnp.asarray(_bd_dct(H, False), plane.dtype)
     m_row = jnp.asarray(_bd_dct(W, True), plane.dtype)
@@ -287,7 +287,16 @@ def _encode_plane_p4(plane: jnp.ndarray, qtab: jnp.ndarray,
     q = jnp.round(coef / qplane)  # float, table-quantized integers
     blocks = q.reshape(B, H // 8, 8, W // 8, 8).transpose(0, 1, 3, 2, 4)
     blocks = blocks.reshape(B, -1, 64).astype(jnp.float32)
-    zz = jnp.take(blocks, jnp.asarray(_ZIGZAG[:k]), axis=-1)  # [B, nb, k]
+    return jnp.take(blocks, jnp.asarray(_ZIGZAG[:k]), axis=-1)  # [B, nb, k]
+
+
+def _encode_plane_p4(plane: jnp.ndarray, qtab: jnp.ndarray,
+                     k: int) -> jnp.ndarray:
+    """[B, H, W] float (0..255) -> [B, _plane_sizes_p4] uint8 pack4 code."""
+    if (k - 1) % 2:
+        raise ValueError(f"pack4 K must be odd, got {k}")
+    B = plane.shape[0]
+    zz = _zigzag_quant(plane, qtab, k)  # [B, nb, k]
     dc = (jnp.clip(zz[..., 0], -128, 127) + 128.0).astype(jnp.uint8)
     ac = zz[..., 1:]  # [B, nb, k-1]
     m = jnp.max(jnp.abs(ac), axis=-1)  # [B, nb]
@@ -424,6 +433,210 @@ def decode_to_rgb_p4(packed: np.ndarray, h: int, w: int,
             _dequant_idct_basis_cached(True, quality, k_y),
             _dequant_idct_basis_cached(False, quality, k_c))
     return _cpu_decoder_p4(h, w, quality, k_y, k_c)(np.asarray(packed))
+
+
+# ---------------------------------------------------------------------------
+# pack4e ('jpeg4e'): true variable-length entropy coding of the pack4
+# stream, ON DEVICE, with a static-shape program.
+#
+# pack4 spends a fixed 37,888 B/frame at 512^2; on rendered face content
+# ~93% of its AC nibbles are zero, so most of those bytes carry no
+# information and the host link (the real bottleneck of this harness, and
+# of any thin-link serving host) moves them anyway — the relay transport
+# does NOT compress (measured: pack4 / PRNG / zero buffers all fetch at
+# the same MB/s).  The reference never ships uncompressed frames either:
+# its egress is entropy-coded jpgs (/root/reference/demo.py:35-45).
+#
+# XLA cannot emit data-dependent SHAPES, but it can emit data-dependent
+# CONTENT: the encoder computes every block's variable-length code, a
+# prefix sum turns per-block byte counts into byte offsets, and one
+# scatter packs the codes back-to-back into a static worst-case buffer
+# whose tail is dead.  The host then fetches only a PREFIX of that buffer
+# (a pow2-bucketed device slice — see animate.render_frames), so the
+# bytes that cross the link are ~ the entropy-coded size, not the static
+# cap.  The stream is self-delimiting: the decoder never needs the
+# lengths, so no extra length round-trip is paid on the fetch path.
+#
+# Per-block code (byte-aligned; run-length on trailing zero ACs + skipped
+# DC deltas — the same two redundancies JPEG's RLE/EOB model targets):
+#   control byte: bit7 = dc_flag, bits 6..3 = m (kept AC nibbles, 0..12),
+#                 bits 2..0 = s (pack4's block shift)
+#   [dc_flag]     1 byte: (dc - prev_dc) mod 256   (prev starts at 128)
+#   ceil(m/2)     AC nibble bytes: first m nibbles (through the last
+#                 nonzero), packed (lo, hi); odd-m padding nibble is the
+#                 (zero) value 8
+# Frame = luma blocks, then U, then V, in raster order; frames are packed
+# back-to-back in the batch buffer.  pack4e is a LOSSLESS recoding of
+# pack4: the decoder reconstructs the exact pack4 coefficients, so the
+# >30 dB serving gate carries over unchanged (pinned bitwise in
+# tests/test_compress.py).
+# ---------------------------------------------------------------------------
+
+
+def _p4e_slots(k: int) -> int:
+    return 2 + (k - 1) // 2
+
+
+def p4e_bytes_per_frame_cap(h: int, w: int, k_y: int = None,
+                            k_c: int = None) -> int:
+    """Static worst-case bytes/frame (every block: dc delta + all nibbles)."""
+    _, k_y, k_c = _p4_defaults(None, k_y, k_c)
+    nb_y = (h // 8) * (w // 8)
+    nb_c = (h // 16) * (w // 16)
+    return nb_y * _p4e_slots(k_y) + 2 * nb_c * _p4e_slots(k_c)
+
+
+def _p4e_tokens(zz: jnp.ndarray, k: int):
+    """[B, nb, k] quantized zigzag floats -> per-block slot tables.
+
+    Returns (vals [B,nb,S] uint8, valid [B,nb,S] bool, within [B,nb,S]
+    int32 exclusive-cumsum slot offsets, nbytes [B,nb] int32)."""
+    if (k - 1) % 2:
+        raise ValueError(f"pack4e K must be odd, got {k}")
+    B, nb, _ = zz.shape
+    dcu = (jnp.clip(zz[..., 0], -128, 127) + 128.0).astype(jnp.int32)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), 128, jnp.int32), dcu[:, :-1]], axis=1)
+    d = (dcu - prev) & 0xFF
+    ac = zz[..., 1:]  # [B, nb, k-1]
+    m_abs = jnp.max(jnp.abs(ac), axis=-1)
+    thresholds = 7.5 * (2.0 ** np.arange(_P4_MAX_SHIFT, dtype=np.float32))
+    s = jnp.sum(m_abs[..., None] > thresholds, axis=-1).astype(jnp.float32)
+    n = (jnp.clip(jnp.round(ac * jnp.exp2(-s)[..., None]), -8, 7)
+         + 8.0).astype(jnp.int32)  # biased nibbles, 8 == zero
+    m = jnp.max(jnp.where(n != 8, jnp.arange(1, k)[None, None, :], 0),
+                axis=-1)  # kept nibbles: through the last nonzero
+    dcf = (d != 0).astype(jnp.int32)
+    nnib = (m + 1) // 2
+    nbytes = 1 + dcf + nnib
+    control = (dcf << 7) | (m << 3) | s.astype(jnp.int32)
+    pair = n[..., 0::2] | (n[..., 1::2] << 4)  # [B, nb, (k-1)/2]
+    vals = jnp.concatenate(
+        [control[..., None], d[..., None], pair], axis=-1).astype(jnp.uint8)
+    S = _p4e_slots(k)
+    t = jnp.arange(S - 2)
+    valid = jnp.concatenate([
+        jnp.ones((B, nb, 1), bool),
+        (dcf == 1)[..., None],
+        t[None, None, :] < nnib[..., None],
+    ], axis=-1)
+    within = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - valid.astype(
+        jnp.int32)
+    return vals, valid, within, nbytes
+
+
+def encode_yuv420_p4e(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                      quality: int = None, k_y: int = None, k_c: int = None):
+    """Float YUV planes -> (flat [B*cap] uint8 packed stream, total int32).
+
+    The flat buffer holds the B frames' variable-length codes back-to-back
+    from byte 0; bytes at and past `total` are dead (zero).  Fetch a
+    prefix >= total and hand it to decode_to_rgb_p4e."""
+    quality, k_y, k_c = _p4_defaults(quality, k_y, k_c)
+    h, w = y.shape[1], y.shape[2]
+    qy = jnp.asarray(quant_table(_Q_LUMA, quality), y.dtype)
+    qc = jnp.asarray(quant_table(_Q_CHROMA, quality), y.dtype)
+    toks = [
+        _p4e_tokens(_zigzag_quant(y, qy, k_y), k_y),
+        _p4e_tokens(_zigzag_quant(u, qc, k_c), k_c),
+        _p4e_tokens(_zigzag_quant(v, qc, k_c), k_c),
+    ]
+    B = y.shape[0]
+    nbytes_cat = jnp.concatenate([t[3] for t in toks], axis=1)
+    csum = jnp.cumsum(nbytes_cat, axis=1)
+    frame_len = csum[:, -1]  # [B]
+    offs = csum - nbytes_cat  # exclusive, within frame
+    base = jnp.cumsum(frame_len) - frame_len  # [B]
+    cap = p4e_bytes_per_frame_cap(h, w, k_y, k_c)
+    flat = jnp.zeros(B * cap, jnp.uint8)
+    col = 0
+    for vals, valid, within, nb_arr in toks:
+        nb = nb_arr.shape[1]
+        off_p = offs[:, col:col + nb]
+        col += nb
+        tgt = base[:, None, None] + off_p[..., None] + within
+        tgt = jnp.where(valid, tgt, B * cap)  # OOB -> dropped
+        flat = flat.at[tgt.reshape(-1)].set(
+            vals.reshape(-1), mode="drop")
+    return flat, jnp.sum(frame_len).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("quality", "k_y", "k_c"))
+def _encode_rgb_frames_p4e_jit(img, quality, k_y, k_c):
+    y, u, v = rgb_to_yuv_planes(img)
+    return encode_yuv420_p4e(y, u, v, quality=quality, k_y=k_y, k_c=k_c)
+
+
+def encode_rgb_frames_p4e(img: jnp.ndarray, quality: int = None,
+                          k_y: int = None, k_c: int = None):
+    """[B, H, W, 3] float in [-1, 1] -> (flat stream, total bytes)."""
+    quality, k_y, k_c = _p4_defaults(quality, k_y, k_c)
+    return _encode_rgb_frames_p4e_jit(img, quality, k_y, k_c)
+
+
+def _decode_p4e_plane_np(buf: np.ndarray, pos: int, basis: np.ndarray,
+                         h: int, w: int, k: int):
+    """Parse one plane from the pack4e stream (numpy oracle).  Returns
+    (plane float [h, w] unclipped, new pos) or raises on truncation."""
+    hb, wb = h // 8, w // 8
+    out = np.empty((hb, wb, 64), np.float32)
+    prev = 128
+    end = buf.shape[0]
+    coef = np.zeros(64, np.float32)
+    for b in range(hb * wb):
+        if pos >= end:
+            raise IndexError("pack4e stream truncated")
+        c = int(buf[pos]); pos += 1
+        dcf, m, s = c >> 7, (c >> 3) & 0xF, c & 0x7
+        if dcf:
+            if pos >= end:
+                raise IndexError("pack4e stream truncated")
+            prev = (prev + int(buf[pos])) & 0xFF
+            pos += 1
+        nbyt = (m + 1) // 2
+        if pos + nbyt > end:
+            raise IndexError("pack4e stream truncated")
+        coef[:] = 0.0
+        coef[0] = prev - 128
+        scale = float(2.0 ** s)
+        for t in range(m):
+            byte = int(buf[pos + t // 2])
+            nibble = (byte >> 4) if t % 2 else (byte & 0xF)
+            coef[1 + t] = (nibble - 8) * scale
+        pos += nbyt
+        out[b // wb, b % wb] = coef[:k] @ basis
+    x = out.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    return x + 128.0, pos
+
+
+def decode_to_rgb_p4e(flat: np.ndarray, B: int, h: int, w: int,
+                      quality: int = None, k_y: int = None,
+                      k_c: int = None, return_consumed: bool = False):
+    """Host: pack4e stream (a prefix of the flat buffer) -> [B, h, w, 3]
+    uint8 RGB (optionally with the bytes consumed — the true coded size,
+    which drives the next fetch's prefix bucket).  Native C++ when
+    available; numpy oracle otherwise.  Raises IndexError if the prefix
+    is too short (caller refetches a larger one — see
+    animate.render_frames)."""
+    quality, k_y, k_c = _p4_defaults(quality, k_y, k_c)
+    flat = np.ascontiguousarray(flat, np.uint8)
+    by = _dequant_idct_basis_cached(True, quality, k_y)
+    bc = _dequant_idct_basis_cached(False, quality, k_c)
+    if _native.get_lib() is not None:
+        rgb, consumed = _native.decode_p4e(flat, B, h, w, k_y, k_c, by, bc)
+        return (rgb, consumed) if return_consumed else rgb
+    u8 = lambda p: np.clip(p + 0.5, 0, 255).astype(np.uint8)  # noqa: E731
+    from livespeechportraits_tpu.pipeline.animate import yuv420_to_rgb
+
+    frames, pos = [], 0
+    for _ in range(B):
+        yp, pos = _decode_p4e_plane_np(flat, pos, by, h, w, k_y)
+        up, pos = _decode_p4e_plane_np(flat, pos, bc, h // 2, w // 2, k_c)
+        vp, pos = _decode_p4e_plane_np(flat, pos, bc, h // 2, w // 2, k_c)
+        frames.append(yuv420_to_rgb(u8(yp)[None], u8(up)[None],
+                                    u8(vp)[None])[0])
+    rgb = np.stack(frames)
+    return (rgb, pos) if return_consumed else rgb
 
 
 def rgb_to_yuv_planes(img: jnp.ndarray):

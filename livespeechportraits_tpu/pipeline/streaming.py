@@ -53,6 +53,7 @@ from livespeechportraits_tpu.pipeline.animate import (
     _jit_render,
     _jit_render_jpeg,
     _jit_render_jpeg4,
+    _jit_render_pack4e,
     _jit_render_yuv420,
     yuv420_to_rgb,
     yuv420_unpack,
@@ -462,6 +463,10 @@ class StreamingAnimator:
         self._flushed = False
         self.pipeline_depth = pipeline_depth
         self.transfer = transfer
+        # pack4e prefix-fetch state: the last decoded batch's true coded
+        # bytes drive the next fetch's bucket (GIL-atomic dict writes;
+        # heuristic only - a stale read just over- or under-fetches once)
+        self._p4e_state: dict = {}
         # Two single-thread stages per live stream: the fetch thread
         # blocks on device->host transfers (IO wait), the decode thread
         # runs the fused CPU-XLA decode of compressed transfers; chunk
@@ -851,10 +856,12 @@ class StreamingAnimator:
                                    self.transfer)
         H = W = self.cfg.feature2face.load_size
         fetched = self._ex_fetch.submit(
-            lambda os=outs: [np.asarray(o) for o in os])
+            _fetch_outs, outs, self.transfer, self.render_batch, H, W,
+            self._p4e_state)
         self._render_inflight.append(self._ex_dec.submit(
             lambda f=fetched, k=k: _decode_fetched(
-                f.result(), k, H, W, self.transfer)))
+                f.result(), k, H, W, self.transfer, self.render_batch,
+                self._p4e_state)))
         self._emitted_frames += n
         for buf in (self._mouth_ready, self._rot_ready, self._trans_ready):
             buf.retire(self._emitted_frames)
@@ -986,13 +993,37 @@ def _dispatch_render(cfg, assets, models, lm2d, sh2d, render_batch,
             axis=-1)
         fn = {"yuv420": _jit_render_yuv420,
               "jpeg": _jit_render_jpeg,
-              "jpeg4": _jit_render_jpeg4}.get(transfer, _jit_render)
+              "jpeg4": _jit_render_jpeg4,
+              "pack4e": _jit_render_pack4e}.get(transfer, _jit_render)
         outs.append(fn(models.feature2face["net"],
                        models.feature2face["size"], inp, compute_dtype))
     return outs, n
 
 
-def _decode_fetched(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
+def _fetch_outs(outs, transfer, render_batch, H, W, p4e_state):
+    """Fetch-thread body: pull each dispatched batch to the host.
+
+    For pack4e each entry is (flat stream, total); only a bucketed PREFIX
+    of the stream crosses the link, sized from the last decoded batch's
+    true coded bytes (see animate.render_frames for the scheme) — the
+    live-latency win is proportional: a chunk's frames cost ~entropy
+    bytes, not the static pack4 size."""
+    if transfer != "pack4e":
+        return [np.asarray(o) for o in outs]
+    from livespeechportraits_tpu.pipeline import compress
+
+    cap_total = render_batch * compress.p4e_bytes_per_frame_cap(H, W)
+    step = -(-cap_total // 16)
+    res = []
+    for flat, _total in outs:
+        need = p4e_state.get("need") or cap_total
+        bucket = min(cap_total, -(-max(1, min(need, cap_total)) // step) * step)
+        res.append((np.asarray(flat[:bucket]), flat))
+    return res
+
+
+def _decode_fetched(outs, n, H, W, transfer: str = "rgb",
+                    render_batch: int = 0, p4e_state=None) -> np.ndarray:
     """Host-side decode of already-fetched per-batch arrays -> RGB."""
     if not outs:
         return np.zeros((0, H, W, 3), np.uint8)
@@ -1011,6 +1042,22 @@ def _decode_fetched(outs, n, H, W, transfer: str = "rgb") -> np.ndarray:
 
         return np.concatenate([
             compress.decode_to_rgb_p4(o, H, W) for o in outs])[:n]
+    if transfer == "pack4e":
+        from livespeechportraits_tpu.pipeline import compress
+
+        frames = []
+        for prefix, flat in outs:
+            try:
+                rgb, consumed = compress.decode_to_rgb_p4e(
+                    prefix, render_batch, H, W, return_consumed=True)
+            except IndexError:
+                rgb, consumed = compress.decode_to_rgb_p4e(
+                    np.asarray(flat), render_batch, H, W,
+                    return_consumed=True)
+            if p4e_state is not None:
+                p4e_state["need"] = int(consumed * 1.4)
+            frames.append(rgb)
+        return np.concatenate(frames)[:n]
     return np.concatenate(outs)[:n]
 
 

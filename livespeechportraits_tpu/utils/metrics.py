@@ -39,9 +39,19 @@ def fidelity_report(frames_a: Optional[np.ndarray] = None,
                     landmarks_a: Optional[np.ndarray] = None,
                     landmarks_b: Optional[np.ndarray] = None,
                     vgg_params=None,
-                    vgg_weights_path: str = "") -> dict:
+                    vgg_weights_path: str = "",
+                    pts3d_a: Optional[np.ndarray] = None,
+                    pts3d_b: Optional[np.ndarray] = None,
+                    pose_a: Optional[np.ndarray] = None,
+                    pose_b: Optional[np.ndarray] = None,
+                    d_params=None) -> dict:
     """The ONE fidelity report both harnesses produce: landmark L2 (px),
-    frame PSNR (dB) and the LPIPS-style VGG perceptual distance.
+    frame PSNR (dB), the LPIPS-style VGG perceptual distance, and - when
+    the extra inputs are given - the pose-factored geometry rows
+    (canonical mouth-shape L2 from pts3d_*, pose-realism Wasserstein
+    rows from pose_*) and the trained-discriminator feature distance
+    (d_params from a trained F2F checkpoint - the GAN's own learned
+    perceptual space, no external weights needed).
 
     `tools/parity.py` feeds it two runs' artifacts (ours vs the
     reference's released checkpoints, /root/reference/demo.py:144-171,
@@ -52,6 +62,10 @@ def fidelity_report(frames_a: Optional[np.ndarray] = None,
     if landmarks_a is not None and landmarks_b is not None:
         out["landmark_l2_px"] = round(landmark_l2(landmarks_a, landmarks_b),
                                       3)
+    if pts3d_a is not None and pts3d_b is not None:
+        out.update(canonical_mouth_metrics(pts3d_a, pts3d_b))
+    if pose_a is not None and pose_b is not None:
+        out.update(pose_realism_w1(pose_a, pose_b))
     if frames_a is not None and frames_b is not None:
         n = min(len(frames_a), len(frames_b))
         out["frames_compared"] = n
@@ -67,7 +81,132 @@ def fidelity_report(frames_a: Optional[np.ndarray] = None,
                                               "comparisons only)")
             out["perceptual_distance"] = round(perceptual_distance(
                 vgg_params, frames_a[:n], frames_b[:n]), 6)
+            if d_params is not None:
+                out["d_feature_distance"] = round(d_feature_distance(
+                    d_params, frames_a[:n], frames_b[:n]), 6)
     return out
+
+
+MOUTH_SLICE = slice(46, 64)  # the 73-pt layout's mouth block (demo.py:242)
+
+
+def canonical_mouth_metrics(pred_pts3d: np.ndarray,
+                            gt_pts3d: np.ndarray) -> dict:
+    """Pose-factored mouth-shape errors, in the 3D canonical frame.
+
+    Image-space mouth L2 is pose-contaminated: head pose is SAMPLED at
+    inference (/root/reference/demo.py:203-215), so a motionless control
+    can beat a well-trained predictor on it whenever the sampled pose
+    wanders.  These rows compare mouth landmarks BEFORE pose projection
+    (funcs/utils.py:231-242 is where pose enters), where motion quality
+    is the only thing measured:
+
+    - canon_mouth_l2: mean per-landmark L2 of canonical mouth positions.
+    - canon_mouth_delta_l2: the same after subtracting each track's OWN
+      time-mean mouth (rest pose).  A motionless control scores exactly
+      the GT motion RMS here - the trained predictor must crush it.
+    """
+    p = np.asarray(pred_pts3d, np.float64)[:, MOUTH_SLICE]
+    g = np.asarray(gt_pts3d, np.float64)[:, MOUTH_SLICE]
+    T = min(p.shape[0], g.shape[0])
+    p, g = p[:T], g[:T]
+    l2 = np.linalg.norm(p - g, axis=-1).mean()
+    pd = p - p.mean(axis=0, keepdims=True)
+    gd = g - g.mean(axis=0, keepdims=True)
+    dl2 = np.linalg.norm(pd - gd, axis=-1).mean()
+    return {"canon_mouth_l2": round(float(l2), 5),
+            "canon_mouth_delta_l2": round(float(dl2), 5)}
+
+
+def _w1(a: np.ndarray, b: np.ndarray) -> float:
+    """1-Wasserstein distance between two equal-size 1-D samples."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0.0
+    return float(np.abs(np.sort(a)[:n] - np.sort(b)[:n]).mean())
+
+
+def pose_realism_w1(pred_pose: np.ndarray, gt_pose: np.ndarray) -> dict:
+    """Distribution-level head-pose realism: per-channel 1-Wasserstein
+    distance between predicted and ground-truth VELOCITY (and
+    acceleration) distributions, each normalised by the GT channel's
+    std so channels average meaningfully.
+
+    Head pose is sampled, not regressed (audio2headpose_model.py:169-187
+    samples a GMM per frame), so trajectories are not comparable
+    pointwise - but their DYNAMICS are: a well-trained sampler moves
+    like the subject (same velocity spread), an untrained one jitters or
+    freezes.  Constant convention offsets (+180 x-rot, mean translation)
+    cancel in the differences."""
+    p = np.asarray(pred_pose, np.float64)
+    g = np.asarray(gt_pose, np.float64)
+    T = min(p.shape[0], g.shape[0])
+    p, g = p[:T], g[:T]
+    out = {}
+    for name, order in (("pose_vel_w1", 1), ("pose_acc_w1", 2)):
+        pv = np.diff(p, n=order, axis=0)
+        gv = np.diff(g, n=order, axis=0)
+        per = []
+        for c in range(p.shape[1]):
+            s = gv[:, c].std() + 1e-8
+            per.append(_w1(pv[:, c], gv[:, c]) / s)
+        out[name] = round(float(np.mean(per)), 4)
+    return out
+
+
+def d_feature_distance(d_params, a: np.ndarray, b: np.ndarray,
+                       cond: Optional[np.ndarray] = None,
+                       chunk: int = 8) -> float:
+    """Perceptual distance in the trained multiscale-PatchGAN
+    discriminator's feature space - the GAN's OWN learned feature-match
+    space (the reference's FM loss measures exactly this distance,
+    feature2face_model.py:129-156), trained per-subject.  Unlike the
+    random-VGG fallback this backbone has *learned* features whenever a
+    trained F2F checkpoint exists, with zero external weights.
+
+    cond: optional [T, H, W, C-3] conditioning (edge map + candidates)
+    fed to both sides, as in FM training; zeros when absent (both sides
+    off-distribution equally - the comparison stays meaningful).
+    Frames are uint8 RGB [T, H, W, 3]."""
+    from livespeechportraits_tpu.models import feature2face as f2f_model
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    T, H, W = a.shape[:3]
+    # conditioning channel count from the first conv's weights
+    first = d_params["scales"][0]["layers"][0]["conv"]["w"]
+    cond_ch = first.shape[2] - 3
+
+    def _feats(img, c):
+        inp = jnp.concatenate([c, img], axis=-1)
+        res, _ = f2f_model.apply_discriminator(d_params, inp, training=False)
+        return [f for scale in res for f in scale[:-1]]  # drop the logits
+
+    vals, weights = [], []
+    for i in range(0, T, chunk):
+        n = min(chunk, T - i)
+        xa = jnp.asarray(a[i:i + n], jnp.float32) / 127.5 - 1.0
+        xb = jnp.asarray(b[i:i + n], jnp.float32) / 127.5 - 1.0
+        if n < chunk:  # fixed compile shape
+            pad = ((0, chunk - n), (0, 0), (0, 0), (0, 0))
+            xa, xb = jnp.pad(xa, pad), jnp.pad(xb, pad)
+        if cond is not None:
+            cc = jnp.asarray(cond[i:i + n], jnp.float32)
+            if n < chunk:
+                cc = jnp.pad(cc, ((0, chunk - n), (0, 0), (0, 0), (0, 0)))
+        else:
+            cc = jnp.zeros((chunk, H, W, cond_ch), jnp.float32)
+        fa, fb = _feats(xa, cc), _feats(xb, cc)
+        total = 0.0
+        for ya, yb in zip(fa, fb):
+            na = ya / (jnp.linalg.norm(ya, axis=-1, keepdims=True) + 1e-10)
+            nb = yb / (jnp.linalg.norm(yb, axis=-1, keepdims=True) + 1e-10)
+            # padded frames are identical in both inputs -> contribute 0;
+            # undo their dilution of the mean
+            total = total + jnp.mean((na - nb) ** 2) * (chunk / n)
+        vals.append(float(total) / len(fa))
+        weights.append(n)
+    return float(np.average(vals, weights=weights))
 
 
 def perceptual_distance(vgg_params, a: np.ndarray, b: np.ndarray,

@@ -246,3 +246,135 @@ def test_jpeg_transfer_streaming_matches_offline(person):
     # subject, same motion, high correlation frame-by-frame
     n = min(got.shape[0], offline.nframe)
     assert psnr(got[:n], offline.frames[:n]) > 20.0
+
+
+# ---------------------------------------------------------------------------
+# pack4e: device-side entropy coding of the pack4 stream
+# ---------------------------------------------------------------------------
+
+
+def _mixed_frames(b=3, h=64, w=64, seed=0):
+    """Smooth + noisy + hard-edge content: exercises EOB truncation, the
+    dc-delta skip and the worst-case (no-savings) path together."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((b, h, w, 3), np.float32)
+    xx, yy = np.meshgrid(np.linspace(-1, 1, w), np.linspace(-1, 1, h))
+    img[0] = np.stack([xx * 0.5, yy * 0.5, (xx + yy) * 0.25], -1)
+    img[1 % b] = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
+    img[2 % b, h // 4: h // 2, w // 4: w // 2] = 0.8
+    return np.clip(img, -1, 1)
+
+
+def test_pack4e_is_a_lossless_recoding_of_pack4():
+    """pack4e decode == pack4 decode BITWISE: it stores the exact same
+    quantized coefficients, only entropy-coded (shared accum path)."""
+    img = _mixed_frames()
+    b, h, w = img.shape[:3]
+    code4 = np.asarray(C.encode_rgb_frames_p4(jnp.asarray(img)))
+    rgb4 = C.decode_to_rgb_p4(code4, h, w)
+    flat, total = C.encode_rgb_frames_p4e(jnp.asarray(img))
+    flat, total = np.asarray(flat), int(total)
+    rgbe, consumed = C.decode_to_rgb_p4e(flat[:total], b, h, w,
+                                         return_consumed=True)
+    assert consumed == total
+    np.testing.assert_array_equal(rgbe, rgb4)
+
+
+def test_pack4e_truncated_prefix_raises():
+    img = _mixed_frames(seed=1)
+    b, h, w = img.shape[:3]
+    flat, total = C.encode_rgb_frames_p4e(jnp.asarray(img))
+    flat, total = np.asarray(flat), int(total)
+    with pytest.raises(IndexError):
+        C.decode_to_rgb_p4e(flat[:total - 3], b, h, w)
+    # a LONGER prefix than needed decodes identically (steady-state
+    # bucketed fetches always overshoot a little)
+    a = C.decode_to_rgb_p4e(flat[:total], b, h, w)
+    bb = C.decode_to_rgb_p4e(flat, b, h, w)
+    np.testing.assert_array_equal(a, bb)
+
+
+def test_pack4e_beats_static_size_on_rendered_content(person):
+    """On real generator output the coded size must be well under the
+    static pack4 size (that IS the point); the worst-case cap bounds it
+    on any content."""
+    cfg, a, m = person
+    audio = _sine_audio(0.6)
+    rgb = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4)
+    x = jnp.asarray(rgb.frames.astype(np.float32) / 127.5 - 1.0)
+    flat, total = C.encode_rgb_frames_p4e(x)
+    total = int(total)
+    n = rgb.frames.shape[0]
+    static = n * C.encoded_bytes_per_frame_p4(*rgb.frames.shape[1:3])
+    cap = n * C.p4e_bytes_per_frame_cap(*rgb.frames.shape[1:3])
+    assert total < 0.6 * static, (total, static)
+    assert total <= cap
+    assert int(np.asarray(flat).shape[0]) == cap
+
+
+def test_pack4e_transfer_matches_jpeg4_bitwise(person):
+    """animate(transfer='pack4e') returns the SAME frames as 'jpeg4'
+    (lossless recoding), across multiple batches and the split_cand
+    variant, while fetching fewer bytes."""
+    cfg, a, m = person
+    audio = _sine_audio(0.8)
+    j4 = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4,
+                             transfer="jpeg4")
+    pe = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4,
+                             transfer="pack4e")
+    np.testing.assert_array_equal(pe.frames, j4.frames)
+    assert pe.link_ms["fetch_bytes"] < j4.link_ms["fetch_bytes"]
+    ps = animate_mod.animate(cfg, a, m, audio, seed=1, render_batch=4,
+                             transfer="pack4e", split_cand=True)
+    np.testing.assert_array_equal(ps.frames, j4.frames)
+
+
+def test_pack4e_numpy_oracle_matches_native(person, monkeypatch):
+    """The numpy reference parser reconstructs the same frames as the
+    native C++ parser (identical coefficients; <=1 LSB RGB slack from
+    float accumulation order is NOT allowed here because both use the
+    same basis matmul per block - require exact equality)."""
+    from livespeechportraits_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    img = _mixed_frames(seed=2)
+    b, h, w = img.shape[:3]
+    flat, total = C.encode_rgb_frames_p4e(jnp.asarray(img))
+    flat = np.asarray(flat)[:int(total)]
+    want = C.decode_to_rgb_p4e(flat, b, h, w)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    got, consumed = C.decode_to_rgb_p4e(flat, b, h, w, return_consumed=True)
+    assert consumed == int(total)
+    d = np.abs(want.astype(np.int16) - got.astype(np.int16))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_pack4e_streaming_matches_jpeg4_streaming(person):
+    """Streaming with transfer='pack4e' emits the SAME frames as
+    'jpeg4' streaming (lossless recoding through the live path,
+    incl. the bucketed prefix fetch + pipeline_depth buffering)."""
+    from livespeechportraits_tpu.pipeline.streaming import StreamingAnimator
+
+    cfg, a, m = person
+    audio = _sine_audio(1.0)
+
+    def run(transfer, depth):
+        s = StreamingAnimator(cfg, a, m, seed=3, chunk=16, render_batch=4,
+                              transfer=transfer, pipeline_depth=depth)
+        frames = []
+        for i in range(0, len(audio), 4000):
+            out = s.push_audio(audio[i:i + 4000])
+            if len(out):
+                frames.append(out)
+        tail = s.flush()
+        if len(tail):
+            frames.append(tail)
+        return np.concatenate(frames)
+
+    j4 = run("jpeg4", 0)
+    pe = run("pack4e", 0)
+    np.testing.assert_array_equal(pe, j4)
+    pe1 = run("pack4e", 1)
+    np.testing.assert_array_equal(pe1, j4)

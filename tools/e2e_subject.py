@@ -258,6 +258,14 @@ def phase_eval(root: str, unet_size: str = "normal",
     from livespeechportraits_tpu.models import losses as losses_mod
 
     vgg = losses_mod.init_vgg19()
+    # the trained discriminator: the GAN's own learned perceptual space
+    # (utils/metrics.d_feature_distance) - backs the one perceptual
+    # column that does not depend on unavailable VGG weights
+    d_params = None
+    if os.path.isdir(os.path.join(ck, "f2f", "ckpt")):
+        d_params = assets_mod.load_trained_discriminator(
+            cfg, os.path.join(ck, "f2f", "ckpt"))
+    gt_pose = np.concatenate([gt["rot"][:n], gt["trans"][:n]], axis=1)
 
     def _scores(res) -> dict:
         lm = res.landmarks[:n]
@@ -265,10 +273,17 @@ def phase_eval(root: str, unet_size: str = "normal",
         corr = float(np.corrcoef(op_p, op_g)[0, 1])
         rot_err = _angdiff(res.headpose[:n, 0], gt["rot"][:n, 0] + 360.0)
         # the shared parity report (same function tools/parity.py prints
-        # for released-checkpoint comparisons) + e2e-specific motion rows
+        # for released-checkpoint comparisons) + e2e-specific motion rows.
+        # pts3d/pose feed the pose-factored geometry rows (canonical
+        # mouth-shape L2, pose-realism W1): image-space mouth position is
+        # pose-contaminated and pose is SAMPLED (demo.py:203-215), so
+        # only these rows measure motion quality decisively.
         out = fidelity_report(frames_a=res.frames[:n], frames_b=gt_frames,
                               landmarks_a=lm, landmarks_b=gt_lm,
-                              vgg_params=vgg)
+                              vgg_params=vgg,
+                              pts3d_a=res.pts3d[:n], pts3d_b=gt["pts3d"][:n],
+                              pose_a=res.headpose[:n], pose_b=gt_pose,
+                              d_params=d_params)
         out["perceptual_note"] = "random-VGG (relative comparisons only)"
         out.update({
             "mouth_l2_px": round(float(np.linalg.norm(

@@ -55,6 +55,20 @@ def main() -> None:
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--vgg_weights", default="",
                    help="optional VGG19 .npz for the perceptual metric")
+    p.add_argument("--pts3d_a", help="optional canonical [T,73,3] tracks: "
+                                     "adds the pose-factored mouth rows")
+    p.add_argument("--pts3d_b")
+    p.add_argument("--pose_a", help="optional [T,6] head-pose tracks: adds "
+                                    "the pose-realism Wasserstein rows")
+    p.add_argument("--pose_b")
+    p.add_argument("--f2f_ckpt", default="",
+                   help="trained F2F checkpoint dir: scores the "
+                        "d_feature_distance column in the trained "
+                        "discriminator's own feature space (no external "
+                        "weights needed)")
+    p.add_argument("--person_yaml", default="",
+                   help="person YAML for --f2f_ckpt's architecture "
+                        "(defaults to the flagship 512^2 'large' config)")
     args = p.parse_args()
 
     from livespeechportraits_tpu.utils import metrics
@@ -67,9 +81,31 @@ def main() -> None:
     lb = np.load(args.landmarks_b) if args.landmarks_b else None
     va = load_video(args.video_a, args.max_frames) if args.video_a else None
     vb = load_video(args.video_b, args.max_frames) if args.video_b else None
+    d_params = None
+    if args.f2f_ckpt:
+        from livespeechportraits_tpu import config as config_mod
+        from livespeechportraits_tpu.pipeline import assets as assets_mod
+
+        if args.person_yaml:
+            name = os.path.splitext(os.path.basename(args.person_yaml))[0]
+            cfg = config_mod.load_person_config(args.person_yaml, name)
+        else:
+            from livespeechportraits_tpu.config import (
+                Feature2FaceConfig, PersonConfig,
+            )
+
+            cfg = PersonConfig(name="Parity", feature2face=Feature2FaceConfig(
+                size="large", ngf=64, n_downsample=8, load_size=512,
+                precision="bfloat16"))
+        d_params = assets_mod.load_trained_discriminator(cfg, args.f2f_ckpt)
     out = metrics.fidelity_report(
         frames_a=va, frames_b=vb, landmarks_a=la, landmarks_b=lb,
-        vgg_weights_path=args.vgg_weights)
+        vgg_weights_path=args.vgg_weights,
+        pts3d_a=np.load(args.pts3d_a) if args.pts3d_a else None,
+        pts3d_b=np.load(args.pts3d_b) if args.pts3d_b else None,
+        pose_a=np.load(args.pose_a) if args.pose_a else None,
+        pose_b=np.load(args.pose_b) if args.pose_b else None,
+        d_params=d_params)
     print(json.dumps(out, indent=2))
 
 
