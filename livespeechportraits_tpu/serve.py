@@ -166,8 +166,13 @@ class Predictor:
         self._person = person_id
 
     def predict(self, driving_audio: str | np.ndarray, seed: int = 0,
-                render_batch: int = 16, transfer: str = "yuv420") -> PredictResult:
-        """audio (path or float32 [-1,1] @16k) -> muxed video path."""
+                render_batch: int = 16, transfer: str = "yuv420",
+                write_video: bool = True) -> PredictResult:
+        """audio (path or float32 [-1,1] @16k) -> muxed video path.
+
+        write_video=False skips the host-side mux (video_path '');
+        used by tools/prewarm_serving.py, which only needs the device
+        programs compiled."""
         if self._cfg is None:
             raise RuntimeError("call setup() first")
         # clean the per-request results dir (predict.py:299-308)
@@ -218,8 +223,10 @@ class Predictor:
                                      fused=True, mesh=self._mesh)
         wall = time.perf_counter() - t0
         frames = result.frames[:true_frames]
-        out_path = os.path.join(self.results_dir, f"{name}.avi")
-        video_mod.write_video(frames, out_path, true_audio)
+        out_path = ""
+        if write_video:
+            out_path = os.path.join(self.results_dir, f"{name}.avi")
+            video_mod.write_video(frames, out_path, true_audio)
         return PredictResult(video_path=out_path, nframe=len(frames),
                              wall_s=wall, stage_ms=result.stage_ms)
 

@@ -6,6 +6,13 @@ instead.  bench.py and the tools/ scripts always enabled it - this makes
 demo/serve/train do the same, so the production boot story matches the
 measured one.  The reference has no compilation to cache (eager torch).
 
+The default location is DURABLE (~/.cache/lsp_jax_cache): a /tmp wipe
+used to cost a ~13-minute cold remote compile of the 512^2 serving stack
+before the first frame (round-4 notes); the durable default plus the
+pack-build pre-warm (tools/prewarm_serving.py, build_person --prewarm)
+bounds cold-boot-to-first-frame by a disk read.  docs/SERVING.md has the
+measured before/after.
+
 Env knobs: LSP_COMPILE_CACHE_DIR overrides the location; set it to the
 empty string to disable.
 """
@@ -14,7 +21,8 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = "/tmp/jax_cache"
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "lsp_jax_cache")
 
 
 def enable(cache_dir: str | None = None) -> str | None:

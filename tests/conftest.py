@@ -18,6 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: compile-once across test sessions.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Durable location (utils/compile_cache default) - /tmp wipes used to
+# cost a full-suite recompile.
+_cache_dir = os.environ.get(
+    "LSP_COMPILE_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "lsp_jax_cache"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -139,3 +139,58 @@ def test_stylisation_matches_h5_frames(subject):
     mse = ((frames.astype(np.float64) - stored) ** 2).mean()
     psnr = 10 * np.log10(255.0 ** 2 / mse)
     assert psnr > 35.0, psnr
+
+
+def test_multi_clip_corpus_phases(tmp_path):
+    """The corpus-scale lever (e2e_subject --train_clips N): clips author
+    with distinct dynamics, and the multi-clip sampler paths accept them
+    (APC window sampler + audiovisual samplers over N clips)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import e2e_subject as e2e
+
+    root = str(tmp_path / "MC")
+    os.makedirs(root, exist_ok=True)
+    e2e.phase_clips(root, train_frames=600, val_frames=60, n_clips=2)
+    for name in ("clip1", "clip2", "val1"):
+        assert os.path.exists(os.path.join(root, name, name + ".wav")), name
+    g1 = dict(np.load(os.path.join(root, "gt_clip1.npz")))
+    g2 = dict(np.load(os.path.join(root, "gt_clip2.npz")))
+    # different seeds -> different prosody/pose dynamics (the point of
+    # scaling the corpus)
+    assert not np.allclose(g1["rot"], g2["rot"])
+    assert not np.allclose(g1["env"], g2["env"])
+
+    from livespeechportraits_tpu.config import (
+        APCConfig, Audio2HeadposeConfig, WaveNetConfig,
+    )
+    from livespeechportraits_tpu.models import apc as apc_model
+    from livespeechportraits_tpu.train import data_io, datasets
+
+    import jax
+
+    enc = apc_model.init_apc(jax.random.PRNGKey(0), APCConfig())
+    # prepare_clip reads the pack-level mean (phase_pack runs first in
+    # the real flow); provide it directly here
+    np.save(os.path.join(root, "mean_pts3d.npy"),
+            g1["pts3d"].mean(axis=0).astype(np.float32))
+    clips = [data_io.prepare_clip(os.path.join(root, n), n, enc, APCConfig())
+             for n in e2e.train_clip_names(2)]
+    wn = WaveNetConfig(residual_layers=2, residual_blocks=1,
+                       dilation_channels=8, residual_channels=8,
+                       skip_channels=16, cond_channels=512)
+    cfg = Audio2HeadposeConfig(wavenet=wn, frame_future=5)
+    s = datasets.AudioVisualSampler(
+        clips, task="audio2headpose", target_length=24,
+        receptive_field=cfg.wavenet.receptive_field,
+        frame_future=cfg.frame_future, start_point=28)
+    batches = list(s.batches(batch_size=4, rng=np.random.default_rng(0)))
+    assert len(batches) > 0
+    # the two-clip sampler indexes ~twice the single-clip windows
+    s1 = datasets.AudioVisualSampler(
+        clips[:1], task="audio2headpose", target_length=24,
+        receptive_field=cfg.wavenet.receptive_field,
+        frame_future=cfg.frame_future, start_point=28)
+    assert len(s) == 2 * len(s1)

@@ -37,6 +37,12 @@ def main() -> None:
     p.add_argument("--bank_stride", type=int, default=1,
                    help="keep every Nth frame of the APC feature bank "
                         "(bounds LLE KNN cost for long subjects)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="after building, compile the serving stack into "
+                        "the durable compile cache (tools/prewarm_serving)"
+                        " so the subject's first real boot is a disk read "
+                        "- pays the one-time minutes of remote XLA "
+                        "compilation HERE, at pack-build time")
     args = p.parse_args()
 
     from livespeechportraits_tpu.config import APCConfig
@@ -67,6 +73,17 @@ def main() -> None:
           f"./config/{name}.yaml && python demo.py --id {name} "
           f"--driving_audio <wav> [--f2f_ckpt ... --a2f_ckpt ... "
           f"--a2h_ckpt ... --apc_ckpt ...]")
+
+    if args.prewarm:
+        import subprocess
+
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "prewarm_serving.py"),
+             "--id", name, "--config_dir", os.path.dirname(args.dataroot),
+             "--image_size", str(args.image_size)],
+            check=True)
 
 
 if __name__ == "__main__":

@@ -33,32 +33,50 @@ TRAIN_CLIP = "clip1"
 VAL_CLIP = "val1"
 
 
+def train_clip_names(n_clips: int):
+    return [f"clip{i + 1}" for i in range(n_clips)]
+
+
 def phase_clips(root: str, train_frames: int, val_frames: int,
-                seed: int = 0) -> None:
-    """Author the raw train + held-out clips (reference clip layout)."""
+                seed: int = 0, n_clips: int = 1) -> None:
+    """Author the raw train + held-out clips (reference clip layout).
+
+    n_clips > 1 scales the corpus: each clip draws its envelope/prosody
+    and head-pose dynamics from a different seed (synth_subject's
+    generators are seed-parameterised), matching how the reference
+    trains on multiple clip_names per subject
+    (datasets/audiovisual_dataset.py:114-168 - minutes of data, multiple
+    takes).  The round-4 A2H was data-starved at 3600 frames (val NLL
+    optimum at epoch 1); the corpus is the lever, not the schedule."""
     from livespeechportraits_tpu.pipeline import synth_subject
 
-    for name, n, s in ((TRAIN_CLIP, train_frames, seed),
-                       (VAL_CLIP, val_frames, seed + 100)):
+    jobs = [(name, train_frames, seed + 7 * i)
+            for i, name in enumerate(train_clip_names(n_clips))]
+    jobs.append((VAL_CLIP, val_frames, seed + 100))
+    for name, n, s in jobs:
         gt = synth_subject.write_raw_clip(root, name, n, seed=s)
         np.savez(os.path.join(root, f"gt_{name}.npz"), **gt)
         print(f"clip {name}: {n} frames written")
 
 
 def phase_apc(root: str, epochs: int = 30, window: int = 480,
-              stride: int = 60, batch: int = 8, lr: float = 1e-3) -> str:
-    """Self-supervised APC pretraining on the TRAIN clip's mels only."""
+              stride: int = 60, batch: int = 8, lr: float = 1e-3,
+              n_clips: int = 1) -> str:
+    """Self-supervised APC pretraining on the TRAIN clips' mels only."""
     from livespeechportraits_tpu.config import APCConfig
     from livespeechportraits_tpu.ops import mel as mel_ops
     from livespeechportraits_tpu.pipeline import video as video_mod
     from livespeechportraits_tpu.train import datasets, trainer
 
-    wav = video_mod.load_wav(os.path.join(root, TRAIN_CLIP, TRAIN_CLIP + ".wav"))
-    mels = np.asarray(mel_ops.compute_mel_sequence(wav))
-    n_val = len(mels) // 8
-    sampler = datasets.MelWindowSampler([mels[n_val:]], window=window,
+    all_mels = []
+    for name in train_clip_names(n_clips):
+        wav = video_mod.load_wav(os.path.join(root, name, name + ".wav"))
+        all_mels.append(np.asarray(mel_ops.compute_mel_sequence(wav)))
+    n_val = len(all_mels[0]) // 8
+    train_mels = [all_mels[0][n_val:]] + all_mels[1:]
+    sampler = datasets.MelWindowSampler(train_mels, window=window,
                                         stride=stride)
-    val = datasets.MelWindowSampler([mels[:n_val]], window=window)
+    val = datasets.MelWindowSampler([all_mels[0][:n_val]], window=window)
     loop = trainer.TrainLoopConfig(
         n_epochs=epochs, n_epochs_decay=0, lr=lr, batch_size=batch,
         checkpoints_dir=os.path.join(root, "ckpt"), name="apc",
@@ -68,15 +86,16 @@ def phase_apc(root: str, epochs: int = 30, window: int = 480,
 
 
 def phase_pack(root: str, apc_ckpt: str, unet_size: str = "normal",
-               bank_stride: int = 2) -> None:
-    """Build the servable pack from the TRAIN clip + the pretrained APC."""
+               bank_stride: int = 2, n_clips: int = 1) -> None:
+    """Build the servable pack from the TRAIN clips + the pretrained APC."""
     from livespeechportraits_tpu.config import APCConfig
     from livespeechportraits_tpu.models import apc as apc_model
     from livespeechportraits_tpu.pipeline import build_person
 
     enc = apc_model.load_pretrained_encoder(apc_ckpt, APCConfig())
     manifest = build_person.build_person_pack(
-        root, [TRAIN_CLIP], apc_params=enc, bank_stride=bank_stride)
+        root, train_clip_names(n_clips), apc_params=enc,
+        bank_stride=bank_stride)
     # the default YAML says size 'large'; this subject trains the
     # requested U-Net size - keep the pack config truthful
     name = os.path.basename(os.path.normpath(root))
@@ -97,13 +116,15 @@ def _clips(root: str, apc_ckpt: str, names):
 
 
 def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
-              lr: float = 1e-4, decay_epochs: int = 0) -> str:
+              lr: float = 1e-4, decay_epochs: int = 0,
+              n_clips: int = 1) -> str:
     from livespeechportraits_tpu.config import Audio2FeatureConfig
     from livespeechportraits_tpu.train import datasets, trainer
 
-    tr, va = _clips(root, apc_ckpt, [TRAIN_CLIP, VAL_CLIP])
+    clips = _clips(root, apc_ckpt, train_clip_names(n_clips) + [VAL_CLIP])
+    tr, va = clips[:-1], [clips[-1]]
     mk = lambda c: datasets.AudioVisualSampler(  # noqa: E731
-        [c], task="audio2feature", seq_len=240, frame_jump_stride=4,
+        c, task="audio2feature", seq_len=240, frame_jump_stride=4,
         device_audio=True)
     loop = trainer.TrainLoopConfig(
         n_epochs=epochs, n_epochs_decay=decay_epochs, lr=lr,
@@ -115,14 +136,16 @@ def phase_a2f(root: str, apc_ckpt: str, epochs: int = 12, batch: int = 32,
 
 
 def phase_a2h(root: str, apc_ckpt: str, epochs: int = 10, batch: int = 16,
-              lr: float = 1e-4, decay_epochs: int = 0) -> str:
+              lr: float = 1e-4, decay_epochs: int = 0,
+              n_clips: int = 1) -> str:
     from livespeechportraits_tpu.config import Audio2HeadposeConfig
     from livespeechportraits_tpu.train import datasets, trainer
 
     cfg = Audio2HeadposeConfig()
-    tr, va = _clips(root, apc_ckpt, [TRAIN_CLIP, VAL_CLIP])
+    clips = _clips(root, apc_ckpt, train_clip_names(n_clips) + [VAL_CLIP])
+    tr, va = clips[:-1], [clips[-1]]
     mk = lambda c: datasets.AudioVisualSampler(  # noqa: E731
-        [c], task="audio2headpose", target_length=240,
+        c, task="audio2headpose", target_length=240,
         receptive_field=cfg.wavenet.receptive_field,
         frame_future=cfg.frame_future, device_audio=True)
     loop = trainer.TrainLoopConfig(
@@ -337,6 +360,12 @@ def main() -> None:
                    
                    choices=["small", "normal", "large"])
     p.add_argument("--phases", default="clips,apc,pack,a2f,a2h,f2f,eval")
+    p.add_argument("--train_clips", type=int, default=1,
+                   help="number of train clips (x train_frames each): the "
+                        "corpus-scale lever for A2H (round-4 finding: "
+                        "data-limited at 3600 frames).  F2F still trains "
+                        "on clip1 only (renderer quality is not "
+                        "corpus-limited; bounds wall time)")
     p.add_argument("--apc_epochs", type=int, default=30)
     p.add_argument("--a2f_epochs", type=int, default=12)
     p.add_argument("--a2h_epochs", type=int, default=10)
@@ -361,17 +390,20 @@ def main() -> None:
     apc_ckpt = os.path.join(args.root, "ckpt", "apc", "ckpt")
 
     if "clips" in phases:
-        phase_clips(args.root, args.train_frames, args.val_frames, args.seed)
+        phase_clips(args.root, args.train_frames, args.val_frames, args.seed,
+                    n_clips=args.train_clips)
     if "apc" in phases:
-        phase_apc(args.root, epochs=args.apc_epochs)
+        phase_apc(args.root, epochs=args.apc_epochs,
+                  n_clips=args.train_clips)
     if "pack" in phases:
-        phase_pack(args.root, apc_ckpt, unet_size=args.unet_size)
+        phase_pack(args.root, apc_ckpt, unet_size=args.unet_size,
+                   n_clips=args.train_clips)
     if "a2f" in phases:
         phase_a2f(args.root, apc_ckpt, epochs=args.a2f_epochs,
-                  decay_epochs=args.a2f_decay)
+                  decay_epochs=args.a2f_decay, n_clips=args.train_clips)
     if "a2h" in phases:
         phase_a2h(args.root, apc_ckpt, epochs=args.a2h_epochs,
-                  decay_epochs=args.a2h_decay)
+                  decay_epochs=args.a2h_decay, n_clips=args.train_clips)
     if "f2f" in phases:
         phase_f2f(args.root, unet_size=args.unet_size,
                   epochs=args.f2f_epochs, batch=args.f2f_batch)
