@@ -74,6 +74,13 @@ class AnimateResult:
         return self.nframe / total_s if total_s > 0 else float("inf")
 
 
+# Process-level pack4e prefix-size memory, keyed by (H, W, render_batch):
+# the true coded bytes of the last decoded batch x safety margin.  Content
+# is temporally stable within a subject; a stale value only costs one
+# over- or under-fetch (the stream is self-delimiting and refetches).
+_P4E_NEED: Dict[Any, int] = {}
+
+
 def _sync(x: jnp.ndarray) -> None:
     """Force completion of everything queued before x.
 
@@ -475,11 +482,14 @@ def render_frames(
         # compiled (persistent-cached).  The stream is self-delimiting -
         # no length fetch, no extra round-trip; a too-short prefix is
         # detected by the decoder and refetched in full (rare, and only
-        # after an abrupt content change).
+        # after an abrupt content change).  The need estimate seeds from
+        # the process-level cache (_P4E_NEED) so only the very first
+        # batch of a process - not of every call - pays a full-cap fetch.
         cap_total = render_batch * compress.p4e_bytes_per_frame_cap(H, W)
-        n_buckets = 16
+        n_buckets = 32
         step = -(-cap_total // n_buckets)
-        fetch_state = {"need": cap_total}  # first batch fetches the cap
+        fetch_state = {"need": _P4E_NEED.get((H, W, render_batch),
+                                             cap_total)}
 
         def _fetch_p4e(pair):
             flat, _total = pair
@@ -506,7 +516,8 @@ def render_frames(
                 t += re_ms / 1e3  # keep the refetch out of decode_ms
                 rgb, consumed = compress.decode_to_rgb_p4e(
                     prefix, render_batch, H, W, return_consumed=True)
-            fetch_state["need"] = int(consumed * 1.4)
+            fetch_state["need"] = int(consumed * 1.15)
+            _P4E_NEED[(H, W, render_batch)] = fetch_state["need"]
             link["decode_ms"] += (time.perf_counter() - t) * 1e3
             return rgb
 

@@ -1013,7 +1013,7 @@ def _fetch_outs(outs, transfer, render_batch, H, W, p4e_state):
     from livespeechportraits_tpu.pipeline import compress
 
     cap_total = render_batch * compress.p4e_bytes_per_frame_cap(H, W)
-    step = -(-cap_total // 16)
+    step = -(-cap_total // 32)
     res = []
     for flat, _total in outs:
         need = p4e_state.get("need") or cap_total
@@ -1055,7 +1055,7 @@ def _decode_fetched(outs, n, H, W, transfer: str = "rgb",
                     np.asarray(flat), render_batch, H, W,
                     return_consumed=True)
             if p4e_state is not None:
-                p4e_state["need"] = int(consumed * 1.4)
+                p4e_state["need"] = int(consumed * 1.15)
             frames.append(rgb)
         return np.concatenate(frames)[:n]
     return np.concatenate(outs)[:n]
