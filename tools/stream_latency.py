@@ -44,6 +44,7 @@ def main() -> None:
     transfer = sys.argv[5] if len(sys.argv) > 5 else "rgb"
     depths = ([int(d) for d in sys.argv[6].split(",")] if len(sys.argv) > 6
               else [0, 1])
+    render_batch_override = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     cfg = PersonConfig(
         name="StreamBench",
         feature2face=Feature2FaceConfig(size="large", ngf=64,
@@ -79,7 +80,8 @@ def main() -> None:
             # one warm-up stream compiles every chunk program for this size
             for warm in (True, False):
                 st = StreamingAnimator(cfg, assets, models, seed=0, chunk=chunk,
-                                       render_batch=max(4, chunk // 2),
+                                       render_batch=(render_batch_override
+                                                     or max(4, chunk // 2)),
                                        pipeline_depth=depth, transfer=transfer)
                 push = int(chunk / 60 * 16000) + 1  # one chunk of audio per push
                 times, frames, stage_rows = [], 0, []
@@ -104,6 +106,7 @@ def main() -> None:
                 "metric": f"streaming per-push wall (chunk={chunk} frames, {H}^2)",
                 "chunk_frames": chunk,
                 "pipeline_depth": depth,
+                "render_batch": render_batch_override or max(4, chunk // 2),
                 "quantize_int8": quantize,
                 "transfer": transfer,
                 "push_ms_p50": round(float(np.percentile(times_ms, 50)), 1),
