@@ -52,6 +52,12 @@ def main() -> None:
     p.add_argument("--skip_video", type=int, default=1,
                    help="predict(write_video=False): warm only the "
                         "device programs, not the host muxer")
+    p.add_argument("--artifact", default="auto",
+                   help="serving artifact .npz: built on the first run, "
+                        "loaded on every later boot (skips the "
+                        "quantize+calibrate work - the load-once "
+                        "contract).  'auto' derives a path under the "
+                        "compile-cache dir; '' disables")
     args = p.parse_args()
 
     from livespeechportraits_tpu.utils import compile_cache
@@ -62,9 +68,16 @@ def main() -> None:
     from livespeechportraits_tpu.pipeline import video as video_mod
     from livespeechportraits_tpu.serve import Predictor
 
+    artifact = args.artifact
+    if artifact == "auto":
+        artifact = os.path.join(
+            cache_dir or os.path.expanduser("~/.cache"),
+            f"serve_{args.id}_{args.image_size}"
+            f"{'_int8' if args.quantize else ''}.npz")
     pred = Predictor()
     pred.setup(person_id=args.id, config_dir=args.config_dir,
-               image_size=args.image_size, quantize=bool(args.quantize))
+               image_size=args.image_size, quantize=bool(args.quantize),
+               artifact=artifact or None)
     setup_s = time.perf_counter() - t0
 
     audio = video_mod.make_test_tone(args.seconds)
@@ -102,6 +115,7 @@ def main() -> None:
         "quantize": bool(args.quantize),
         "transfer": args.transfer,
         "image_size": args.image_size,
+        "artifact": artifact,
     }
     print(json.dumps(out))
 
