@@ -281,8 +281,10 @@ def main() -> None:
             "yuv420": "yuv420 (4:2:0 chroma, PSNR>30dB vs RGB)",
         }.get(transfer, transfer),
         # For variable-length transfers this is MEASURED (median over the
-        # recorded runs of fetched bytes / frame, including each run's
-        # one full-cap first fetch); for fixed-size transfers, analytic.
+        # recorded steady-state runs of fetched bytes / frame; the one-off
+        # full-cap first fetch happens in the discarded warm-up runs, so
+        # this is the steady-state prefix size); fixed-size transfers are
+        # analytic.
         "egress_bytes_per_frame": _egress_bytes_per_frame(
             transfer, runs=runs, nframe=result.nframe),
         "egress_bytes_per_frame_static_cap": _egress_static_cap(transfer),

@@ -337,7 +337,26 @@ def load_trained_discriminator(cfg: PersonConfig, f2f_ckpt: str,
     raw = ckpt_mod.restore_checkpoint(f2f_ckpt, step)
     tmpl = feature2face.init_discriminator(jax.random.PRNGKey(0),
                                            cfg.feature2face)
-    return ckpt_mod.rebuild(tmpl, raw["D"]["params"])
+    try:
+        got = ckpt_mod.rebuild(tmpl, raw["D"]["params"])
+    except (KeyError, IndexError, TypeError, ValueError) as e:
+        raise ValueError(
+            "discriminator checkpoint does not match the person config's "
+            f"architecture (missing piece: {e!r}); pass the cfg it was "
+            "trained with (ndf/num_D/n_layers_D)") from e
+    bad = [
+        (jax.tree_util.keystr(kp), np.shape(t), np.shape(g))
+        for (kp, t), (_, g) in zip(
+            jax.tree_util.tree_flatten_with_path(tmpl)[0],
+            jax.tree_util.tree_flatten_with_path(got)[0])
+        if np.shape(t) != np.shape(g)
+    ]
+    if bad:
+        raise ValueError(
+            "discriminator checkpoint shapes do not match the person "
+            f"config (first mismatches, template vs checkpoint: {bad[:3]}); "
+            "pass the cfg it was trained with")
+    return got
 
 
 # ---------------------------------------------------------------------------

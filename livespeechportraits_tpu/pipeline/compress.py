@@ -259,6 +259,7 @@ def decode_to_yuv(packed: np.ndarray, h: int, w: int, quality: int = None,
 # ---------------------------------------------------------------------------
 
 _P4_MAX_SHIFT = 7  # 4-bit shift field; 7.5 * 2^7 = 960 covers every table
+_P4E_SLOW_WARNED = False  # one-time pack4e python-fallback warning
 
 
 def _plane_sizes_p4(h: int, w: int, k: int) -> int:
@@ -493,6 +494,10 @@ def _p4e_tokens(zz: jnp.ndarray, k: int):
     int32 exclusive-cumsum slot offsets, nbytes [B,nb] int32)."""
     if (k - 1) % 2:
         raise ValueError(f"pack4e K must be odd, got {k}")
+    if k > 15:
+        # the control byte's kept-nibble count m (up to k-1) is a 4-bit
+        # field; a larger k would silently overflow into the dc flag
+        raise ValueError(f"pack4e K must be <= 15 (4-bit m field), got {k}")
     B, nb, _ = zz.shape
     dcu = (jnp.clip(zz[..., 0], -128, 127) + 128.0).astype(jnp.int32)
     prev = jnp.concatenate(
@@ -625,6 +630,16 @@ def decode_to_rgb_p4e(flat: np.ndarray, B: int, h: int, w: int,
     if _native.get_lib() is not None:
         rgb, consumed = _native.decode_p4e(flat, B, h, w, k_y, k_c, by, bc)
         return (rgb, consumed) if return_consumed else rgb
+    global _P4E_SLOW_WARNED
+    if not _P4E_SLOW_WARNED:
+        _P4E_SLOW_WARNED = True
+        import warnings
+
+        warnings.warn(
+            "pack4e host decode without the native codec runs a "
+            "per-block Python loop (orders of magnitude slower than the "
+            "jpeg4 fused CPU-XLA fallback); install a C++ toolchain or "
+            "use transfer='jpeg4' on this host")
     u8 = lambda p: np.clip(p + 0.5, 0, 255).astype(np.uint8)  # noqa: E731
     from livespeechportraits_tpu.pipeline.animate import yuv420_to_rgb
 

@@ -1005,18 +1005,24 @@ def _fetch_outs(outs, transfer, render_batch, H, W, p4e_state):
 
     For pack4e each entry is (flat stream, total); only a bucketed PREFIX
     of the stream crosses the link, sized from the last decoded batch's
-    true coded bytes (see animate.render_frames for the scheme) — the
+    true coded bytes (the same policy as animate.render_frames) — the
     live-latency win is proportional: a chunk's frames cost ~entropy
-    bytes, not the static pack4 size."""
+    bytes, not the static pack4 size.  The very first fetch of a stream
+    seeds from the process-level animate._P4E_NEED cache, so a new live
+    session does not pay a full-cap first fetch when any earlier
+    render at this shape already learned the subject's coded size."""
     if transfer != "pack4e":
         return [np.asarray(o) for o in outs]
     from livespeechportraits_tpu.pipeline import compress
+    from livespeechportraits_tpu.pipeline.animate import _P4E_NEED
 
     cap_total = render_batch * compress.p4e_bytes_per_frame_cap(H, W)
     step = -(-cap_total // 32)
     res = []
     for flat, _total in outs:
-        need = p4e_state.get("need") or cap_total
+        need = (p4e_state.get("need")
+                or _P4E_NEED.get((H, W, render_batch))
+                or cap_total)
         bucket = min(cap_total, -(-max(1, min(need, cap_total)) // step) * step)
         res.append((np.asarray(flat[:bucket]), flat))
     return res
@@ -1056,6 +1062,11 @@ def _decode_fetched(outs, n, H, W, transfer: str = "rgb",
                     return_consumed=True)
             if p4e_state is not None:
                 p4e_state["need"] = int(consumed * 1.15)
+                from livespeechportraits_tpu.pipeline.animate import (
+                    _P4E_NEED,
+                )
+
+                _P4E_NEED[(H, W, render_batch)] = p4e_state["need"]
             frames.append(rgb)
         return np.concatenate(frames)[:n]
     return np.concatenate(outs)[:n]

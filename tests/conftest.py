@@ -23,6 +23,7 @@ jax.config.update("jax_enable_x64", False)
 _cache_dir = os.environ.get(
     "LSP_COMPILE_CACHE_DIR",
     os.path.join(os.path.expanduser("~"), ".cache", "lsp_jax_cache"))
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if _cache_dir:  # "" is the documented disable value (utils/compile_cache)
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

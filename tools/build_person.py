@@ -77,11 +77,13 @@ def main() -> None:
     if args.prewarm:
         import subprocess
 
+        # the built YAML lives INSIDE dataroot (<dataroot>/<name>.yaml),
+        # so that is the config_dir setup must search
         subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "prewarm_serving.py"),
-             "--id", name, "--config_dir", os.path.dirname(args.dataroot),
+             "--id", name, "--config_dir", args.dataroot,
              "--image_size", str(args.image_size)],
             check=True)
 

@@ -288,7 +288,9 @@ def phase_eval(root: str, unet_size: str = "normal",
     if os.path.isdir(os.path.join(ck, "f2f", "ckpt")):
         d_params = assets_mod.load_trained_discriminator(
             cfg, os.path.join(ck, "f2f", "ckpt"))
-    gt_pose = np.concatenate([gt["rot"][:n], gt["trans"][:n]], axis=1)
+    # gt trans is stored [T, 3, 1] (reference 3d_fit_data layout)
+    gt_pose = np.concatenate(
+        [gt["rot"][:n], np.asarray(gt["trans"])[:n].reshape(n, 3)], axis=1)
 
     def _scores(res) -> dict:
         lm = res.landmarks[:n]

@@ -82,15 +82,9 @@ def main() -> None:
 
     audio = video_mod.make_test_tone(args.seconds)
     t1 = time.perf_counter()
-    kw = {}
-    if args.skip_video:
-        kw["write_video"] = False
-    try:
-        pred.predict(audio, render_batch=args.render_batch,
-                     transfer=args.transfer, **kw)
-    except TypeError:  # older predict() without write_video
-        pred.predict(audio, render_batch=args.render_batch,
-                     transfer=args.transfer)
+    pred.predict(audio, render_batch=args.render_batch,
+                 transfer=args.transfer,
+                 write_video=not args.skip_video)
     predict_first_s = time.perf_counter() - t1
 
     stream_first = None
