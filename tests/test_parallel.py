@@ -467,3 +467,24 @@ def test_trainer_place_batch_caches_across_views():
     assert placed[0]["cand_image"] is placed[1]["cand_image"]
     assert placed[1]["cand_image"] is placed[2]["cand_image"]
     assert len(trainer._shared_cand_cache) == n0 + 1
+
+
+def test_multichip_rendering_pack4e_matches_single_device():
+    """The pack4e entropy-coding epilogue (prefix-sum + scatter + prefix
+    fetch) composes with frame-sharded rendering: GSPMD partitions the
+    packing, and the decoded frames equal the single-device pack4e run
+    BITWISE (both are lossless recodings of the same jpeg4 stream)."""
+    from livespeechportraits_tpu.pipeline import animate as animate_mod
+    from livespeechportraits_tpu.pipeline import assets as assets_mod
+    from tests.test_pipeline import tiny_person, _sine_audio
+
+    cfg = tiny_person()
+    a, m = assets_mod.make_synthetic_person(cfg, key=jax.random.PRNGKey(0),
+                                            image_size=64, bank_size=64)
+    audio = _sine_audio(0.7)
+    ref = animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=8,
+                              transfer="pack4e")
+    mesh = mesh_mod.make_mesh(1)  # 8 data devices
+    out = animate_mod.animate(cfg, a, m, audio, seed=0, render_batch=8,
+                              transfer="pack4e", mesh=mesh)
+    np.testing.assert_array_equal(out.frames, ref.frames)
