@@ -17,6 +17,7 @@ Design notes (vs the reference's torch.nn modules, models/networks.py):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -821,6 +822,43 @@ def batchnorm_init(num_features: int, init_scale_noise: Optional[jax.Array] = No
     }
 
 
+# One-pass training-mode BN statistics (opt-in, LSP_BN_ONEPASS=1).
+#
+# The default training path computes x.mean then x.var: two reduction
+# passes over the activation that XLA cannot sibling-fuse (var's input
+# depends on mean's output), plus a third read for the normalise.  The
+# round-5 per-op trace (docs/TRAIN_512.md) attributes 33% of the fused
+# 512^2 GAN step to exactly these BN-training reductions.  The one-pass
+# form reduces sum and sum-of-squares together - XLA multi-output
+# fusion emits ONE pass over x for both - and folds the normalise into
+# a single FMA y = x*a + b with a,b precomputed per channel in f32
+# (E[x^2]-mean^2 cancellation is benign here: post-conv activations are
+# zero-centred and the accumulation is f32 even under bf16 compute).
+# Same torch-style running-stat update (biased mean / unbiased var).
+BN_ONEPASS = os.environ.get("LSP_BN_ONEPASS", "0") == "1"
+
+
+def _bn_train_onepass(params: Params, x: jnp.ndarray, axes,
+                      momentum: float, eps: float):
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    s1 = xf.sum(axis=axes)
+    s2 = (xf * xf).sum(axis=axes)
+    n = x.size / x.shape[-1]
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    unbiased = var * n / max(n - 1, 1)
+    new_params = dict(params)
+    new_params["mean"] = ((1 - momentum) * params["mean"].astype(f32)
+                          + momentum * mean).astype(params["mean"].dtype)
+    new_params["var"] = ((1 - momentum) * params["var"].astype(f32)
+                         + momentum * unbiased).astype(params["var"].dtype)
+    a = jax.lax.rsqrt(var + eps) * params["scale"].astype(f32)
+    b = params["bias"].astype(f32) - mean * a
+    y = x * a.astype(x.dtype) + b.astype(x.dtype)
+    return y, new_params
+
+
 def batchnorm(params: Params, x: jnp.ndarray, training: bool = False,
               momentum: float = 0.1, eps: float = 1e-5):
     """Normalise over all axes but the last (channel) axis.
@@ -831,6 +869,8 @@ def batchnorm(params: Params, x: jnp.ndarray, training: bool = False,
     """
     axes = tuple(range(x.ndim - 1))
     if training:
+        if BN_ONEPASS:
+            return _bn_train_onepass(params, x, axes, momentum, eps)
         mean = x.mean(axis=axes)
         var = x.var(axis=axes)
         n = x.size / x.shape[-1]

@@ -115,6 +115,51 @@ def test_batchnorm_matches_torch_train_and_eval():
     np.testing.assert_allclose(np.asarray(ours_eval), ref_eval, atol=1e-4)
 
 
+def test_batchnorm_onepass_matches_default():
+    """LSP_BN_ONEPASS training stats (single fused sum/sumsq pass +
+    folded FMA normalise) match the two-pass default: outputs, running
+    stats and input gradients, in f32 and bf16."""
+    B, H, W, C = 4, 6, 5, 7
+    rng = np.random.default_rng(11)
+    x32 = rng.normal(1.5, 2.0, size=(B, H, W, C)).astype(np.float32)
+    params = nn_core.batchnorm_init(C, jax.random.PRNGKey(3))
+
+    # a non-degenerate loss: sum(y*y) has a catastrophically-cancelling
+    # BN gradient (~1e-5 true value vs ~1e-1 bf16 rounding noise in BOTH
+    # paths), so weight y by fixed random v instead
+    v = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+
+    def loss(p, x, flag):
+        old = nn_core.BN_ONEPASS
+        nn_core.BN_ONEPASS = flag
+        try:
+            y, newp = nn_core.batchnorm(p, x, training=True)
+        finally:
+            nn_core.BN_ONEPASS = old
+        return jnp.sum(y.astype(jnp.float32) * v), (y, newp)
+
+    grad = jax.value_and_grad(loss, argnums=1, has_aux=True)
+    (_, (y_ref, _)), g_ref = grad(params, jnp.asarray(x32), False)
+    g_ref = np.asarray(g_ref, np.float32)
+    gscale = np.abs(g_ref).max()
+
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
+        x = jnp.asarray(x32).astype(dtype)
+        p = jax.tree.map(lambda a: a.astype(dtype), params)
+        (l0, (y0, n0)), g0 = grad(p, x, False)
+        (l1, (y1, n1)), g1 = grad(p, x, True)
+        assert y1.dtype == y0.dtype
+        np.testing.assert_allclose(np.asarray(y1, np.float32),
+                                   np.asarray(y0, np.float32), atol=tol, rtol=tol)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(n1[k], np.float32),
+                                       np.asarray(n0[k], np.float32),
+                                       atol=tol, rtol=tol)
+        # both paths must sit within dtype noise of the f32 reference grad
+        for g in (g0, g1):
+            assert np.abs(np.asarray(g, np.float32) - g_ref).max() <= tol * gscale
+
+
 def test_avg_pool_matches_torch():
     B, H, W, C = 2, 9, 9, 3
     rng = np.random.default_rng(6)

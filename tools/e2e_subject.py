@@ -54,9 +54,17 @@ def phase_clips(root: str, train_frames: int, val_frames: int,
             for i, name in enumerate(train_clip_names(n_clips))]
     jobs.append((VAL_CLIP, val_frames, seed + 100))
     for name, n, s in jobs:
-        gt = synth_subject.write_raw_clip(root, name, n, seed=s)
+        # only clip1 (F2F training + candidate picking) and the held-out
+        # clip (eval GT frames) need the rendered face store; the motion
+        # stages read wav + 3d_fit_data + tracked3D only
+        # (data_io.prepare_clip), so the corpus-scale clips skip the
+        # ~6 min/clip of host-side face rasterisation
+        with_face = name in (TRAIN_CLIP, VAL_CLIP)
+        gt = synth_subject.write_raw_clip(root, name, n, seed=s,
+                                          with_face=with_face)
         np.savez(os.path.join(root, f"gt_{name}.npz"), **gt)
-        print(f"clip {name}: {n} frames written")
+        print(f"clip {name}: {n} frames written"
+              + ("" if with_face else " (motion-only, no frame store)"))
 
 
 def phase_apc(root: str, epochs: int = 30, window: int = 480,
