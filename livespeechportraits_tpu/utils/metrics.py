@@ -146,10 +146,20 @@ def pose_realism_w1(pred_pose: np.ndarray, gt_pose: np.ndarray) -> dict:
     for name, order in (("pose_vel_w1", 1), ("pose_acc_w1", 2)):
         pv = np.diff(p, n=order, axis=0)
         gv = np.diff(g, n=order, axis=0)
-        per = []
-        for c in range(p.shape[1]):
-            s = gv[:, c].std() + 1e-8
-            per.append(_w1(pv[:, c], gv[:, c]) / s)
+        stds = gv.std(axis=0)
+        # channels the subject does not move (GT diff std ~ 0 - e.g. a
+        # tracker that locks translation, or the synthetic subject's
+        # fixed rot-z/trans) carry no realism information; dividing a
+        # sampler's micro-motion there by ~0 swamps the average.  Score
+        # only channels with at least 0.1% of the most-dynamic channel's
+        # spread; if NO channel moves, report the unnormalised W1.
+        live = stds > 1e-3 * stds.max()
+        if not live.any():
+            out[name] = round(float(np.mean(
+                [_w1(pv[:, c], gv[:, c]) for c in range(p.shape[1])])), 4)
+            continue
+        per = [_w1(pv[:, c], gv[:, c]) / stds[c]
+               for c in range(p.shape[1]) if live[c]]
         out[name] = round(float(np.mean(per)), 4)
     return out
 

@@ -121,6 +121,32 @@ def test_pose_realism_w1_separates_dynamics():
     assert frozen["pose_vel_w1"] > 5 * close["pose_vel_w1"]
 
 
+def test_pose_realism_w1_ignores_frozen_gt_channels():
+    """Channels the subject never moves (GT diff std ~ 0, e.g. locked
+    translation) must not blow up the score: a sampler with micro-motion
+    there used to divide by ~0 and read WORSE than a frozen head."""
+    from livespeechportraits_tpu.utils.metrics import pose_realism_w1
+
+    rng = np.random.default_rng(2)
+    T = 400
+    t = np.linspace(0, 20, T)
+    gt = np.zeros((T, 6))
+    gt[:, 0] = np.sin(t) + rng.normal(0, 0.02, T)
+    gt[:, 1] = np.cos(1.3 * t) + rng.normal(0, 0.02, T)
+    # gt rot-z + trans frozen (the synthetic subject's layout)
+
+    good = gt.copy() + rng.normal(0, 1e-4, gt.shape)  # micro-noise all chans
+    frozen = np.zeros_like(gt)
+    w_good = pose_realism_w1(good, gt)
+    w_frozen = pose_realism_w1(frozen, gt)
+    assert w_good["pose_vel_w1"] < 0.2, w_good
+    assert w_frozen["pose_vel_w1"] > 5 * w_good["pose_vel_w1"]
+
+    # fully-static GT degenerates to the unnormalised W1, not a div-by-0
+    allzero = pose_realism_w1(np.zeros((T, 6)), np.zeros((T, 6)))
+    assert allzero["pose_vel_w1"] == 0.0
+
+
 def test_d_feature_distance_properties():
     """Identity -> 0; sensitive to content; deterministic; chunk-size
     invariant (incl. a ragged tail)."""

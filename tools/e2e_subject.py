@@ -353,7 +353,51 @@ def phase_eval(root: str, unet_size: str = "normal",
     except Exception as e:  # ffmpeg-less hosts still get metrics
         metrics["video"] = f"unwritten ({e})"
     metrics["n_frames_scored"] = n
+    # persist the served MOTION arrays (tiny vs frames): the geometry /
+    # pose-realism rows can then be re-scored after a metric fix without
+    # re-serving three render passes (phase 'rescore')
+    np.savez(os.path.join(root, "eval_outputs.npz"),
+             trained_landmarks=out.landmarks[:n],
+             trained_headpose=out.headpose[:n],
+             trained_pts3d=out.pts3d[:n],
+             random_landmarks=rnd.landmarks[:n],
+             random_headpose=rnd.headpose[:n],
+             random_pts3d=rnd.pts3d[:n])
     with open(os.path.join(root, "e2e_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return metrics
+
+
+def phase_rescore(root: str) -> dict:
+    """Recompute the geometry + pose-realism rows of e2e_metrics.json
+    from the saved serving outputs (eval_outputs.npz) - no TPU, no
+    re-serving.  Frame rows (PSNR/perceptual) are left untouched."""
+    from livespeechportraits_tpu.utils.metrics import fidelity_report
+
+    gt = dict(np.load(os.path.join(root, f"gt_{VAL_CLIP}.npz")))
+    outs = dict(np.load(os.path.join(root, "eval_outputs.npz")))
+    path = os.path.join(root, "e2e_metrics.json")
+    with open(path) as f:
+        metrics = json.load(f)
+    n = int(metrics["n_frames_scored"])
+    gt_lm = gt["landmarks2d"][:n]
+    gt_pose = np.concatenate(
+        [gt["rot"][:n], np.asarray(gt["trans"])[:n].reshape(n, 3)], axis=1)
+    for arm in ("trained", "random"):
+        lm = outs[f"{arm}_landmarks"][:n]
+        rows = fidelity_report(
+            landmarks_a=lm, landmarks_b=gt_lm,
+            pts3d_a=outs[f"{arm}_pts3d"][:n], pts3d_b=gt["pts3d"][:n],
+            pose_a=outs[f"{arm}_headpose"][:n], pose_b=gt_pose)
+        op_p, op_g = _openness(lm), _openness(gt_lm)
+        rows["mouth_open_corr"] = round(float(np.corrcoef(op_p, op_g)[0, 1]),
+                                        4)
+        rows["mouth_l2_px"] = round(float(np.linalg.norm(
+            lm[:, 46:64] - gt_lm[:, 46:64], axis=-1).mean()), 3)
+        key = "trained" if arm == "trained" else "random_init"
+        metrics[key].update(rows)
+    with open(path, "w") as f:
         json.dump(metrics, f, indent=1)
     print(json.dumps(metrics))
     return metrics
@@ -420,6 +464,8 @@ def main() -> None:
     if "eval" in phases:
         phase_eval(args.root, unet_size=args.unet_size, seed=args.seed,
                    eval_seconds=args.eval_seconds)
+    if "rescore" in phases:
+        phase_rescore(args.root)
 
 
 if __name__ == "__main__":
