@@ -835,18 +835,34 @@ def batchnorm_init(num_features: int, init_scale_noise: Optional[jax.Array] = No
 # (E[x^2]-mean^2 cancellation is benign here: post-conv activations are
 # zero-centred and the accumulation is f32 even under bf16 compute).
 # Same torch-style running-stat update (biased mean / unbiased var).
-BN_ONEPASS = os.environ.get("LSP_BN_ONEPASS", "0") == "1"
+# Default ON: measured 238.3 -> 225.5 ms/step (-5.4%) on the B=16 512^2
+# fused GAN step, same window, reproducible at 3 and 5 iters
+# (tools/trace_train.py; the standalone *_reduce_fusions drop 79 -> 32
+# ms/step as XLA folds the stat pass into the conv fusions).  Opt out
+# with LSP_BN_ONEPASS=0.
+BN_ONEPASS = os.environ.get("LSP_BN_ONEPASS", "1") == "1"
 
 
 def _bn_train_onepass(params: Params, x: jnp.ndarray, axes,
                       momentum: float, eps: float):
     f32 = jnp.float32
-    xf = x.astype(f32)
+    # shift by the RUNNING mean (a per-channel constant - fuses into the
+    # same pass for free; a data gather was measured to break the fusion,
+    # +27 ms/step at 512^2 B=16): E[(x-c)^2] - E[x-c]^2 with c near the
+    # batch mean keeps the uncentered-sumsq cancellation factor
+    # (1 + m^2/var) at O(1) once training is warm.  At init c=0 (plain
+    # uncentered sums), whose extra reduction-order noise is ~1e-3
+    # relative on the var - irrelevant next to batch-sampling noise, but
+    # visible to cross-program bitwise-ish comparisons (see the tolerance
+    # notes in test_parallel.py / test_train.py).
+    c = jax.lax.stop_gradient(params["mean"]).astype(f32)
+    xf = x.astype(f32) - c
     s1 = xf.sum(axis=axes)
     s2 = (xf * xf).sum(axis=axes)
     n = x.size / x.shape[-1]
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    m = s1 / n
+    var = jnp.maximum(s2 / n - m * m, 0.0)
+    mean = c + m
     unbiased = var * n / max(n - 1, 1)
     new_params = dict(params)
     new_params["mean"] = ((1 - momentum) * params["mean"].astype(f32)

@@ -344,8 +344,14 @@ def test_f2f_fused_step_grads_match_oracle():
                 + losses_mod.feature_matching_loss(pf, pr, cfg.num_D,
                                                    cfg.n_layers_D, cfg.lambda_feat))
 
-    d_grads_oracle = jax.grad(d_loss)(d_state.params, g_state.params)
-    g_grads_oracle = jax.grad(g_loss)(g_state.params, d_state.params)
+    # jit the oracle: an eager oracle evaluates the BN statistics
+    # reductions op-by-op with a different accumulation schedule than any
+    # fused program, and the one-pass BN stats (nn_core.BN_ONEPASS) raise
+    # cross-SCHEDULE noise ~50x (var as E[z^2]-E[z]^2 inherits reduction-
+    # order noise that centred squares cancel; measured worst post-SGD
+    # param diff 4.9e-5 eager vs 6e-6 jitted at these shapes)
+    d_grads_oracle = jax.jit(jax.grad(d_loss))(d_state.params, g_state.params)
+    g_grads_oracle = jax.jit(jax.grad(g_loss))(g_state.params, d_state.params)
 
     # oracle updates from the same optimizer at the same (pre-update) params
     du, _ = tx.update(d_grads_oracle, d_state.opt_state, d_state.params)
@@ -365,14 +371,17 @@ def test_f2f_fused_step_grads_match_oracle():
     def strip_bn(tree, ref):
         return merge_bn_stats(tree, ref)
 
+    # atol = 3x the measured jitted-oracle-vs-fused reorder-noise floor
+    # (~6e-6 with one-pass BN stats); a wrong/missing loss term moves
+    # params by O(lr * grad) = O(1e-2), 500x above this
     got_d = strip_bn(new_d.params, d_expect)
     got_g = strip_bn(new_g.params, g_expect)
     for a, b in zip(jax.tree.leaves(got_d), jax.tree.leaves(d_expect)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6, rtol=1e-4)
+                                   atol=2e-5, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(g_expect)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6, rtol=1e-4)
+                                   atol=2e-5, rtol=1e-4)
 
 
 def test_f2f_fused_step_remat_matches_plain():
