@@ -403,6 +403,7 @@ def make_f2f_fused_step(
     donate: bool = True,
     qat_d: bool = False,
     vgg_microbatch: Optional[int] = None,
+    remat_d: bool = False,
 ):
     """One-program GAN step updating D and G together, sharing every
     forward tower via explicit `jax.vjp` pullbacks.
@@ -461,6 +462,15 @@ def make_f2f_fused_step(
                 dp = f2f.qat_discriminator(dp)
             feats, new_p = f2f.apply_discriminator(dp, x, training=True)
             return feats, new_p
+
+        if remat_d:
+            # Rematerialise the D towers in their pullbacks: D holds a
+            # small share of the step's FLOPs but its multiscale
+            # activations add to the liveness peak that drives XLA's
+            # memory-pressure spill copies (tools/trace_train.py, ~11%
+            # of the B=16 step).  Recompute cost is bounded by 3 extra
+            # D forwards (the fake tower is pulled back twice).
+            d_apply = jax.checkpoint(d_apply)
 
         pred_real, real_pull, aux_d = jax.vjp(
             lambda dp: d_apply(dp, real_pair), d_state.params, has_aux=True)

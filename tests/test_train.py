@@ -399,20 +399,26 @@ def test_f2f_fused_step_remat_matches_plain():
     }
     outs = []
     # 2 = selective: rematerialise only the outermost 2 stages
-    # (steps._remat_wrap named-checkpoint policy)
-    for remat in (False, True, 2):
+    # (steps._remat_wrap named-checkpoint policy); the last variant
+    # rematerialises the D towers instead (remat_d)
+    for remat, remat_d in ((False, False), (True, False), (2, False),
+                           (False, True)):
         g_state = state_mod.create_state(g["net"], tx)
         d_state = state_mod.create_state(d, tx)
         step = steps.make_f2f_fused_step(cfg, tx, tx, remat=remat,
-                                         donate=False)
+                                         donate=False, remat_d=remat_d)
         new_g, new_d, m = step(g_state, d_state, batch)
-        outs.append((new_g.params, float(m["loss_G"]), float(m["loss_D"])))
+        outs.append((new_g.params, new_d.params,
+                     float(m["loss_G"]), float(m["loss_D"])))
     for other in outs[1:]:
-        np.testing.assert_allclose(outs[0][1], other[1], rtol=1e-5)
         np.testing.assert_allclose(outs[0][2], other[2], rtol=1e-5)
-        for a, b in zip(jax.tree.leaves(outs[0][0]), jax.tree.leaves(other[0])):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(outs[0][3], other[3], rtol=1e-5)
+        for ref_tree, other_tree in ((outs[0][0], other[0]),
+                                     (outs[0][1], other[1])):
+            for a, b in zip(jax.tree.leaves(ref_tree),
+                            jax.tree.leaves(other_tree)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-6, rtol=1e-5)
 
 
 def test_f2f_qat_d_step_runs_and_stays_tag_free():

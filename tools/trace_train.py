@@ -40,7 +40,12 @@ def main() -> None:
     from livespeechportraits_tpu.utils import profiling
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
+    # argv[2]: 0 = no remat, 1 = full G remat, K>1 = selective depth-K,
+    # suffix "d" (e.g. "0d") additionally remats the D towers.
+    remat_arg = sys.argv[2] if len(sys.argv) > 2 else "0"
+    remat_d = remat_arg.endswith("d")
+    remat_i = int(remat_arg.rstrip("d") or "0")
+    remat = (remat_i == 1) if remat_i <= 1 else remat_i
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     H = 512
@@ -52,7 +57,8 @@ def main() -> None:
     d_state = state_mod.create_state(
         feature2face.init_discriminator(kd, cfg), tx)
     gan_step = steps_mod.make_f2f_fused_step(
-        cfg, tx, tx, vgg_params=None, compute_dtype=jnp.bfloat16, remat=remat)
+        cfg, tx, tx, vgg_params=None, compute_dtype=jnp.bfloat16, remat=remat,
+        remat_d=remat_d)
 
     rng = np.random.default_rng(0)
     dev_batch = jax.device_put({
@@ -90,7 +96,7 @@ def main() -> None:
             agg[re.sub(r"[.\d]+$", "", e["name"])] += e["dur"]
     total = sum(agg.values())
     print(json.dumps({"trace": trace_file, "iters": iters, "batch": batch,
-                      "remat": remat,
+                      "remat": remat, "remat_d": remat_d,
                       "device_ms_per_step": round(total / iters / 1e3, 2)}))
     for fam, us in agg.most_common(25):
         print(f"{us / iters / 1e3:8.3f} ms/step  {fam}")
