@@ -93,6 +93,8 @@ def load_pretrained_encoder(ckpt_dir: str, cfg: APCConfig, step=None) -> Dict[st
     encoder a training signal)."""
     from livespeechportraits_tpu.utils import checkpoint as ckpt_mod
 
+    if step is None:
+        ckpt_dir = ckpt_mod.prefer_best(ckpt_dir)
     raw = ckpt_mod.restore_checkpoint(ckpt_dir, step)
     tmpl = init_apc_pretrain(jax.random.PRNGKey(0), cfg)
     return ckpt_mod.rebuild(tmpl, raw["params"])["encoder"]

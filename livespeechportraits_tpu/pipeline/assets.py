@@ -238,7 +238,8 @@ def load_trained_person_models(
 
     Each ``*_ckpt`` is a trainer run's ``<checkpoints_dir>/<name>/ckpt``
     directory (train.py / trainer.py layout); ``step`` picks an epoch
-    (default: latest).  ``base`` supplies the stages not overridden
+    (default: the best-validation save ``<dir>_best`` when the trainer
+    kept one, else the latest epoch of ``<dir>``).  ``base`` supplies the stages not overridden
     (default: random-init from ``cfg``).  A QAT-trained generator
     (trainer ``qat=True``) restores through a tagged template and is
     stripped to the plain float tree; trainer-baked activation scales
@@ -248,6 +249,15 @@ def load_trained_person_models(
     from dataclasses import replace as _replace
 
     from livespeechportraits_tpu.utils import checkpoint as ckpt_mod
+
+    if step is None:
+        # serve the best-validation epoch when the trainer kept one
+        # (<dir>_best, TrainLoopConfig.save_best); an explicit step
+        # always refers to the given directory
+        f2f_ckpt = ckpt_mod.prefer_best(f2f_ckpt)
+        a2f_ckpt = ckpt_mod.prefer_best(a2f_ckpt)
+        a2h_ckpt = ckpt_mod.prefer_best(a2h_ckpt)
+        apc_ckpt = ckpt_mod.prefer_best(apc_ckpt)
 
     if base is None:
         k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)

@@ -62,6 +62,11 @@ class TrainLoopConfig:
     zero1: bool = False  # partition optimizer state over the data axis (ZeRO-1)
     vgg_microbatch: int = 0  # chunk+remat the VGG loss tower (0 = unchunked);
     # what lets the B=16 512^2 production recipe afford a perceptual loss
+    save_best: bool = True  # additionally keep <name>/ckpt_best = the
+    # lowest-validation epoch (single-state trainers).  The reference
+    # only keeps latest_/epoch saves (models/__init__.py:74-104), so a
+    # decay schedule can end past the val optimum and serve a worse
+    # model; loaders prefer ckpt_best when present.
 
 
 def _maybe_zero1(st, mesh, loop: "TrainLoopConfig"):
@@ -209,6 +214,8 @@ def _train_single_state(loop: TrainLoopConfig, sampler, val_sampler,
     rng = np.random.default_rng(loop.seed)
     key = jax.random.PRNGKey(loop.seed)
     it = 0
+    best_val = None  # best-so-far validation mean (resume restarts it:
+    # the first post-resume validation re-seeds the tracker)
     for epoch in range(start_epoch, loop.n_epochs + loop.n_epochs_decay):
         lr_now = schedule(epoch)
         st = _set_lr(st, lr_now)
@@ -238,6 +245,10 @@ def _train_single_state(loop: TrainLoopConfig, sampler, val_sampler,
                 vis.plot_current_errors({val_key: val_mean}, it)
                 if hasattr(schedule, "update"):  # plateau: feed the metric
                     schedule.update(val_mean)
+                if loop.save_best and (best_val is None
+                                       or val_mean < best_val):
+                    best_val = val_mean
+                    ckpt.save_checkpoint(f"{ckpt_dir}_best", st, epoch + 1)
         if (epoch + 1) % loop.save_epoch_freq == 0:
             ckpt.save_checkpoint(ckpt_dir, st, epoch + 1)
     vis.close()

@@ -43,6 +43,21 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def prefer_best(ckpt_dir: str) -> str:
+    """Return ``<ckpt_dir>_best`` when the trainer kept a best-validation
+    save there (TrainLoopConfig.save_best), else ``ckpt_dir`` unchanged.
+
+    The reference serves whatever epoch its decay schedule ended on
+    (models/__init__.py:74-104 keeps latest_/epoch saves only); with a
+    best tracker the serving loader can always pick the val optimum.
+    """
+    if ckpt_dir:
+        best = ckpt_dir.rstrip("/") + "_best"
+        if latest_step(best) is not None:
+            return best
+    return ckpt_dir
+
+
 def _rebuild(template: Any, restored: Any) -> Any:
     """Re-impose the template's container types onto a restored pytree.
 

@@ -418,3 +418,51 @@ def test_f2f_trainer_data_parallel_eval_paths(tmp_path):
     assert int(g.step) > 0
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "f2f_dp_eval"))
+
+
+def test_save_best_checkpoint_tracks_val_optimum(tmp_path):
+    """TrainLoopConfig.save_best keeps <ckpt>_best = the epoch with the
+    LOWEST validation mean (the reference can only serve whatever epoch
+    the schedule ended on, models/__init__.py:74-104), and
+    checkpoint.prefer_best routes serving loads to it."""
+    import csv
+
+    from livespeechportraits_tpu.utils import checkpoint as ckpt_mod
+
+    cfg = Audio2FeatureConfig(apc_hidden_size=8, lstm_hidden_size=8,
+                              output_dim=75, frame_future=2)
+    loop = trainer.TrainLoopConfig(
+        n_epochs=2, n_epochs_decay=2, lr=2e-3, batch_size=4, print_freq=50,
+        checkpoints_dir=str(tmp_path), name="a2f_best", save_epoch_freq=1,
+    )
+    sampler = datasets.AudioVisualSampler(_clips(), task="audio2feature",
+                                          seq_len=16, frame_jump_stride=8)
+    trainer.train_audio2feature(cfg, loop, sampler, val_sampler=sampler)
+
+    ckpt_dir = str(tmp_path / "a2f_best" / "ckpt")
+    best_dir = ckpt_dir + "_best"
+    assert os.path.isdir(best_dir)
+    # prefer_best: routes to _best when present, identity otherwise
+    assert ckpt_mod.prefer_best(ckpt_dir) == best_dir
+    assert ckpt_mod.prefer_best(str(tmp_path / "nope")) == str(tmp_path / "nope")
+    assert ckpt_mod.prefer_best("") == ""
+
+    # the val series logged to scalars.csv (one val_loss row per epoch,
+    # in epoch order) must argmin exactly at the best save's epoch
+    vals = []
+    with open(tmp_path / "a2f_best" / "scalars.csv") as f:
+        key_idx = None
+        for row in csv.reader(f):
+            if row and row[0] == "step":
+                key_idx = row.index("val_loss") if "val_loss" in row else None
+            elif key_idx is not None and len(row) > key_idx:
+                vals.append(float(row[key_idx]))
+    assert vals, "validation rows missing from scalars.csv"
+    assert ckpt_mod.latest_step(best_dir) == int(np.argmin(vals)) + 1
+    # every epoch still saved in the plain dir
+    assert ckpt_mod.latest_step(ckpt_dir) == len(vals)
+
+    # the serving loader resolves the best save without an explicit step
+    from livespeechportraits_tpu.utils.checkpoint import restore_checkpoint
+    best = restore_checkpoint(best_dir)
+    assert "params" in best

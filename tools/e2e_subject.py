@@ -60,9 +60,19 @@ def phase_clips(root: str, train_frames: int, val_frames: int,
         # (data_io.prepare_clip), so the corpus-scale clips skip the
         # ~6 min/clip of host-side face rasterisation
         with_face = name in (TRAIN_CLIP, VAL_CLIP)
+        gt_path = os.path.join(root, f"gt_{name}.npz")
+        if os.path.exists(gt_path) and \
+                os.path.isdir(os.path.join(root, name)):
+            # authoring is seed-deterministic, so an existing clip of the
+            # right length IS this clip - a corpus-scale rerun only pays
+            # for the new names
+            with np.load(gt_path) as gt_old:
+                if len(gt_old["rot"]) == n:
+                    print(f"clip {name}: exists ({n} frames), skipped")
+                    continue
         gt = synth_subject.write_raw_clip(root, name, n, seed=s,
                                           with_face=with_face)
-        np.savez(os.path.join(root, f"gt_{name}.npz"), **gt)
+        np.savez(gt_path, **gt)
         print(f"clip {name}: {n} frames written"
               + ("" if with_face else " (motion-only, no frame store)"))
 

@@ -199,6 +199,9 @@ def main() -> None:
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--sequence_length", type=int, default=240)
     p.add_argument("--time_frame_length", type=int, default=240)
+    p.add_argument("--no_save_best", action="store_true",
+                   help="do not keep <name>/ckpt_best (the lowest-"
+                        "validation epoch; serving prefers it when present)")
     args = p.parse_args()
 
     from livespeechportraits_tpu.config import (
@@ -220,6 +223,7 @@ def main() -> None:
         fused_step=args.fused_step, remat=args.remat, qat=args.qat,
         qat_int8=args.qat_int8, qat_d=args.qat_d, zero1=args.zero1,
         vgg_microbatch=args.vgg_microbatch,
+        save_best=not args.no_save_best,
     )
 
     if args.task == "apc":
